@@ -1,0 +1,42 @@
+"""Engine configuration.
+
+Defaults mirror the reference where a constant exists there:
+- BM25 k1=1.2, b=0.75: Lucene 8 default similarity, inherited by the
+  reference via `new IndexSearcher(reader)`
+  (reference engine/.../search/BlackLabIndexAbstract.java:496).
+- context size 5: reference BlackLabIndex.java:74.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # BM25 (Lucene 8 defaults)
+    k1: float = 1.2
+    b: float = 0.75
+
+    # Index layout.
+    # segment_size: docs per segment. A segment is the unit of
+    # query-time parallelism (one WAND task per segment), the analogue
+    # of a Lucene segment. At 100 TB you want segments sized so that a
+    # segment's postings fit comfortably in one executor task
+    # (~1-4 GiB of postings); doc-range segmentation keeps the posting
+    # build shuffle balanced regardless of term skew.
+    segment_size: int = 1 << 14
+    # block_size: docs per posting block inside a (segment, term)
+    # posting list; the block-max skipping granularity (Lucene uses 128).
+    block_size: int = 128
+
+    # Tokenizer: one regex, shared verbatim with the DuckDB/pure-Python
+    # oracles so tokenization is bit-identical everywhere.
+    token_pattern: str = "[a-z0-9]+"
+
+    # Default KWIC / collocation context size (reference BlackLabIndex.java:74).
+    context_size: int = 5
+
+    # Salting for skewed global term-stat merges: head terms (df above
+    # threshold) are pre-aggregated over `n_salts` sub-keys first.
+    n_salts: int = 16

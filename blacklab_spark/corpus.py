@@ -1,0 +1,107 @@
+"""Corpus façade — the PySpark analogue of the reference's
+`BlackLabIndex` (reference search/BlackLabIndex.java:130,183-264):
+open an index, run term/phrase/CQL searches, get Hits back.
+
+Hits are plain DataFrames of (doc_id, start, end [, capture cols]);
+every result operator is a DataFrame transform (SURVEY.md §1.1 "Hit").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from blacklab_spark.config import EngineConfig
+
+
+class Corpus:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.cfg = EngineConfig(
+            k1=self.meta["k1"],
+            b=self.meta["b"],
+            segment_size=self.meta["segment_size"],
+            block_size=self.meta["block_size"],
+            token_pattern=self.meta["token_pattern"],
+        )
+
+    # ---- build/open ---------------------------------------------------
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        transcripts: DataFrame,
+        index_dir: str,
+        cfg: EngineConfig | None = None,
+        resume: bool = False,
+        extra_spans: DataFrame | None = None,
+    ) -> "Corpus":
+        from blacklab_spark.index.build import build_index
+
+        build_index(
+            spark, transcripts, index_dir, cfg, resume=resume, extra_spans=extra_spans
+        )
+        return Corpus(spark, index_dir)
+
+    @staticmethod
+    def open(spark: SparkSession, index_dir: str) -> "Corpus":
+        return Corpus(spark, index_dir)
+
+    # ---- tables ---------------------------------------------------------
+    def _t(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, name))
+
+    @property
+    def tokenized(self) -> DataFrame:
+        """The forward index + content store: one row per doc with
+        tokens array and original text (SURVEY.md §1.1)."""
+        return self._t("tokenized")
+
+    @property
+    def terms(self) -> DataFrame:
+        return self._t("terms")
+
+    @property
+    def postings(self) -> DataFrame:
+        return self._t("postings")
+
+    @property
+    def doc_stats(self) -> DataFrame:
+        return self._t("doc_stats")
+
+    @property
+    def spans(self) -> DataFrame:
+        return self._t("spans")
+
+    @property
+    def segments_meta(self) -> DataFrame:
+        return self._t("segments_meta")
+
+    # ---- querying -------------------------------------------------------
+    def tokenize_query(self, text: str) -> list[str]:
+        return re.findall(self.cfg.token_pattern, text.lower())
+
+    def topk(self, query: str, k: int = 10, filter_expr: str | None = None) -> DataFrame:
+        """Top-k BM25 over the postings (segment-parallel kernel)."""
+        from blacklab_spark.search.bm25 import topk_bm25
+
+        return topk_bm25(self, query, k=k, filter_expr=filter_expr)
+
+    def find(self, cql: str) -> "Hits":
+        """Run a BlackLab CQL pattern, mirroring
+        `BlackLabIndex.find(BLSpanQuery)` (reference BlackLabIndex.java:183-194)."""
+        from blacklab_spark.cql.engine import find as cql_find
+
+        return cql_find(self, cql)
+
+    def term_hits(self, term: str, sensitive: bool = False) -> DataFrame:
+        """All (doc_id, start, end) positions of one term — the leaf scan
+        (reference BLSpanTermQuery.java)."""
+        from blacklab_spark.search.spans import term_hits
+
+        return term_hits(self, term, sensitive=sensitive)

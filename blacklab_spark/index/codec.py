@@ -1,0 +1,134 @@
+"""Vectorized posting-block codec: delta + LEB128 varint, pure numpy.
+
+The reference delegates posting compression to Lucene's codec and adds
+its own files on top (reference codec/BlackLab40PostingsWriter.java:57,
+doc/index-formats/integrated.md:17-103). We implement the classic
+delta+varint scheme ourselves, but vectorized: both encode and decode
+are O(total_bytes) numpy array programs with no per-value Python loop
+(the encode loop below is over *byte positions within a varint*, max 10
+iterations, each fully vectorized).
+
+Layout per posting block (one block = up to `block_size` docs of one
+(segment, term) posting list):
+- doc_ids:  varint(delta(doc_ids)), first doc absolute
+- freqs:    varint(tf per doc), same order
+- positions: varint of per-doc delta-encoded token positions,
+  concatenated in doc order; per-doc boundaries reconstructed from freqs
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_SEVEN = _U64(7)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array. Vectorized."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlength/7), min 1
+    nbytes = np.ones(v.size, dtype=np.int64)
+    x = v >> _SEVEN
+    while x.any():
+        nbytes += (x > 0).astype(np.int64)
+        x >>= _SEVEN
+    offsets = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + nbytes[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    cur = v.copy()
+    max_b = int(nbytes.max())
+    for b in range(max_b):  # loop over byte slots, not values
+        mask = nbytes > b
+        idx = offsets[mask] + b
+        byte = (cur[mask] & _U64(0x7F)).astype(np.uint8)
+        more = (nbytes[mask] > (b + 1)).astype(np.uint8) << 7
+        out[idx] = byte | more
+        cur >>= _SEVEN
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes to a uint64 array. Vectorized via reduceat."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.flatnonzero((raw & 0x80) == 0)
+    starts = np.empty(ends.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # position of each byte within its value
+    byte_pos = np.arange(raw.size, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.append(starts, raw.size))
+    )
+    contrib = (raw & 0x7F).astype(_U64) << (byte_pos.astype(_U64) * _SEVEN)
+    vals = np.add.reduceat(contrib, starts)
+    return vals.astype(np.int64)
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """First value absolute, rest deltas. Input must be sorted ascending."""
+    v = np.asarray(sorted_vals, dtype=np.int64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.int64))
+
+
+def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
+    return varint_encode(delta_encode(doc_ids))
+
+
+def decode_doc_ids(buf: bytes) -> np.ndarray:
+    return delta_decode(varint_decode(buf))
+
+
+def encode_freqs(freqs: np.ndarray) -> bytes:
+    return varint_encode(np.asarray(freqs, dtype=np.int64))
+
+
+def decode_freqs(buf: bytes) -> np.ndarray:
+    return varint_decode(buf)
+
+
+def encode_positions(flat_positions: np.ndarray, freqs: np.ndarray) -> bytes:
+    """Encode concatenated per-doc sorted position lists.
+
+    Within each doc the first position is absolute and the rest are
+    deltas; doc boundaries come from ``freqs`` (tf per doc).
+    """
+    p = np.asarray(flat_positions, dtype=np.int64)
+    f = np.asarray(freqs, dtype=np.int64)
+    if p.size == 0:
+        return b""
+    deltas = np.empty_like(p)
+    deltas[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=deltas[1:])
+    starts = np.zeros(f.size, dtype=np.int64)
+    np.cumsum(f[:-1], out=starts[1:])
+    deltas[starts] = p[starts]  # reset delta chain at each doc boundary
+    return varint_encode(deltas)
+
+
+def decode_positions(buf: bytes, freqs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions; returns the flat positions array."""
+    d = varint_decode(buf)
+    f = np.asarray(freqs, dtype=np.int64)
+    if d.size == 0:
+        return d
+    starts = np.zeros(f.size, dtype=np.int64)
+    np.cumsum(f[:-1], out=starts[1:])
+    # segmented cumsum: cumsum all, then subtract running total at starts
+    c = np.cumsum(d)
+    base = np.zeros(d.size, dtype=np.int64)
+    base[starts[1:]] = c[starts[1:] - 1]
+    return c - np.repeat(np.maximum.accumulate(base[starts]), f)

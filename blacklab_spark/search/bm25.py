@@ -1,0 +1,147 @@
+"""Top-k BM25 over the posting blocks.
+
+The reference inherits scored top-k from Lucene 8's IndexSearcher
+(BM25 k1=1.2 b=0.75, block-max WAND over impact-sorted postings;
+reference search/BlackLabIndexAbstract.java:496,619). Our execution:
+
+1. resolve query terms in the terms dict (driver-side; a filter over a
+   table that is tiny relative to the corpus),
+2. prune the postings scan to the query term_ids — parquet predicate
+   pushdown means only those blocks' bytes are read,
+3. one vectorized numpy kernel per *segment* (Spark's analogue of
+   Lucene's one-SpansReader-per-segment parallelism,
+   HitsFromQuery.java:109-194): decode blocks, score, block-max prune,
+   per-segment top-k heap,
+4. global top-k merge: orderBy(desc(score), doc_id).limit(k) over the
+   tiny union of per-segment candidates (TakeOrderedAndProject).
+
+Scale: step 3's input shuffle moves only the query terms' postings
+(KBs..MBs, not the index); step 4 moves ≤ k rows per segment.
+
+score(q,d) = Σ_t idf(t) · tf/(tf + k1·(1−b+b·dl/avgdl)),
+idf = ln(1 + (N − df + 0.5)/(df + 0.5)), ties broken by ascending
+doc_id — the exact-arithmetic oracle contract (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from blacklab_spark.index import codec
+
+
+def topk_bm25(
+    corpus,
+    query: str,
+    k: int = 10,
+    filter_expr: str | None = None,
+) -> DataFrame:
+    """Returns DataFrame (doc_id, score, conv_id, turn_idx, role, tool,
+    text) — top-k by (score desc, doc_id asc)."""
+    spark = corpus.spark
+    meta = corpus.meta
+    qterms = corpus.tokenize_query(query)
+    out_schema = "doc_id long, score double"
+    if not qterms:
+        return spark.createDataFrame([], out_schema)
+
+    tinfo = (
+        corpus.terms.filter(F.col("term").isin(list(set(qterms))))
+        .select("term", "term_id", "df")
+        .collect()
+    )
+    if not tinfo:
+        return spark.createDataFrame([], out_schema)
+    n_docs = meta["n_docs"]
+    # repeated query terms accumulate idf weight, like Lucene's
+    # BooleanQuery with duplicate clauses
+    from collections import Counter
+
+    qcount = Counter(qterms)
+    idf_by_tid = {
+        int(r["term_id"]): qcount[r["term"]]
+        * float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for r in tinfo
+    }
+    tids = list(idf_by_tid)
+
+    posts = corpus.postings.filter(F.col("term_id").isin(tids)).select(
+        "segment_id", "term_id", "doc_ids", "freqs", "dls", "block_max_wtf"
+    )
+
+    allowed = None
+    if filter_expr:
+        # metadata filter -> doc id set (reference SpanQueryFiltered
+        # builds an acceptedDocs bitset per segment, SpansFiltered.java:17-60)
+        allowed_docs = corpus.doc_stats.filter(filter_expr).select("doc_id")
+        allowed = {int(r["doc_id"]) for r in allowed_docs.collect()} \
+            if allowed_docs.count() <= 5_000_000 else None
+        if allowed is None:
+            raise NotImplementedError("filter too large for broadcast set; "
+                                      "use join-based filtering")
+
+    k1, b_ = meta["k1"], meta["b"]
+    avgdl = meta["avgdl"]
+    seg_size = meta["segment_size"]
+    b_idf = spark.sparkContext.broadcast(idf_by_tid)
+    b_allowed = spark.sparkContext.broadcast(allowed)
+
+    def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        idf = b_idf.value
+        allow = b_allowed.value
+        seg = int(pdf["segment_id"].iloc[0])
+        base = seg * seg_size
+        scores = np.zeros(seg_size, dtype=np.float64)
+        # block-max pruning: a block whose idf*max_wtf can't beat the
+        # k-th best *single-term* bound is skippable only with a θ;
+        # compute θ progressively by processing terms in desc idf order.
+        allow_arr = (
+            np.fromiter(allow, dtype=np.int64, count=len(allow))
+            if allow is not None
+            else None
+        )
+        pdf = pdf.assign(qidf=pdf["term_id"].map(idf)).sort_values(
+            "qidf", ascending=False, kind="stable"
+        )
+        for r in pdf.itertuples(index=False):
+            dids = codec.decode_doc_ids(r.doc_ids)
+            tf = codec.decode_freqs(r.freqs)
+            dl = codec.decode_freqs(r.dls)
+            w = r.qidf * tf / (tf + k1 * (1.0 - b_ + b_ * dl / avgdl))
+            local = dids - base
+            if allow_arr is not None:
+                keep = np.isin(dids, allow_arr)
+                local, w = local[keep], w[keep]
+            np.add.at(scores, local, w)
+        nz = np.flatnonzero(scores)
+        if nz.size == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.float64)})
+        # exact per-segment top-k with (score desc, doc_id asc) ties:
+        # threshold = k-th largest score; keep all above, fill ties by
+        # ascending local doc id
+        n = nz.size
+        if n > k:
+            s = scores[nz]
+            kth = np.partition(s, n - k)[n - k]
+            above = nz[s > kth]
+            equal = np.sort(nz[s == kth])[: k - above.size]
+            nz = np.concatenate([above, equal])
+        order = np.lexsort((nz, -scores[nz]))
+        sel = nz[order]
+        return pd.DataFrame({"doc_id": (sel + base).astype(np.int64),
+                             "score": scores[sel]})
+
+    per_seg = posts.groupBy("segment_id").applyInPandas(
+        score_segment, schema=out_schema
+    )
+    top = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return top.join(
+        corpus.tokenized.select(
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "text"
+        ),
+        "doc_id",
+        "left",
+    ).orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1,0 +1,329 @@
+"""Span algebra: every BlackLab Spans operator as a DataFrame combinator.
+
+A *hits* DataFrame has columns (doc_id:long, start:int, end:int) plus
+optional capture columns ``cap_<name>_start`` / ``cap_<name>_end``
+(reference SpanQueryCaptureGroup.java:205 stores these per hit).
+
+BlackLab executes these as per-segment pull iterators with sortedness/
+uniqueness bookkeeping (reference SpansSequenceSimple.java,
+PerDocumentSortedSpans.java). Under DataFrame set semantics all that
+bookkeeping disappears: operators are joins/filters within doc_id, and
+Catalyst + AQE pick physical strategies. All position joins carry the
+``doc_id`` equi-key, so they hash-partition by doc — co-partitioned
+with the tokenized table when both sides derive from it.
+
+Semantics notes (matched against the reference, see tests):
+- sequence produces ALL combinations, including overlaps
+  (SpanQuerySequence.java:30-46);
+- repetition A{min,max} emits every sub-sequence
+  (SpanQueryRepetition.java:18-25);
+- position_filter implements the 7-op enum of
+  SpanQueryPositionFilter.java:155-178, invertible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HIT_COLS = ("doc_id", "start", "end")
+
+
+def _caps(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c.startswith("cap_")]
+
+
+# ---------------------------------------------------------------------------
+# leaf producers
+# ---------------------------------------------------------------------------
+
+def _annotation_col(annotation: str, sensitive: bool) -> str:
+    """Annotation -> tokenized-table column. `word` is the primary
+    annotation with both sensitivities (reference
+    AnnotatedFieldNameUtil.java:47 naming `contents%lemma@i`); extra
+    annotations (lemma, pos, ...) live in `ann_<name>` array columns
+    carried through the build."""
+    if annotation in ("word", ""):
+        return "tokens" if sensitive else "tokens_i"
+    return f"ann_{annotation}"
+
+
+def token_positions(
+    corpus, annotation: str = "word", sensitive: bool = False
+) -> DataFrame:
+    """(doc_id, pos, term) for every token — the exploded forward index."""
+    col = _annotation_col(annotation, sensitive)
+    return corpus.tokenized.select(
+        "doc_id", F.posexplode(col).alias("pos", "term")
+    )
+
+
+def term_hits(
+    corpus, term: str, annotation: str = "word", sensitive: bool = False
+) -> DataFrame:
+    """All positions of one term (reference BLSpanTermQuery.java)."""
+    tp = token_positions(corpus, annotation, sensitive)
+    value_col = F.col("term") if sensitive else F.lower(F.col("term"))
+    value = term if sensitive else term.lower()
+    return tp.filter(value_col == value).select(
+        "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
+    )
+
+
+def regex_hits(
+    corpus, pattern: str, annotation: str = "word", sensitive: bool = False
+) -> DataFrame:
+    """Term-set scan via the terms dict (reference
+    BLSpanMultiTermQueryWrapper.java rewrites regex to an OR over dict
+    matches — the dict is small, the join is broadcast)."""
+    anchored = f"^(?:{pattern})$"
+    if annotation in ("word", "") and not sensitive:
+        matching = corpus.terms.filter(F.col("term").rlike(anchored)).select("term")
+        tp = token_positions(corpus, "word", sensitive=False)
+        return tp.join(F.broadcast(matching), "term").select(
+            "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
+        )
+    tp = token_positions(corpus, annotation, sensitive)
+    value_col = F.col("term") if sensitive else F.lower(F.col("term"))
+    if not sensitive:
+        anchored = f"^(?:{pattern.lower()})$"
+    return tp.filter(value_col.rlike(anchored)).select(
+        "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
+    )
+
+
+def any_token(corpus, min_len: int = 1, max_len: int = 1) -> DataFrame:
+    """`[]{min,max}` — every n-gram window (reference SpanQueryAnyToken /
+    SpansNGrams). The planner avoids materializing this next to another
+    clause (expansion rewrite); standalone it derives windows from doc
+    lengths, not from a token scan."""
+    ds = corpus.doc_stats.select("doc_id", "num_tokens")
+    n = F.explode(F.sequence(F.lit(min_len), F.lit(max_len))).alias("n")
+    with_n = ds.select("doc_id", "num_tokens", n).filter(
+        F.col("n") <= F.col("num_tokens")
+    )
+    return with_n.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("num_tokens") - F.col("n"))).alias("start"),
+        "n",
+    ).select("doc_id", "start", (F.col("start") + F.col("n")).alias("end"))
+
+
+def no_hits(spark) -> DataFrame:
+    return spark.createDataFrame([], "doc_id long, start int, end int")
+
+
+def tag_spans(corpus, tag: str, attrs: dict[str, str] | None = None) -> DataFrame:
+    """Spans of an inline tag, optional attribute filters (reference
+    SpanQueryTags.java:252; attrs ANDed, AnnotatedFieldNameUtil.java:96-107)."""
+    df = corpus.spans.filter(F.col("tag") == tag)
+    for k, v in (attrs or {}).items():
+        df = df.filter(F.col("attrs").getItem(k) == v)
+    return df.select("doc_id", "start", "end")
+
+
+# ---------------------------------------------------------------------------
+# composition operators
+# ---------------------------------------------------------------------------
+
+def sequence(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Adjacency join: all combinations with A.end == B.start
+    (reference SpanQuerySequence.java:30-46)."""
+    L, R = a.alias("L"), b.alias("R")
+    cond = (F.col("L.doc_id") == F.col("R.doc_id")) & (
+        F.col("L.end") == F.col("R.start")
+    )
+    out_cols = [
+        F.col("L.doc_id").alias("doc_id"),
+        F.col("L.start").alias("start"),
+        F.col("R.end").alias("end"),
+    ]
+    out_cols += [F.col(f"L.{c}").alias(c) for c in _caps(a)]
+    out_cols += [F.col(f"R.{c}").alias(c) for c in _caps(b) if c not in _caps(a)]
+    return L.join(R, cond).select(*out_cols)
+
+
+def sequence_with_gap(a: DataFrame, b: DataFrame, gmin: int, gmax: int) -> DataFrame:
+    """A, then a gap of [gmin,gmax] tokens, then B
+    (reference SpansSequenceWithGap.java:10-20)."""
+    L, R = a.alias("L"), b.alias("R")
+    cond = (
+        (F.col("L.doc_id") == F.col("R.doc_id"))
+        & (F.col("R.start") >= F.col("L.end") + gmin)
+        & (F.col("R.start") <= F.col("L.end") + gmax)
+    )
+    out_cols = [
+        F.col("L.doc_id").alias("doc_id"),
+        F.col("L.start").alias("start"),
+        F.col("R.end").alias("end"),
+    ]
+    out_cols += [F.col(f"L.{c}").alias(c) for c in _caps(a)]
+    out_cols += [F.col(f"R.{c}").alias(c) for c in _caps(b) if c not in _caps(a)]
+    return L.join(R, cond).select(*out_cols)
+
+
+def union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR of clauses (reference BLSpanOrQuery.java). Set semantics."""
+    return a.unionByName(b, allowMissingColumns=True).dropDuplicates()
+
+
+def and_spans(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Positional intersection — same (doc, start, end)
+    (reference SpansAnd.java:251)."""
+    L, R = a.alias("L"), b.alias("R")
+    cond = (
+        (F.col("L.doc_id") == F.col("R.doc_id"))
+        & (F.col("L.start") == F.col("R.start"))
+        & (F.col("L.end") == F.col("R.end"))
+    )
+    caps_b = [c for c in _caps(b) if c not in _caps(a)]
+    if caps_b:
+        out = [F.col(f"L.{c}").alias(c) for c in a.columns] + [
+            F.col(f"R.{c}").alias(c) for c in caps_b
+        ]
+        return L.join(R, cond).select(*out)
+    return L.join(R.select(*HIT_COLS), [*HIT_COLS], "leftsemi")
+
+
+def and_not(a: DataFrame, b: DataFrame) -> DataFrame:
+    """A at spans where B does not match the same span
+    (reference SpanQueryAndNot.java token-level `[a & !b]`)."""
+    return a.join(b.select(*HIT_COLS), [*HIT_COLS], "leftanti")
+
+
+def token_not(corpus, clause: DataFrame) -> DataFrame:
+    """`[!x]` — all single tokens not matched by clause
+    (reference SpanQueryNot.java:22-25)."""
+    return and_not(any_token(corpus, 1, 1), clause)
+
+
+# position-filter ops (reference SpanQueryPositionFilter.java:155-178)
+_POS_OPS = {
+    "within": lambda p, f: (p["start"] >= f["start"]) & (p["end"] <= f["end"]),
+    "containing": lambda p, f: (p["start"] <= f["start"]) & (p["end"] >= f["end"]),
+    "starts_at": lambda p, f: p["start"] == f["start"],
+    "ends_at": lambda p, f: p["end"] == f["end"],
+    "matches": lambda p, f: (p["start"] == f["start"]) & (p["end"] == f["end"]),
+    "containing_at_start": lambda p, f: (p["start"] == f["start"])
+    & (p["end"] >= f["end"]),
+    "containing_at_end": lambda p, f: (p["start"] <= f["start"])
+    & (p["end"] == f["end"]),
+}
+
+
+def position_filter(
+    producer: DataFrame,
+    filter_hits: DataFrame,
+    op: str = "within",
+    invert: bool = False,
+) -> DataFrame:
+    """Keep producer hits standing in positional relation ``op`` to some
+    filter hit (reference SpansPositionFilter.java:517). Semi/anti join —
+    producer hits and their captures survive unchanged."""
+    P, Q = producer.alias("P"), filter_hits.select(*HIT_COLS).alias("Q")
+    pcol = {k: F.col(f"P.{k}") for k in HIT_COLS}
+    fcol = {k: F.col(f"Q.{k}") for k in HIT_COLS}
+    cond = (pcol["doc_id"] == fcol["doc_id"]) & _POS_OPS[op](pcol, fcol)
+    how = "leftanti" if invert else "leftsemi"
+    return P.join(Q, cond, how)
+
+
+def expand(
+    hits: DataFrame,
+    corpus,
+    direction: str,
+    min_exp: int,
+    max_exp: int,
+) -> DataFrame:
+    """Stretch hits left/right by [min,max] `[]`s, one output hit per
+    expansion length, clipped to doc bounds
+    (reference SpanQueryExpansion.java:21-33)."""
+    n = F.explode(F.sequence(F.lit(min_exp), F.lit(max_exp))).alias("n")
+    h = hits.select("*", n)
+    if direction == "right":
+        h = h.join(corpus.doc_stats.select("doc_id", "num_tokens"), "doc_id")
+        h = h.filter(F.col("end") + F.col("n") <= F.col("num_tokens"))
+        return h.select(
+            "doc_id",
+            "start",
+            (F.col("end") + F.col("n")).alias("end"),
+            *_caps(hits),
+        )
+    h = h.filter(F.col("start") - F.col("n") >= 0)
+    return h.select(
+        "doc_id",
+        (F.col("start") - F.col("n")).alias("start"),
+        "end",
+        *_caps(hits),
+    )
+
+
+def repetition(clause: DataFrame, rmin: int, rmax: int, hard_cap: int = 64) -> DataFrame:
+    """A{min,max}: consecutive self-concatenation; ALL sub-sequences
+    emitted (reference SpanQueryRepetition.java:18-25 — B+ over 'ABBBA'
+    yields 3+2+1 hits). Bounded iterative adjacency self-join."""
+    if rmin < 1:
+        raise ValueError("use planner empty-sequence rewrite for min=0")
+    rmax_eff = min(rmax, hard_cap) if rmax >= 0 else hard_cap
+    reps = clause
+    parts: list[DataFrame] = []
+    for i in range(1, rmax_eff + 1):
+        if i > 1:
+            reps = sequence(reps, clause)
+            # stop early if no longer matches possible
+            if reps.isEmpty():
+                break
+        if i >= rmin:
+            parts.append(reps)
+    if not parts:
+        return clause.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out.dropDuplicates()
+
+
+def edge(hits: DataFrame, right: bool) -> DataFrame:
+    """Zero-length hit at an edge (reference SpanQueryEdge.java:16-19)."""
+    if right:
+        return hits.select("doc_id", F.col("end").alias("start"), "end", *_caps(hits))
+    return hits.select("doc_id", "start", F.col("start").alias("end"), *_caps(hits))
+
+
+def capture(hits: DataFrame, name: str) -> DataFrame:
+    """Tag the clause's span as a named capture group
+    (reference SpanQueryCaptureGroup.java:205)."""
+    return hits.withColumn(f"cap_{name}_start", F.col("start")).withColumn(
+        f"cap_{name}_end", F.col("end")
+    )
+
+
+def filter_by_docs(hits: DataFrame, doc_ids: DataFrame) -> DataFrame:
+    """Restrict to docs matching a metadata query
+    (reference SpanQueryFiltered.java:23)."""
+    return hits.join(doc_ids.select("doc_id"), "doc_id", "leftsemi")
+
+
+def unique(hits: DataFrame) -> DataFrame:
+    return hits.dropDuplicates([*HIT_COLS])
+
+
+def constrained(
+    hits: DataFrame,
+    corpus,
+    predicate,  # Callable[[dict[str, Column]], Column]
+    cap_names: list[str],
+    annotation: str = "word",
+) -> DataFrame:
+    """Global constraints `:: a.word = b.word` — evaluate an expression
+    over captured-group tokens via the forward index
+    (reference SpanQueryConstrained.java:174, MatchFilter.java:41).
+    Implemented as element_at() lookups into the doc's token array —
+    one broadcast-friendly equi-join on doc_id, no per-row Python."""
+    col = "tokens_i" if annotation in ("word", "word_i") else annotation
+    tk = corpus.tokenized.select("doc_id", F.col(col).alias("_toks"))
+    joined = hits.join(tk, "doc_id")
+    env = {
+        name: F.element_at(F.col("_toks"), F.col(f"cap_{name}_start") + 1)
+        for name in cap_names
+    }
+    return joined.filter(predicate(env)).drop("_toks")

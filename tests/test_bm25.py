@@ -1,0 +1,79 @@
+"""BM25 rank-identity vs the exact oracle (FIXTURES.md §4)."""
+
+import numpy as np
+import pytest
+
+from blacklab_spark.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def oracle(small_corpus):
+    _, pdf = small_corpus
+    return OracleIndex.from_rows(pdf.to_dict("records"))
+
+
+def _query_set(oracle, n_single=8, n_or=6, seed=42):
+    """Deterministic queries mixing head/tail df terms."""
+    rng = np.random.default_rng(seed)
+    vocab = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))
+    head, tail = vocab[:20], vocab[len(vocab) // 2 :]
+    queries = []
+    for i in range(n_single):
+        pool = head if i % 2 == 0 else tail
+        queries.append(pool[rng.integers(0, len(pool))])
+    for i in range(n_or):
+        k = int(rng.integers(2, 5))
+        terms = [vocab[rng.integers(0, len(vocab))] for _ in range(k)]
+        queries.append(" ".join(terms))
+    return queries
+
+
+def test_rank_identity(small_corpus, oracle):
+    corpus, _ = small_corpus
+    for q in _query_set(oracle):
+        want = oracle.bm25_topk(q, k=10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in corpus.topk(q, k=10).select("doc_id", "score").collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-6
+        )
+
+
+def test_topk_with_metadata_filter(small_corpus, oracle):
+    corpus, pdf = small_corpus
+    allowed = {
+        i
+        for i, row in enumerate(
+            pdf.sort_values(["conv_id", "turn_idx"]).to_dict("records")
+        )
+        if row["role"] == "assistant"
+    }
+    q = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))[0]
+    want = oracle.bm25_topk(q, k=10, allowed=allowed)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in corpus.topk(q, k=10, filter_expr="role = 'assistant'")
+        .select("doc_id", "score")
+        .collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    roles = corpus.topk(q, k=10, filter_expr="role = 'assistant'").select("role").collect()
+    assert all(r["role"] == "assistant" for r in roles)
+
+
+def test_empty_and_missing_terms(small_corpus):
+    corpus, _ = small_corpus
+    assert corpus.topk("", k=5).count() == 0
+    assert corpus.topk("zzzznotaword", k=5).count() == 0
+
+
+def test_result_text_matches_source(small_corpus, oracle):
+    """Per-turn text equality on query results."""
+    corpus, pdf = small_corpus
+    q = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))[1]
+    src = {(r["conv_id"], r["turn_idx"]): r["text"] for r in pdf.to_dict("records")}
+    for r in corpus.topk(q, k=10).collect():
+        assert src[(r["conv_id"], r["turn_idx"])] == r["text"]

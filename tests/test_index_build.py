@@ -1,0 +1,104 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from blacklab_spark.index import codec
+from blacklab_spark.oracle import OracleIndex
+
+
+def test_meta_matches_oracle(small_corpus):
+    corpus, pdf = small_corpus
+    oracle = OracleIndex.from_rows(pdf.to_dict("records"))
+    assert corpus.meta["n_docs"] == oracle.n_docs == 1000
+    assert corpus.meta["total_tokens"] == sum(len(t) for t in oracle.tokens)
+    assert abs(corpus.meta["avgdl"] - oracle.avgdl) < 1e-9
+
+
+def test_doc_ids_dense_and_ordered(small_corpus):
+    corpus, pdf = small_corpus
+    rows = (
+        corpus.doc_stats.select("doc_id", "conv_id", "turn_idx")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["doc_id"] for r in rows] == list(range(len(rows)))
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_per_turn_text_equality(small_corpus):
+    """BASELINE.json invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering."""
+    corpus, pdf = small_corpus
+    got = (
+        corpus.tokenized.select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    want = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_terms_dict_matches_oracle(small_corpus):
+    corpus, pdf = small_corpus
+    oracle = OracleIndex.from_rows(pdf.to_dict("records"))
+    terms = corpus.terms.orderBy("term_id").collect()
+    # dense alphabetical ids
+    assert [r["term_id"] for r in terms] == list(range(len(terms)))
+    assert [r["term"] for r in terms] == sorted(oracle.postings.keys())
+    for r in terms[:50]:
+        assert r["df"] == len(oracle.postings[r["term"]])
+        assert r["cf"] == sum(len(p) for p in oracle.postings[r["term"]].values())
+
+
+def test_postings_decode_matches_oracle(small_corpus):
+    corpus, pdf = small_corpus
+    oracle = OracleIndex.from_rows(pdf.to_dict("records"))
+    terms = {r["term"]: r["term_id"] for r in corpus.terms.collect()}
+    # pick a head term, a mid term, and a tail term
+    by_cf = sorted(
+        oracle.postings, key=lambda t: -sum(len(p) for p in oracle.postings[t].values())
+    )
+    for term in [by_cf[0], by_cf[len(by_cf) // 2], by_cf[-1]]:
+        blocks = (
+            corpus.postings.filter(F.col("term_id") == terms[term])
+            .orderBy("segment_id", "block_id")
+            .collect()
+        )
+        got: dict[int, list[int]] = {}
+        for blk in blocks:
+            dids = codec.decode_doc_ids(bytes(blk["doc_ids"]))
+            tf = codec.decode_freqs(bytes(blk["freqs"]))
+            pos = codec.decode_positions(bytes(blk["positions"]), tf)
+            off = 0
+            for d, f_ in zip(dids, tf):
+                got[int(d)] = [int(p) for p in pos[off : off + f_]]
+                off += f_
+            assert blk["min_doc"] == dids[0] and blk["max_doc"] == dids[-1]
+        assert got == oracle.postings[term], term
+
+
+def test_dls_match_doc_lengths(small_corpus):
+    corpus, pdf = small_corpus
+    lens = {
+        r["doc_id"]: r["num_tokens"] for r in corpus.doc_stats.collect()
+    }
+    blk = corpus.postings.limit(20).collect()
+    for b in blk:
+        dids = codec.decode_doc_ids(bytes(b["doc_ids"]))
+        dls = codec.decode_freqs(bytes(b["dls"]))
+        assert [lens[int(d)] for d in dids] == [int(x) for x in dls]
+
+
+def test_resume_skips_done_stages(small_corpus, spark, small_cfg, tmp_path):
+    from blacklab_spark.corpus import Corpus
+    from blacklab_spark.synth import generate_pandas
+
+    pdf = generate_pandas(200, seed=7)
+    df = spark.createDataFrame(pdf)
+    d = str(tmp_path / "idx")
+    c1 = Corpus.build(spark, df, d, small_cfg)
+    n_blocks = c1.meta["n_posting_blocks"]
+    # resume build: all stages marked done -> identical meta, no rebuild
+    c2 = Corpus.build(spark, df, d, small_cfg, resume=True)
+    assert c2.meta["n_posting_blocks"] == n_blocks
+    assert c2.meta["n_docs"] == 200
