@@ -275,7 +275,13 @@ def build_index(
             extra = extra_spans.join(
                 tokenized.select("conv_id", "turn_idx", "doc_id"),
                 ["conv_id", "turn_idx"],
-            ).select("doc_id", "tag", "start", "end", "attrs")
+            ).select(
+                "doc_id",
+                "tag",
+                F.col("start").cast("int").alias("start"),
+                F.col("end").cast("int").alias("end"),
+                F.col("attrs").cast("map<string,string>").alias("attrs"),
+            )
             spans = spans.unionByName(extra)
         spans.write.mode("overwrite").parquet(spans_path)
         _mark_done(index_dir, "spans")

@@ -22,7 +22,11 @@ def micro(spark, tmp_path_factory):
         spark.createDataFrame(transcripts_pdf()),
         d,
         cfg,
-        extra_spans=spark.createDataFrame(spans_pdf()),
+        extra_spans=spark.createDataFrame(
+            spans_pdf(),
+            schema="conv_id string, turn_idx long, tag string, "
+            "start int, end int, attrs map<string,string>",
+        ),
     )
     return corpus
 
