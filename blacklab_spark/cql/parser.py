@@ -1,0 +1,468 @@
+"""BlackLab Corpus Query Language (BCQL) parser.
+
+A hand-written recursive-descent reimplementation of the reference's
+javacc grammar (reference query-parser/src/main/javacc/.../corpusql/cql.jj:
+tokens :78-87, sequence :228-309, repetition :312-331, within/containing
+:184-195, tags :249-271, any-token :427-439, annotation clauses :461-503,
+capture :368, global constraint :103-133) producing a small dataclass
+AST — the analogue of the reference's TextPattern tree
+(text-pattern/.../TextPattern.java:21).
+
+Supported surface:
+    "word"  "multi word"          quoted phrase (anchored regex per word,
+                                  CorpusQueryLanguageParser.java:65-75)
+    [word="x" & pos!="y"]         annotation clauses with & | !
+    []                            any token
+    A B                           sequence
+    A | B                         union
+    A* A+ A? A{n} A{n,m} A{n,}    repetition
+    !A  (inside [])               negation
+    <s> ... </s>   <s/>           tag start / end / whole element
+    <s test="1"/>                 tag with attribute filters
+    grp:A                         capture group
+    A within B / A containing B   position filters
+    ... :: a.word = b.word        global constraints (=, !=, &, |, !)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Node:
+    pass
+
+
+@dataclass
+class TermNode(Node):
+    """One annotation comparison: annotation op "value"."""
+    annotation: str
+    value: str
+    negate: bool = False
+    sensitive: bool = False  # (?-i)/(?c) flags flip this
+
+
+@dataclass
+class AnyToken(Node):
+    pass
+
+
+@dataclass
+class TokenAnd(Node):
+    clauses: list = field(default_factory=list)
+
+
+@dataclass
+class TokenOr(Node):
+    clauses: list = field(default_factory=list)
+
+
+@dataclass
+class Seq(Node):
+    parts: list = field(default_factory=list)
+
+
+@dataclass
+class Or(Node):
+    clauses: list = field(default_factory=list)
+
+
+@dataclass
+class Repeat(Node):
+    clause: Node = None
+    rmin: int = 1
+    rmax: int = -1  # -1 = unbounded
+
+
+@dataclass
+class Capture(Node):
+    name: str = ""
+    clause: Node = None
+
+
+@dataclass
+class Tag(Node):
+    name: str = ""
+    attrs: dict = field(default_factory=dict)
+    edge: str = "full"  # "full" (<s/>), "start" (<s>), "end" (</s>)
+
+
+@dataclass
+class PosFilter(Node):
+    producer: Node = None
+    filter: Node = None
+    op: str = "within"  # within | containing
+    invert: bool = False
+
+
+@dataclass
+class Constrained(Node):
+    clause: Node = None
+    constraint: "CExpr" = None
+
+
+# constraint expression tree (reference search/matchfilter/MatchFilter*.java)
+@dataclass
+class CExpr:
+    pass
+
+
+@dataclass
+class CCompare(CExpr):
+    left: "CVal" = None
+    right: "CVal" = None
+    op: str = "="  # = or !=
+
+
+@dataclass
+class CBool(CExpr):
+    op: str = "&"  # & | !
+    clauses: list = field(default_factory=list)
+
+
+@dataclass
+class CVal:
+    """capture.annotation access or string literal."""
+    capture: str | None = None
+    annotation: str = "word"
+    literal: str | None = None
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s+
+  | (?P<quoted>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<dcolon>::)
+  | (?P<ctag></[a-zA-Z_][\w-]*\s*>)
+  | (?P<num>\d+)
+  | (?P<name>[a-zA-Z_][\w-]*)
+  | (?P<op>!=|[\[\]()|&!*+?{},=:<>/.])
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise ValueError(f"CQL lex error at {i}: {s[i:i+20]!r}")
+        i = m.end()
+        for kind in ("quoted", "dcolon", "ctag", "num", "name", "op"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+def _unquote(q: str) -> str:
+    body = q[1:-1]
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]], default_annotation: str = "word"):
+        self.toks = tokens
+        self.i = 0
+        self.default_annotation = default_annotation
+
+    # -- token helpers ------------------------------------------------------
+    def peek(self, k: int = 0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, value: str):
+        kind, v = self.next()
+        if v != value:
+            raise ValueError(f"CQL parse error: expected {value!r}, got {v!r}")
+        return v
+
+    def at(self, value: str) -> bool:
+        return self.peek()[1] == value
+
+    # -- grammar ------------------------------------------------------------
+    def parse_query(self) -> Node:
+        node = self.parse_within()
+        if self.peek()[0] == "dcolon":
+            self.next()
+            expr = self.parse_cexpr()
+            node = Constrained(clause=node, constraint=expr)
+        if self.peek()[0] != "eof":
+            raise ValueError(f"CQL parse error: trailing input {self.peek()[1]!r}")
+        return node
+
+    def parse_within(self) -> Node:
+        node = self.parse_or()
+        while self.peek()[1] in ("within", "containing") or (
+            self.at("!") and self.peek(1)[1] in ("within", "containing")
+        ):
+            invert = False
+            if self.at("!"):
+                self.next()
+                invert = True
+            op = self.next()[1]
+            rhs = self.parse_or()
+            node = PosFilter(producer=node, filter=rhs, op=op, invert=invert)
+        return node
+
+    def parse_or(self) -> Node:
+        parts = [self.parse_sequence()]
+        while self.at("|"):
+            self.next()
+            parts.append(self.parse_sequence())
+        return parts[0] if len(parts) == 1 else Or(clauses=parts)
+
+    def parse_sequence(self) -> Node:
+        parts = []
+        while True:
+            kind, v = self.peek()
+            if kind == "eof" or v in ("|", ")", "within", "containing") or kind in (
+                "dcolon",
+            ):
+                break
+            if v == "!" and self.peek(1)[1] in ("within", "containing"):
+                break
+            parts.append(self.parse_repeatable())
+        if not parts:
+            raise ValueError("CQL parse error: empty sequence")
+        return parts[0] if len(parts) == 1 else Seq(parts=parts)
+
+    def parse_repeatable(self) -> Node:
+        node = self.parse_atom()
+        while True:
+            kind, v = self.peek()
+            if v == "*":
+                self.next()
+                node = Repeat(clause=node, rmin=0, rmax=-1)
+            elif v == "+":
+                self.next()
+                node = Repeat(clause=node, rmin=1, rmax=-1)
+            elif v == "?":
+                self.next()
+                node = Repeat(clause=node, rmin=0, rmax=1)
+            elif v == "{":
+                self.next()
+                rmin = int(self.next()[1])
+                rmax = rmin
+                if self.at(","):
+                    self.next()
+                    rmax = -1
+                    if self.peek()[0] == "num":
+                        rmax = int(self.next()[1])
+                self.expect("}")
+                node = Repeat(clause=node, rmin=rmin, rmax=rmax)
+            else:
+                break
+        return node
+
+    def parse_atom(self) -> Node:
+        kind, v = self.peek()
+        # capture label: name ':' atom
+        if kind == "name" and self.peek(1)[1] == ":" and v not in (
+            "within",
+            "containing",
+        ):
+            name = self.next()[1]
+            self.expect(":")
+            return Capture(name=name, clause=self.parse_atom())
+        if kind == "quoted":
+            self.next()
+            return self._quoted_to_node(v, self.default_annotation)
+        if v == "[":
+            self.next()
+            if self.at("]"):
+                self.next()
+                return AnyToken()
+            expr = self.parse_token_expr()
+            self.expect("]")
+            return expr
+        if v == "(":
+            self.next()
+            node = self.parse_within()
+            self.expect(")")
+            return node
+        if v == "<":
+            return self.parse_tag()
+        if kind == "ctag":
+            self.next()
+            return Tag(name=v[2:-1].strip(), edge="end")
+        if v == "!":
+            self.next()
+            inner = self.parse_atom()
+            return TokenAnd(clauses=[("not", inner)])
+        raise ValueError(f"CQL parse error: unexpected {v!r}")
+
+    def parse_tag(self) -> Node:
+        self.expect("<")
+        if self.at("/"):  # </s>
+            self.next()
+            name = self.next()[1]
+            self.expect(">")
+            return Tag(name=name, edge="end")
+        name = self.next()[1]
+        attrs = {}
+        while self.peek()[0] in ("name",):
+            aname = self.next()[1]
+            self.expect("=")
+            aval = _unquote(self.next()[1])
+            attrs[aname] = aval
+        if self.at("/"):
+            self.next()
+            self.expect(">")
+            return Tag(name=name, attrs=attrs, edge="full")
+        self.expect(">")
+        return Tag(name=name, attrs=attrs, edge="start")
+
+    # token-level boolean expression inside [ ]
+    def parse_token_expr(self) -> Node:
+        node = self.parse_token_and()
+        while self.at("|"):
+            self.next()
+            rhs = self.parse_token_and()
+            if isinstance(node, TokenOr):
+                node.clauses.append(rhs)
+            else:
+                node = TokenOr(clauses=[node, rhs])
+        return node
+
+    def parse_token_and(self) -> Node:
+        node = self.parse_token_clause()
+        clauses = [("and", node)]
+        while self.at("&"):
+            self.next()
+            neg = False
+            if self.at("!"):
+                self.next()
+                neg = True
+            rhs = self.parse_token_clause()
+            clauses.append(("not" if neg else "and", rhs))
+        if len(clauses) == 1:
+            return node
+        return TokenAnd(clauses=clauses)
+
+    def parse_token_clause(self) -> Node:
+        if self.at("("):
+            self.next()
+            node = self.parse_token_expr()
+            self.expect(")")
+            return node
+        if self.at("!"):
+            self.next()
+            inner = self.parse_token_clause()
+            return TokenAnd(clauses=[("not", inner)])
+        kind, v = self.peek()
+        if kind == "name":
+            ann = self.next()[1]
+            op = self.next()[1]
+            if op not in ("=", "!="):
+                raise ValueError(f"CQL parse error: bad token op {op!r}")
+            val = self.next()
+            if val[0] != "quoted":
+                raise ValueError("CQL parse error: annotation value must be quoted")
+            node = self._quoted_to_node(val[1], ann)
+            if op == "!=":
+                node.negate = True
+            return node
+        if kind == "quoted":  # bare value = default annotation
+            self.next()
+            return self._quoted_to_node(v, self.default_annotation)
+        raise ValueError(f"CQL parse error: unexpected {v!r} in token expression")
+
+    def _quoted_to_node(self, quoted: str, annotation: str) -> Node:
+        value = _unquote(quoted)
+        sensitive = False
+        # sensitivity flags (reference TextPatternRegex.java:62-117)
+        if value.startswith("(?-i)") or value.startswith("(?c)"):
+            sensitive = True
+            value = value.split(")", 1)[1]
+        elif value.startswith("(?i)"):
+            value = value[4:]
+        # multi-word quoted phrase -> sequence of terms
+        if annotation == self.default_annotation and " " in value.strip() and not any(
+            ch in value for ch in "()[]{}|?*+\\"
+        ):
+            parts = [
+                TermNode(annotation=annotation, value=w, sensitive=sensitive)
+                for w in value.split()
+            ]
+            return Seq(parts=parts)
+        return TermNode(annotation=annotation, value=value, sensitive=sensitive)
+
+    # -- global constraint expression ----------------------------------------
+    def parse_cexpr(self) -> CExpr:
+        node = self.parse_cand()
+        while self.at("|"):
+            self.next()
+            rhs = self.parse_cand()
+            node = CBool(op="|", clauses=[node, rhs])
+        return node
+
+    def parse_cand(self) -> CExpr:
+        node = self.parse_ccompare()
+        while self.at("&"):
+            self.next()
+            rhs = self.parse_ccompare()
+            node = CBool(op="&", clauses=[node, rhs])
+        return node
+
+    def parse_ccompare(self) -> CExpr:
+        if self.at("!"):
+            self.next()
+            return CBool(op="!", clauses=[self.parse_ccompare()])
+        if self.at("("):
+            self.next()
+            node = self.parse_cexpr()
+            self.expect(")")
+            return node
+        left = self.parse_cval()
+        op = self.next()[1]
+        if op not in ("=", "!="):
+            raise ValueError(f"CQL parse error: bad constraint op {op!r}")
+        right = self.parse_cval()
+        return CCompare(left=left, right=right, op=op)
+
+    def parse_cval(self) -> CVal:
+        kind, v = self.peek()
+        if kind == "quoted":
+            self.next()
+            return CVal(literal=_unquote(v))
+        cap = self.next()[1]
+        ann = "word"
+        if self.at("."):
+            self.next()
+            ann = self.next()[1]
+        return CVal(capture=cap, annotation=ann)
+
+
+_REGEX_META = set(".?*+|(){}[]\\^$")
+
+
+def is_plain_term(value: str) -> bool:
+    """Regex of only letters/digits -> plain term lookup
+    (reference TextPatternRegex.java:62-117 simplification)."""
+    return not any(c in _REGEX_META for c in value)
+
+
+def parse(cql: str, default_annotation: str = "word") -> Node:
+    return _Parser(_lex(cql), default_annotation).parse_query()

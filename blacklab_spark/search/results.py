@@ -1,0 +1,251 @@
+"""Result-set operators on hits DataFrames — the analogue of the
+reference's results hierarchy (Hits/HitGroups/DocResults/Facets/Kwics,
+reference search/results/HitsAbstract.java, HitGroups.java:54,
+DocResults.java:40, Facets.java:9, Kwics.java, Contexts.java:49-108).
+
+A hits DataFrame is (doc_id, start, end [, cap_* ...]). Every operator
+here is a pure DataFrame transform: sort = orderBy, group = groupBy/agg,
+window = row_number filter, sample = seeded orderBy(rand), KWIC/context
+= slice() into the tokenized table's token arrays (the forward index).
+All stay JVM-side (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+HIT_COLS = ("doc_id", "start", "end")
+
+
+class Hits:
+    """Lazy hits result — mirrors the fluent surface of the reference's
+    `Hits` (reference search/results/HitsAbstract.java:154-440)."""
+
+    def __init__(self, corpus, df: DataFrame):
+        self.corpus = corpus
+        self.df = df
+
+    # -- basic ------------------------------------------------------------
+    def count(self) -> int:
+        """ResultCount analogue (reference ResultCount.java:8)."""
+        return self.df.count()
+
+    def doc_count(self) -> int:
+        return self.df.select("doc_id").distinct().count()
+
+    def window(self, first: int, number: int) -> "Hits":
+        """Stable pagination (reference HitsAbstract.java:154-196).
+        Deterministic order: (doc_id, start, end)."""
+        w = Window.orderBy("doc_id", "start", "end")
+        out = (
+            self.df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > first) & (F.col("_rn") <= first + number))
+            .drop("_rn")
+        )
+        return Hits(self.corpus, out)
+
+    def sample(self, n: int | None = None, fraction: float | None = None,
+               seed: int = 42) -> "Hits":
+        """Seeded sampling (reference SampleParameters.java:13-26)."""
+        if fraction is not None:
+            return Hits(self.corpus, self.df.sample(fraction=fraction, seed=seed))
+        out = self.df.orderBy(F.rand(seed)).limit(n or 100)
+        return Hits(self.corpus, out)
+
+    def filter_docs(self, filter_expr: str) -> "Hits":
+        """Metadata filter (reference SpanQueryFiltered.java:23)."""
+        docs = self.corpus.doc_stats.filter(filter_expr).select("doc_id")
+        return Hits(self.corpus, self.df.join(docs, "doc_id", "leftsemi"))
+
+    # -- context (forward-index access) -------------------------------------
+    def with_context(self, size: int | None = None, annotation: str = "word",
+                     sensitive: bool = False) -> DataFrame:
+        """Attach left/match/right token arrays per hit
+        (reference Contexts.java:49-108; KWIC default context 5,
+        BlackLabIndex.java:74). slice() on the doc's token array —
+        one equi-join on doc_id, no shuffle of the token table beyond
+        the hash join."""
+        size = size or self.corpus.cfg.context_size
+        col = "tokens" if sensitive else "tokens_i"
+        if annotation not in ("word", ""):
+            col = f"ann_{annotation}"
+        tk = self.corpus.tokenized.select(
+            "doc_id", F.col(col).alias("_toks"), "conv_id", "turn_idx"
+        )
+        j = self.df.join(tk, "doc_id")
+        lstart = F.greatest(F.lit(0), F.col("start") - size) + 1  # 1-based
+        return (
+            j.withColumn("left", F.slice("_toks", lstart, F.col("start") - lstart + 1))
+            .withColumn(
+                "match", F.slice("_toks", F.col("start") + 1, F.col("end") - F.col("start"))
+            )
+            .withColumn(
+                "right",
+                F.slice(
+                    "_toks",
+                    F.col("end") + 1,
+                    F.least(F.size("_toks") - F.col("end"), F.lit(size)),
+                ),
+            )
+            .drop("_toks")
+        )
+
+    def kwic(self, size: int | None = None) -> DataFrame:
+        """Keyword-in-context strings (reference Kwic.java:19-96)."""
+        ctx = self.with_context(size)
+        return ctx.select(
+            "doc_id",
+            "conv_id",
+            "turn_idx",
+            "start",
+            "end",
+            F.array_join("left", " ").alias("left"),
+            F.array_join("match", " ").alias("match"),
+            F.array_join("right", " ").alias("right"),
+        )
+
+    def concordance(self) -> DataFrame:
+        """Original-content concordances (reference Concordances.java;
+        content store = the source text column)."""
+        return self.df.join(
+            self.corpus.tokenized.select("doc_id", "conv_id", "turn_idx", "text"),
+            "doc_id",
+        )
+
+    # -- sort ---------------------------------------------------------------
+    def sort_by_hit_text(self, annotation: str = "word") -> "Hits":
+        """Sort by matched text, then (doc,start,end) tie-break
+        (reference HitsAbstract.java:279-297; collator sort positions
+        reference forwardindex/Terms.java:69-95 — our insensitive terms
+        sort lexicographically, equal to the dense term_id order the
+        build assigns)."""
+        ctx = self.with_context(0, annotation)
+        out = ctx.orderBy(
+            F.array_join("match", " "), "doc_id", "start", "end"
+        ).select(*self.df.columns)
+        return Hits(self.corpus, out)
+
+    def sort_by_context(self, side: str = "left", size: int | None = None) -> "Hits":
+        """Sort on left/right context words (reference HitProperty
+        `left`/`right`, resultproperty/HitProperty.java:41-110); left
+        context compares right-to-left like the reference."""
+        ctx = self.with_context(size)
+        key = (
+            F.array_join(F.reverse("left"), " ")
+            if side == "left"
+            else F.array_join("right", " ")
+        )
+        out = ctx.orderBy(key, "doc_id", "start", "end").select(*self.df.columns)
+        return Hits(self.corpus, out)
+
+    # -- group ----------------------------------------------------------------
+    def group_by_hit_text(self, annotation: str = "word", max_stored: int = 10) -> DataFrame:
+        """HitGroups (reference HitGroups.java:54): group size + a stored
+        sample of hits per group."""
+        ctx = self.with_context(0, annotation)
+        return (
+            ctx.withColumn("grp", F.array_join("match", " "))
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("size"),
+                F.slice(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "start", "end"))),
+                    1,
+                    max_stored,
+                ).alias("sample_hits"),
+            )
+            .orderBy(F.desc("size"), "grp")
+        )
+
+    def group_by_metadata(self, *cols: str) -> DataFrame:
+        """DocProperty grouping (reference DocGroups.java)."""
+        ds = self.corpus.doc_stats.select("doc_id", *cols)
+        return (
+            self.df.join(ds, "doc_id")
+            .groupBy(*cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_hits"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            )
+            .orderBy(F.desc("n_hits"), *cols)
+        )
+
+    # -- doc view ---------------------------------------------------------------
+    def per_doc(self) -> DataFrame:
+        """DocResults (reference DocResults.java:40-110)."""
+        return (
+            self.df.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .join(self.corpus.doc_stats, "doc_id")
+            .orderBy(F.desc("n_hits"), "doc_id")
+        )
+
+    def facets(self, *cols: str) -> dict[str, DataFrame]:
+        """Independent 1-D doc counts per criterion
+        (reference Facets.java:9)."""
+        docs = self.df.select("doc_id").distinct().join(self.corpus.doc_stats, "doc_id")
+        return {
+            c: docs.groupBy(c).agg(F.count(F.lit(1)).alias("n_docs")).orderBy(
+                F.desc("n_docs"), c
+            )
+            for c in cols
+        }
+
+    # -- collocations -------------------------------------------------------------
+    def collocations(self, size: int | None = None) -> DataFrame:
+        """Context-word frequencies around hits, hit text excluded,
+        desensitized (reference TermFrequencyList.java:49-95)."""
+        ctx = self.with_context(size)
+        words = ctx.select(
+            F.explode(F.concat(F.col("left"), F.col("right"))).alias("term")
+        )
+        return (
+            words.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), "term")
+        )
+
+
+def term_frequencies(corpus, filter_expr: str | None = None,
+                     sensitive: bool = False) -> DataFrame:
+    """Corpus-wide term frequencies (reference BlackLabIndex.java:212,
+    HitGroupsTokenFrequencies fast path :43-49 — when the 'query' is
+    any-token, skip hit enumeration and aggregate the forward index
+    directly; with no filter we read the precomputed terms dict)."""
+    if filter_expr is None and not sensitive:
+        return corpus.terms.select(
+            "term", F.col("df").alias("n_docs"), F.col("cf").alias("freq")
+        ).orderBy(F.desc("freq"), "term")
+    tk = corpus.tokenized
+    if filter_expr:
+        tk = tk.filter(filter_expr)
+    col = "tokens" if sensitive else "tokens_i"
+    return (
+        tk.select("doc_id", F.explode(col).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("freq"), "term")
+    )
+
+
+def grouped_term_frequencies(corpus, meta_cols: list[str]) -> DataFrame:
+    """FrequencyTool analogue: (annotation term × metadata) frequency
+    table over the whole corpus (reference FrequencyTool.java:55-66) —
+    one explode + groupBy, partial aggregation absorbs term skew."""
+    return (
+        corpus.tokenized.select(*meta_cols, F.explode("tokens_i").alias("term"))
+        .groupBy("term", *meta_cols)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "term", *meta_cols)
+    )
+
+
+def autocomplete(corpus, prefix: str, n: int = 20) -> DataFrame:
+    """Term-prefix completion (reference RequestHandlerAutocomplete.java,
+    LuceneUtil.java:246) — a range scan on the sorted terms dict."""
+    return (
+        corpus.terms.filter(F.col("term").startswith(prefix.lower()))
+        .orderBy("term")
+        .select("term", "df", "cf")
+        .limit(n)
+    )

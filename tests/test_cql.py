@@ -1,0 +1,173 @@
+"""CQL end-to-end tests — transliterated from the reference's
+TestSearches.java (core/src/test/java/nl/inl/blacklab/search/
+TestSearches.java) query list over the 4-doc TestIndex corpus
+(micro_corpus.py). Expected hits are (doc, start, end) under OUR
+tokenizer ([a-z0-9]+, punctuation dropped)."""
+
+import pytest
+
+from blacklab_spark.config import EngineConfig
+from blacklab_spark.corpus import Corpus
+
+from micro_corpus import spans_pdf, transcripts_pdf
+
+
+@pytest.fixture(scope="module")
+def micro(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("microcql") / "idx")
+    cfg = EngineConfig(segment_size=2, block_size=4)
+    return Corpus.build(
+        spark,
+        spark.createDataFrame(transcripts_pdf()),
+        d,
+        cfg,
+        extra_spans=spark.createDataFrame(
+            spans_pdf(),
+            schema="conv_id string, turn_idx long, tag string, "
+            "start int, end int, attrs map<string,string>",
+        ),
+    )
+
+
+def hits(h):
+    return sorted(
+        (r["doc_id"], r["start"], r["end"])
+        for r in h.df.select("doc_id", "start", "end").collect()
+    )
+
+
+# --- leaf patterns (TestSearches simple term/regex section) ---------------
+
+def test_term(micro):
+    assert hits(micro.find('"the"')) == [(0, 0, 1), (0, 6, 7), (2, 1, 2), (3, 8, 9)]
+
+
+def test_sensitive_term(micro):
+    assert hits(micro.find('"(?-i)The"')) == [(0, 0, 1)]
+
+
+def test_regex(micro):
+    assert hits(micro.find('"b.*"')) == [(0, 2, 3), (2, 3, 4)]
+    assert hits(micro.find('"fo[xr].*"')) == [(0, 3, 4), (2, 2, 3)]
+
+
+def test_annotation_clause(micro):
+    assert hits(micro.find('[pos="nou"]')) == [(0, 3, 4), (0, 8, 9), (2, 2, 3), (3, 9, 10)]
+    assert hits(micro.find('[lemma="jump"]')) == [(0, 4, 5)]
+
+
+# --- sequences ---------------------------------------------------------------
+
+def test_phrase(micro):
+    assert hits(micro.find('"quick" "brown"')) == [(0, 1, 3)]
+    assert hits(micro.find('"quick brown"')) == [(0, 1, 3)]
+
+
+def test_adj_nou_sequence(micro):
+    assert hits(micro.find('[pos="adj"] [pos="nou"]')) == [(0, 2, 4), (0, 7, 9)]
+
+
+def test_sequence_all_combinations(micro):
+    assert hits(micro.find('"aap" "aap"')) == [(1, 8, 10), (1, 9, 11), (1, 10, 12)]
+
+
+def test_optional(micro):
+    # "quick"? "brown": brown alone + quick brown
+    assert hits(micro.find('"quick"? "brown"')) == [(0, 1, 3), (0, 2, 3)]
+    # "the" "quick"? -> the / the quick
+    assert hits(micro.find('"the" "quick"?')) == [
+        (0, 0, 1),
+        (0, 0, 2),
+        (0, 6, 7),
+        (2, 1, 2),
+        (3, 8, 9),
+    ]
+
+
+def test_gap(micro):
+    # 'the' []{0,1} fox|force: the force is at gap1 in doc2; 'the ... fox' none
+    assert hits(micro.find('"the" []{0,1} "fox|force"')) == [(2, 1, 3)]
+
+
+def test_anytoken_neighbors(micro):
+    # [] "quick" -> (0,0,2)
+    assert hits(micro.find('[] "quick"')) == [(0, 0, 2)]
+    # "quick" [] -> (0,1,3)
+    assert hits(micro.find('"quick" []')) == [(0, 1, 3)]
+
+
+def test_pure_anytoken(micro):
+    assert len(hits(micro.find("[]"))) == 37
+    assert len(hits(micro.find("[] []"))) == 33
+
+
+# --- or / and / not --------------------------------------------------------
+
+def test_or(micro):
+    assert hits(micro.find('"fox" | "force"')) == [(0, 3, 4), (2, 2, 3)]
+
+
+def test_token_and_not(micro):
+    assert hits(micro.find('[pos="adj" & word != "lazy"]')) == [(0, 1, 2), (0, 2, 3)]
+
+
+def test_token_not(micro):
+    got = hits(micro.find('[word != "the"]'))
+    assert len([h for h in got if h[0] == 0]) == 7
+
+
+# --- repetition -------------------------------------------------------------
+
+def test_repetition(micro):
+    assert hits(micro.find('[pos="adj"]{2}')) == [(0, 1, 3)]
+    runs = [h for h in hits(micro.find('"aap"+')) if h[0] == 1]
+    assert len(runs) == 11
+
+
+def test_repetition_in_sequence(micro):
+    # "noot" "aap"{2,} -> noot + aap runs from 8: (7,10),(7,11),(7,12)
+    assert hits(micro.find('"noot" "aap"{2,}')) == [(1, 7, 10), (1, 7, 11), (1, 7, 12)]
+
+
+# --- tags / position filters -----------------------------------------------
+
+def test_within(micro):
+    assert hits(micro.find('"b.*" within <entity/>')) == [(0, 2, 3)]
+
+
+def test_containing(micro):
+    assert hits(micro.find('<entity/> containing "b.*"')) == [(0, 0, 4)]
+
+
+def test_not_within(micro):
+    assert hits(micro.find('"b.*" !within <entity/>')) == [(2, 3, 4)]
+
+
+def test_tag_start_sequence(micro):
+    # <s> "to": sentence-initial 'to' (doc3 s spans [0,6) and [6,10))
+    assert hits(micro.find('<s> "to"')) == [(3, 0, 1)]
+    # "question" </s> : sentence-final
+    assert hits(micro.find('"question" </s>')) == [(3, 9, 10)]
+
+
+def test_tag_attr(micro):
+    # turn tag carries role attr from the build
+    assert len(hits(micro.find('<turn role="user"/>'))) == 4
+
+
+# --- capture + global constraints -------------------------------------------
+
+def test_capture(micro):
+    h = micro.find('x:"fox"')
+    row = h.df.collect()[0]
+    assert row["cap_x_start"] == 3 and row["cap_x_end"] == 4
+
+
+def test_constraint_equal_words(micro):
+    got = hits(micro.find('a:[] b:[] :: a.word = b.word'))
+    assert got == [(1, 3, 5), (1, 4, 6), (1, 6, 8), (1, 8, 10), (1, 9, 11), (1, 10, 12)]
+
+
+def test_constraint_literal(micro):
+    got = hits(micro.find('a:[] "find" :: a.word = "to"'))
+    assert got == [(3, 0, 2), (3, 4, 6)]

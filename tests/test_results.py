@@ -1,0 +1,120 @@
+"""Result-set operator tests — analogues of the reference's
+TestHitProperties / TestResultsGrouper / TestHitsSample / TestKwic
+(core/src/test/java/nl/inl/blacklab/...)."""
+
+import pytest
+
+from blacklab_spark.config import EngineConfig
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.search.results import (
+    autocomplete,
+    grouped_term_frequencies,
+    term_frequencies,
+)
+
+from micro_corpus import transcripts_pdf
+
+
+@pytest.fixture(scope="module")
+def micro(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("microres") / "idx")
+    return Corpus.build(
+        spark,
+        spark.createDataFrame(transcripts_pdf()),
+        d,
+        EngineConfig(segment_size=2, block_size=4),
+    )
+
+
+def test_count_and_doc_count(micro):
+    h = micro.find('"the"')
+    assert h.count() == 4
+    assert h.doc_count() == 3
+
+
+def test_window(micro):
+    h = micro.find('"the"')
+    w = h.window(1, 2)
+    got = sorted((r["doc_id"], r["start"]) for r in w.df.collect())
+    # ordered hits: (0,0),(0,6),(2,1),(3,8) -> window skips 1, takes 2
+    assert got == [(0, 6), (2, 1)]
+
+
+def test_sample_deterministic(micro):
+    h = micro.find("[]")
+    s1 = sorted(map(tuple, h.sample(n=5, seed=7).df.collect()))
+    s2 = sorted(map(tuple, h.sample(n=5, seed=7).df.collect()))
+    assert s1 == s2 and len(s1) == 5
+
+
+def test_kwic(micro):
+    h = micro.find('"fox"')
+    k = h.kwic(2).collect()[0]
+    assert k["left"] == "quick brown" and k["match"] == "fox" and k["right"] == "jumps over"
+
+
+def test_kwic_clipped_at_doc_edges(micro):
+    h = micro.find('"may"')
+    k = h.kwic(3).collect()[0]
+    assert k["left"] == "" and k["match"] == "may" and k["right"] == "the force be"
+
+
+def test_sort_by_hit_text(micro):
+    h = micro.find('[pos="adj"]')  # quick, brown, lazy
+    rows = h.sort_by_hit_text().df.collect()
+    # sorted hit text: brown < lazy < quick
+    assert [r["start"] for r in rows] == [2, 7, 1]
+
+
+def test_group_by_hit_text(micro):
+    h = micro.find('"aap" | "noot"')
+    g = {r["grp"]: r["size"] for r in h.group_by_hit_text().collect()}
+    assert g == {"aap": 5, "noot": 3}
+
+
+def test_group_by_metadata(micro):
+    h = micro.find('"the"')
+    g = {r["conv_id"]: r["n_hits"] for r in h.group_by_metadata("conv_id").collect()}
+    assert g == {"doc0": 2, "doc2": 1, "doc3": 1}
+
+
+def test_per_doc_and_facets(micro):
+    h = micro.find('"the"')
+    pd_ = {r["doc_id"]: r["n_hits"] for r in h.per_doc().collect()}
+    assert pd_ == {0: 2, 2: 1, 3: 1}
+    f = h.facets("role")["role"].collect()
+    assert f[0]["role"] == "user" and f[0]["n_docs"] == 3
+
+
+def test_collocations(micro):
+    h = micro.find('"aap"')  # doc1 positions 2,8,9,10,11
+    c = {r["term"]: r["freq"] for r in h.collocations(1).collect()}
+    # neighbors of each aap, excluding the hit token itself
+    assert c["mier"] == 2  # aap@2: left mier, right mier
+    assert c["aap"] == 6   # within the tail run (pos 11 has no right nbr)
+
+def test_term_frequencies(micro):
+    tf = {r["term"]: r["freq"] for r in term_frequencies(micro).collect()}
+    assert tf["the"] == 4 and tf["aap"] == 5
+    # filtered variant goes through the forward index
+    tf0 = {
+        r["term"]: r["freq"]
+        for r in term_frequencies(micro, "conv_id = 'doc0'").collect()
+    }
+    assert tf0["the"] == 2 and "aap" not in tf0
+
+
+def test_grouped_term_frequencies(micro):
+    g = grouped_term_frequencies(micro, ["conv_id"])
+    got = {(r["term"], r["conv_id"]): r["freq"] for r in g.collect()}
+    assert got[("the", "doc0")] == 2 and got[("aap", "doc1")] == 5
+
+
+def test_autocomplete(micro):
+    got = [r["term"] for r in autocomplete(micro, "f").collect()]
+    assert got == ["find", "force", "fox"]
+
+
+def test_filter_docs(micro):
+    h = micro.find('"the"').filter_docs("conv_id = 'doc0'")
+    assert h.count() == 2
