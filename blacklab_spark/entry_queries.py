@@ -1,0 +1,606 @@
+"""Driver contract implementation: queries() + oracle_sql() entries.
+
+Each entry pairs a Spark implementation (engine operator) with an ANSI
+SQL oracle that DuckDB runs over the same parquet tables. Column names
+and quantization match exactly on both sides (the driver hashes values
+after sorting columns by name).
+
+Corpus-retrieval entries build a real inverted index from the
+`documents` table (one doc = one transcript turn; lang→role,
+source→tool) and run the engine; the oracle recomputes the same answer
+by brute force in SQL. Index builds are cached on disk per (sf_dir,
+INDEX_VERSION) and resumable, so the ~20 query entries share one build.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from blacklab_spark.config import EngineConfig
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.pipeline import TOKEN_PATTERN, duck_hash32
+from blacklab_spark.pipeline import dedup as D
+from blacklab_spark.pipeline import similarity as SIM
+from blacklab_spark.pipeline import text as T
+from blacklab_spark.search.results import autocomplete, term_frequencies
+
+INDEX_VERSION = "v1"
+
+# shared tokenizer expressions
+_SPARK_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+_DUCK_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+
+# DuckDB CTE: token positions of the documents table (0-based)
+_DUCK_TOKPOS = f"""
+tok AS (
+  SELECT doc_id,
+         unnest({_DUCK_TOKS}) AS t,
+         generate_subscripts({_DUCK_TOKS}, 1) - 1 AS pos
+  FROM documents
+)
+"""
+
+_DUCK_SHINGLES = (
+    f"CASE WHEN len({_DUCK_TOKS}) >= 3 THEN "
+    f"list_distinct(list_transform(generate_series(1, len({_DUCK_TOKS}) - 2), "
+    f"i -> array_to_string(({_DUCK_TOKS})[i:i+2], ' '))) "
+    f"ELSE [array_to_string({_DUCK_TOKS}, ' ')] END"
+)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{INDEX_VERSION}".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/blspark_idx_{key}"
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        return Corpus.open(spark, index_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    transcripts = docs.select(
+        F.format_string("c%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        "text",
+        F.col("source").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    return Corpus.build(
+        spark,
+        transcripts,
+        index_dir,
+        EngineConfig(segment_size=4096, block_size=128),
+        resume=True,
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _orig_doc_id(df: DataFrame, corpus: Corpus) -> DataFrame:
+    """Map engine doc_id -> original documents.doc_id via conv_id."""
+    m = corpus.doc_stats.select(
+        "doc_id", F.expr("cast(substring(conv_id, 2) as bigint)").alias("_orig")
+    )
+    return (
+        df.join(m, "doc_id")
+        .drop("doc_id")
+        .withColumnRenamed("_orig", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-retrieval queries (engine over the built index)
+# ---------------------------------------------------------------------------
+
+def q_term_hits(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    h = c.find('"spark"').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_TERM_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM tok WHERE t = 'spark'
+"""
+
+
+def q_phrase_hits(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    h = c.find('"table value"').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_PHRASE_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.t = 'table' AND b.t = 'value'
+"""
+
+
+def q_gap_sequence_hits(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    h = c.find('"key" []{1,2} "value"').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_GAP_SEQUENCE_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM tok a JOIN tok b
+  ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 2 AND a.pos + 3
+WHERE a.t = 'key' AND b.t = 'value'
+"""
+
+
+def q_repetition_hits(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    h = c.find('"table"{2}').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_REPETITION_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.t = 'table' AND b.t = 'table'
+"""
+
+
+def q_regex_group_by_hit_text(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    h = c.find('"s.*"')
+    ctx = h.with_context(0)
+    return (
+        ctx.withColumn("grp", F.array_join("match", " "))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+
+
+O_REGEX_GROUP = f"""
+WITH {_DUCK_TOKPOS}
+SELECT t AS grp, count(*) AS size FROM tok
+WHERE regexp_matches(t, '^(?:s.*)$') GROUP BY t
+"""
+
+
+def q_term_frequencies(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    return term_frequencies(c).select("term", "n_docs", "freq")
+
+
+O_TERM_FREQUENCIES = f"""
+WITH {_DUCK_TOKPOS}
+SELECT t AS term, count(DISTINCT doc_id) AS n_docs, count(*) AS freq
+FROM tok GROUP BY t
+"""
+
+
+def q_collocations(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    return c.find('"spark"').collocations(2).select("term", "freq")
+
+
+O_COLLOCATIONS = f"""
+WITH {_DUCK_TOKPOS},
+hits AS (SELECT doc_id, pos FROM tok WHERE t = 'spark')
+SELECT q.t AS term, count(*) AS freq
+FROM hits h JOIN tok q
+  ON q.doc_id = h.doc_id
+ AND q.pos BETWEEN h.pos - 2 AND h.pos + 2 AND q.pos <> h.pos
+GROUP BY q.t
+"""
+
+
+def q_docs_grouped_by_lang(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    g = c.find('"spark"').group_by_metadata("role")
+    return g.select(F.col("role").alias("lang"), "n_hits", "n_docs")
+
+
+O_DOCS_GROUPED = f"""
+WITH {_DUCK_TOKPOS},
+hits AS (SELECT doc_id FROM tok WHERE t = 'spark')
+SELECT d.lang AS lang, count(*) AS n_hits, count(DISTINCT h.doc_id) AS n_docs
+FROM hits h JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+def q_autocomplete(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    return autocomplete(c, "s", n=20).select(
+        "term", F.col("df").alias("n_docs"), F.col("cf").alias("freq")
+    )
+
+
+O_AUTOCOMPLETE = f"""
+WITH {_DUCK_TOKPOS}
+SELECT t AS term, count(DISTINCT doc_id) AS n_docs, count(*) AS freq
+FROM tok WHERE t LIKE 's%' GROUP BY t ORDER BY term LIMIT 20
+"""
+
+
+def q_kwic(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    k = c.find('"vector"').kwic(2).select("doc_id", "start", "end", "left", "match", "right")
+    return _orig_doc_id(k, c).select("doc_id", "start", "end", "left", "match", "right")
+
+
+O_KWIC = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) - 1 AS pos FROM toks
+)
+SELECT h.doc_id, h.pos AS start, h.pos + 1 AS "end",
+  coalesce(array_to_string(x.l[greatest(1, h.pos - 1) : h.pos], ' '), '') AS "left",
+  coalesce(array_to_string(x.l[h.pos + 1 : h.pos + 1], ' '), '') AS "match",
+  coalesce(array_to_string(x.l[h.pos + 2 : least(len(x.l), h.pos + 3)], ' '), '') AS "right"
+FROM (SELECT doc_id, pos FROM tok WHERE t = 'vector') h
+JOIN toks x USING (doc_id)
+"""
+
+
+def q_doc_token_counts(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    return c.doc_stats.select(
+        F.expr("cast(substring(conv_id, 2) as bigint)").alias("doc_id"), "num_tokens"
+    )
+
+
+O_DOC_TOKEN_COUNTS = f"""
+SELECT doc_id, len({_DUCK_TOKS}) AS num_tokens FROM documents
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    top = c.topk("spark join fast", k=10).select("doc_id", "score")
+    return _orig_doc_id(top, c).select(
+        "doc_id", F.expr("cast(floor(score * 10000 + 0.5) as bigint)").alias("score_x10000")
+    )
+
+
+O_BM25_TOPK = f"""
+WITH {_DUCK_TOKPOS},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok
+  WHERE t IN ('spark', 'join', 'fast') GROUP BY doc_id, t
+),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x10000
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (directly over documents/embeddings)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+O_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    sig = D.minhash_signature(_docs(spark, sf_dir))
+    return sig.select("doc_id", F.expr("concat_ws(',', sig)").alias("sig_csv"))
+
+
+def _duck_minhash_cols():
+    return ", ".join(
+        f"list_min(list_transform(sh, s -> {duck_hash32('s', f'h{i}')}))::VARCHAR"
+        for i in range(D.N_HASHES)
+    )
+
+
+O_MINHASH_SIGNATURE = f"""
+WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
+SELECT doc_id, concat_ws(',', {_duck_minhash_cols()}) AS sig_csv FROM sh
+"""
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    return D.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _duck_bands():
+    per_band = []
+    for b in range(D.N_HASHES // D.BAND_ROWS):
+        cols = ", ".join(
+            f"list_min(list_transform(sh, s -> {duck_hash32('s', f'h{i}')}))::VARCHAR"
+            for i in range(b * D.BAND_ROWS, (b + 1) * D.BAND_ROWS)
+        )
+        per_band.append(f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', {cols})) AS band_key FROM sh")
+    return " UNION ALL ".join(per_band)
+
+
+O_LSH_CANDIDATE_PAIRS = f"""
+WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+bands AS ({_duck_bands()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard(_docs(spark, sf_dir))
+
+
+O_NGRAM_JACCARD = f"""
+WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+bands AS ({_duck_bands()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shx AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_common
+  FROM pairs p
+  JOIN shx a ON a.doc_id = p.doc_a
+  JOIN shx b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(floor(10000.0 * c.n_common / (sa.n_sh + sb.n_sh - c.n_common)) AS BIGINT) AS jaccard_x10000
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def _duck_simhash(bits: int = 32):
+    h = duck_hash32("tok")
+    sums = ", ".join(
+        f"sum(((h >> {b}) & 1)::INT * 2 - 1) AS s{b}" for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+hh AS (SELECT doc_id, {h} AS h FROM tk),
+sums AS (SELECT doc_id, {sums} FROM hh GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+O_SIMHASH = _duck_simhash()
+
+
+def q_simhash_neardup(spark, sf_dir):
+    return D.simhash_neardup_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+O_SIMHASH_NEARDUP = f"""
+WITH fps AS ({_duck_simhash().strip()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::BIGINT AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= 6
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+_STOPS = ", ".join(f"'{w}'" for w in T._EN_STOP)
+
+O_QUALITY_SCORE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    CAST(floor(1000.0 * length(array_to_string(toks, '')) / greatest(len(toks), 1)) AS BIGINT) AS mean_token_len_x1000,
+    CAST(floor(1000.0 * len(list_filter(toks, t -> t IN ({_STOPS}))) / greatest(len(toks), 1)) AS BIGINT) AS stopword_ratio_x1000,
+    CAST(floor(1000.0 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1)) AS BIGINT) AS alpha_ratio_x1000
+  FROM base
+)
+SELECT doc_id, n_tokens, mean_token_len_x1000, stopword_ratio_x1000, alpha_ratio_x1000,
+  CAST(least(1000,
+    (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 400 ELSE 0 END)
+    + least(300, stopword_ratio_x1000 * 3)
+    + least(300, alpha_ratio_x1000 // 3)) AS BIGINT) AS quality_x1000
+FROM feat
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+def _duck_lang_id():
+    counts = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in sorted(T._STOPWORDS.items())
+    }
+    sel = ", ".join(f"{e} AS c_{lang}" for lang, e in counts.items())
+    best = " ".join(
+        f"WHEN c_{lang} >= greatest({', '.join('c_' + l for l in counts)}) "
+        f"AND c_{lang} > 0 THEN '{lang}'"
+        for lang in counts
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+cts AS (SELECT doc_id, {sel} FROM base)
+SELECT doc_id, CASE {best} ELSE 'und' END AS lang_pred FROM cts
+"""
+
+
+O_LANG_ID = _duck_lang_id()
+
+
+def q_token_counts(spark, sf_dir):
+    return T.token_counts(_docs(spark, sf_dir))
+
+
+O_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  len({_DUCK_TOKS}) AS n_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+  len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+O_FINGERPRINT = f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 8 THEN
+      list_transform(generate_series(1, len(toks) - 7), i -> array_to_string(toks[i:i+7], ' '))
+    ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM base
+)
+SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint FROM sh
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return SIM.cosine_topk(emb, list(qvec), k=20)
+
+
+O_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+    list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10000
+FROM sims ORDER BY cos DESC, vec_id LIMIT 20
+"""
+
+
+def q_exact_neardup_vectors(spark, sf_dir):
+    return SIM.exact_neardup_pairs(_emb(spark, sf_dir), threshold=0.5)
+
+
+O_EXACT_NEARDUP_VECTORS = """
+WITH sims AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10000
+FROM sims WHERE cos >= 0.5
+"""
+
+
+# Spark-only (no SQL oracle — driver records rows-only check):
+def q_lsh_neardup_vectors(spark, sf_dir):
+    return SIM.lsh_neardup_pairs(_emb(spark, sf_dir), threshold=0.5)
+
+
+def q_media_features(spark, sf_dir):
+    from blacklab_spark.pipeline.multimodal import extract_features, make_fake_media
+
+    media = make_fake_media(spark, n=64)
+    return extract_features(media, dim=16, fake=True).select(
+        "media_id", "feat_dim", "payload_sha"
+    )
+
+
+QUERIES = {
+    "term_hits": q_term_hits,
+    "phrase_hits": q_phrase_hits,
+    "gap_sequence_hits": q_gap_sequence_hits,
+    "repetition_hits": q_repetition_hits,
+    "regex_group_by_hit_text": q_regex_group_by_hit_text,
+    "term_frequencies": q_term_frequencies,
+    "collocations": q_collocations,
+    "docs_grouped_by_lang": q_docs_grouped_by_lang,
+    "autocomplete": q_autocomplete,
+    "kwic": q_kwic,
+    "doc_token_counts": q_doc_token_counts,
+    "bm25_topk": q_bm25_topk,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signature": q_minhash_signature,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "exact_neardup_vectors": q_exact_neardup_vectors,
+    "lsh_neardup_vectors": q_lsh_neardup_vectors,
+    "media_features": q_media_features,
+}
+
+ORACLES = {
+    "term_hits": O_TERM_HITS,
+    "phrase_hits": O_PHRASE_HITS,
+    "gap_sequence_hits": O_GAP_SEQUENCE_HITS,
+    "repetition_hits": O_REPETITION_HITS,
+    "regex_group_by_hit_text": O_REGEX_GROUP,
+    "term_frequencies": O_TERM_FREQUENCIES,
+    "collocations": O_COLLOCATIONS,
+    "docs_grouped_by_lang": O_DOCS_GROUPED,
+    "autocomplete": O_AUTOCOMPLETE,
+    "kwic": O_KWIC,
+    "doc_token_counts": O_DOC_TOKEN_COUNTS,
+    "bm25_topk": O_BM25_TOPK,
+    "exact_dedup": O_EXACT_DEDUP,
+    "minhash_signature": O_MINHASH_SIGNATURE,
+    "lsh_candidate_pairs": O_LSH_CANDIDATE_PAIRS,
+    "ngram_jaccard": O_NGRAM_JACCARD,
+    "simhash": O_SIMHASH,
+    "simhash_neardup": O_SIMHASH_NEARDUP,
+    "quality_score": O_QUALITY_SCORE,
+    "lang_id": O_LANG_ID,
+    "token_counts": O_TOKEN_COUNTS,
+    "fingerprint": O_FINGERPRINT,
+    "cosine_topk": O_COSINE_TOPK,
+    "exact_neardup_vectors": O_EXACT_NEARDUP_VECTORS,
+    # lsh_neardup_vectors, media_features: intentionally no oracle
+    # (approximate / non-SQL) -> rows-only check
+}

@@ -1,0 +1,28 @@
+"""Large-scale training-data pipeline operators over document tables.
+
+These are first-class engine components alongside the corpus-retrieval
+operators: deduplication (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), similarity search over embeddings, text analysis (lang-ID,
+quality, token counts, fingerprints) and multimodal plumbing.
+
+Every deterministic operator here is expressed with JVM-side Spark SQL
+expressions built from primitives that have exact DuckDB equivalents
+(md5-derived 32-bit hashes, list lambdas), so each ships with an ANSI
+SQL oracle in __spark_entry__.oracle_sql() and is verified value-exact.
+"""
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+# portable 32-bit hash: identical results in Spark and DuckDB
+#   Spark : cast(conv(substr(md5(s),1,8),16,10) as bigint)
+#   DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT
+
+
+def spark_hash32(expr: str, salt: str = "") -> str:
+    s = f"concat('{salt}|', {expr})" if salt else expr
+    return f"cast(conv(substr(md5({s}),1,8),16,10) as bigint)"
+
+
+def duck_hash32(expr: str, salt: str = "") -> str:
+    s = f"('{salt}|' || {expr})" if salt else expr
+    return f"('0x' || substr(md5({s}),1,8))::BIGINT"

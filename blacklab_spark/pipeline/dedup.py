@@ -1,0 +1,191 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- exact dedup: one hash-groupBy on md5(text) — partial aggregation
+  absorbs duplicates map-side; never shuffles document text, only
+  (hash, doc_id).
+- MinHash/LSH: signatures are computed as JVM-side array expressions
+  (no explode of the shingle set, no Python); the only shuffle keys are
+  (band_idx, band_key) — bounded-size buckets replace the O(n²)
+  all-pairs join. Verification joins only candidate pairs.
+- SimHash: per-doc 32-bit fingerprint via one explode + groupBy(doc_id)
+  — doc-keyed, skew-free.
+All hashes derive from md5 so the DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from blacklab_spark.pipeline import TOKEN_PATTERN, spark_hash32
+
+N_HASHES = 12
+BAND_ROWS = 3  # 12 hashes / 3 rows = 4 bands
+SHINGLE_K = 3
+
+
+def _toks(col: str = "text") -> str:
+    return f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}', 0)"
+
+
+def _shingles_expr(k: int = SHINGLE_K) -> str:
+    toks = _toks()
+    return (
+        f"case when size({toks}) >= {k} then "
+        f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k})))) "
+        f"else array(concat_ws(' ', {toks})) end"
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: keep-first representative + group size.
+    One row per distinct text."""
+    return (
+        docs.select("doc_id", F.expr("md5(text)").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signature(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — min over shingles of H salted
+    32-bit hashes, computed as pure array expressions."""
+    sh = _shingles_expr()
+    sig = F.array(
+        *[
+            F.expr(f"array_min(transform({sh}, s -> {spark_hash32('s', f'h{i}')}))")
+            for i in range(n_hashes)
+        ]
+    ).alias("sig")
+    return docs.select("doc_id", sig)
+
+
+def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
+                        band_rows: int = BAND_ROWS) -> DataFrame:
+    """Banded LSH: docs sharing any band of their MinHash signature.
+    Shuffle key = (band_idx, band_key): bucket sizes are bounded by
+    collision probability, not corpus size — the scale path that
+    replaces the O(n²) self-join."""
+    sigs = minhash_signature(docs, n_hashes)
+    n_bands = n_hashes // band_rows
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(
+                            f"md5(concat_ws(',', slice(sig, {b * band_rows + 1}, {band_rows})))"
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame | None = None,
+                  threshold: float = 0.0) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (default: LSH
+    candidates). Output (doc_a, doc_b, jaccard_x10000:int)."""
+    if pairs is None:
+        pairs = lsh_candidate_pairs(docs)
+    sh = docs.select("doc_id", F.explode(F.expr(_shingles_expr())).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard_x10000",
+            F.expr("cast(floor(10000.0 * n_common / (n_a + n_b - n_common)) as bigint)"),
+        )
+        .select("doc_a", "doc_b", "jaccard_x10000")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard_x10000") >= int(threshold * 10000))
+    return out
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint: bit b is set when the tf-weighted
+    sum of (2·bit_b(h(token)) − 1) over tokens is positive."""
+    toks = docs.select("doc_id", F.explode(F.expr(_toks())).alias("tok"))
+    h = toks.withColumn("h", F.expr(spark_hash32("tok")))
+    aggs = [
+        F.sum(F.expr(f"(cast(shiftright(h, {b}) & 1 as int)) * 2 - 1")).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = h.groupBy("doc_id").agg(*aggs)
+    fp = " + ".join(
+        f"(case when s{b} > 0 then cast({1 << b} as bigint) else 0 end)" for b in range(bits)
+    )
+    return sums.select("doc_id", F.expr(f"cast({fp} as bigint)").alias("simhash"))
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
+                          bits: int = 32) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
+    the classic block-permutation trick: split the fingerprint into
+    (max_hamming+1) bands — any pair within distance shares one exact
+    band, so the join key is (band_idx, band_bits), never all-pairs."""
+    fps = simhash(docs, bits)
+    n_bands = max_hamming + 1
+    w = bits // n_bands
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(f"shiftright(simhash, {i * w}) & {(1 << w) - 1}").alias(
+                            "band_bits"
+                        ),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.expr("bit_count(fp_a ^ fp_b)")
+    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
