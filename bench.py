@@ -1,0 +1,148 @@
+"""Benchmark harness — the driver runs this per-round.
+
+Runs the headline jobs at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries": {...}, "sf", ...}.
+
+Headline jobs (matching BASELINE.json's metric):
+- index_build:   inverted-index build over a deterministic synthetic
+                 transcript corpus (SPARK_GRAFT_BENCH_TURNS turns,
+                 default 100k) -> also reported as turns/sec
+- bm25_q*:       top-k BM25 query latency over that index (p95 over
+                 the query set reported)
+- cql_phrase/gap: span query latency
+- termfreq/group: analytics latency
+- docs-table ops at sf_dir: minhash LSH dedup, simhash, cosine top-k
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from blacklab_spark.config import EngineConfig
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.session import get_spark
+from blacklab_spark.synth import generate_spark
+
+BM25_QUERIES = [
+    "word00001 word00050",
+    "word00002 word00100 word00500",
+    "word00010",
+    "word00003 word00007 word00250 word01000",
+    "word00020 word00200",
+    "word00005 word02000",
+    "word00001 word00002 word00003",
+    "word00042 word00420 word04200",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+    t_total0 = time.time()
+
+    # ---- index build over synthetic transcripts -------------------------
+    idx_dir = f"/tmp/bench_idx_{cpus}_{n_turns}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    transcripts = generate_spark(spark, n_turns, seed=42, n_partitions=cpus * 2)
+    t0 = time.time()
+    corpus = Corpus.build(
+        spark, transcripts, idx_dir, EngineConfig(segment_size=1 << 13, block_size=128)
+    )
+    build_s = time.time() - t0
+    queries["index_build"] = round(build_s, 3)
+    turns_per_sec = n_turns / build_s
+
+    # ---- BM25 top-k latencies -------------------------------------------
+    bm25_times = []
+    for i, q in enumerate(BM25_QUERIES):
+        t0 = time.time()
+        corpus.topk(q, k=10).collect()
+        dt = time.time() - t0
+        bm25_times.append(dt)
+        queries[f"bm25_q{i}"] = round(dt, 3)
+    bm25_sorted = sorted(bm25_times)
+    p95 = bm25_sorted[max(0, int(round(0.95 * len(bm25_sorted))) - 1)]
+
+    # ---- span / CQL queries ----------------------------------------------
+    t0 = time.time()
+    corpus.find('"word00001" "word00002"').count()
+    queries["cql_phrase"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    corpus.find('"word00010" []{1,3} "word00005"').count()
+    queries["cql_gap"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    corpus.find('"word0000.*"').count()
+    queries["cql_regex"] = round(time.time() - t0, 3)
+
+    # ---- analytics ---------------------------------------------------------
+    from blacklab_spark.search.results import term_frequencies
+
+    t0 = time.time()
+    term_frequencies(corpus).limit(100).collect()
+    queries["termfreq"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    corpus.find('"word00002"').group_by_metadata("role").collect()
+    queries["hits_grouped"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    corpus.find('"word00003"').kwic(5).limit(100).collect()
+    queries["kwic"] = round(time.time() - t0, 3)
+
+    # ---- documents-table pipeline ops at sf_dir ----------------------------
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs_path):
+        from blacklab_spark.pipeline import dedup as D
+        from blacklab_spark.pipeline import similarity as SIM
+
+        docs = spark.read.parquet(docs_path)
+        t0 = time.time()
+        D.lsh_candidate_pairs(docs).count()
+        queries["minhash_lsh_dedup"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        D.simhash(docs).count()
+        queries["simhash"] = round(time.time() - t0, 3)
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.exists(emb_path):
+            from pyspark.sql import functions as F
+
+            emb = spark.read.parquet(emb_path)
+            qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+            t0 = time.time()
+            SIM.cosine_topk(emb, list(qvec), k=20).collect()
+            queries["cosine_topk"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_total0
+    out = {
+        "metric": "index build + query latency (headline engine jobs)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_turns": n_turns,
+        "cpus": cpus,
+        "indexing_turns_per_sec": round(turns_per_sec, 1),
+        "bm25_p95_sec": round(p95, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,3 +40,9 @@ class EngineConfig:
     # Salting for skewed global term-stat merges: head terms (df above
     # threshold) are pre-aggregated over `n_salts` sub-keys first.
     n_salts: int = 16
+
+    # Posting-encode parallelism: terms are hash-bucketed within each
+    # segment so the encode stage runs segments x buckets tasks (blocks
+    # are per (segment, term), so this is partition-safe) and a Zipf
+    # head term is confined to one bounded task.
+    encode_buckets: int = 8

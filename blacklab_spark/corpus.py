@@ -54,7 +54,12 @@ class Corpus:
 
     # ---- tables ---------------------------------------------------------
     def _t(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, name))
+        """DataFrame handle per index table, memoized — avoids repeated
+        driver-side parquet listing/schema reads across queries."""
+        cache = self.__dict__.setdefault("_tables", {})
+        if name not in cache:
+            cache[name] = self.spark.read.parquet(os.path.join(self.index_dir, name))
+        return cache[name]
 
     @property
     def tokenized(self) -> DataFrame:

@@ -112,8 +112,9 @@ def build_index(
         tokenized = tokenize(with_ids, cfg).withColumn(
             "segment_id", F.expr(f"doc_id DIV {cfg.segment_size}")
         )
+        n_out = max(spark.sparkContext.defaultParallelism, 8)
         (
-            tokenized.repartition("segment_id")
+            tokenized.repartitionByRange(n_out, "doc_id")
             .write.mode("overwrite")
             .partitionBy("segment_id")
             .parquet(tok_path)
@@ -180,7 +181,11 @@ def build_index(
         k1, b, seg_size, block_size = cfg.k1, cfg.b, cfg.segment_size, cfg.block_size
         n_docs_b, avgdl_b = n_docs, avgdl
 
-        def encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            """Encode one (segment, term-bucket) slice of postings into
+            delta+varint blocks — a single vectorized numpy pass, no
+            per-block Python (the grouped codec splits one encoded byte
+            stream into per-block buffers)."""
             seg = int(pdf["segment_id"].iloc[0])
             tid = pdf["term_id"].to_numpy(np.int64)
             did = pdf["doc_id"].to_numpy(np.int64)
@@ -203,52 +208,53 @@ def build_index(
             g_dl = dl[td_starts]
             g_df = dfv[td_starts]
             idf = np.log(1.0 + (n_docs_b - g_df + 0.5) / (g_df + 0.5))
-            wtf = tf / (tf + k1 * (1.0 - b + b * g_dl / avgdl_b))
+            score = idf * (tf / (tf + k1 * (1.0 - b + b * g_dl / avgdl_b)))
 
-            # per-term boundaries over the (term, doc) groups
+            # blocks: runs of <= block_size (term,doc) groups per term
             t_change = np.empty(len(g_tid), dtype=bool)
             t_change[0] = True
             np.not_equal(g_tid[1:], g_tid[:-1], out=t_change[1:])
             t_starts = np.flatnonzero(t_change)
-            t_ends = np.append(t_starts[1:], len(g_tid))
+            t_counts = np.diff(np.append(t_starts, len(g_tid)))
+            within = np.arange(len(g_tid)) - np.repeat(t_starts, t_counts)
+            block_starts = np.flatnonzero(within % block_size == 0)
+            block_lens = np.diff(np.append(block_starts, len(g_tid)))
+            block_ends = block_starts + block_lens
 
-            pos_group_starts = td_starts  # flat positions per (term,doc)
-            rows = []
-            for ts_, te_ in zip(t_starts, t_ends):
-                term_id = int(g_tid[ts_])
-                for bs in range(ts_, te_, block_size):
-                    be = min(bs + block_size, te_)
-                    b_did = g_did[bs:be]
-                    b_tf = tf[bs:be]
-                    flat_pos = pos[pos_group_starts[bs]: pos_group_starts[be]
-                                   if be < len(td_starts) else len(pos)]
-                    rows.append(
-                        (
-                            seg,
-                            term_id,
-                            (bs - ts_) // block_size,
-                            len(b_did),
-                            int(b_did[0]),
-                            int(b_did[-1]),
-                            codec.encode_doc_ids(b_did),
-                            codec.encode_freqs(b_tf),
-                            codec.encode_freqs(g_dl[bs:be]),
-                            codec.encode_positions(flat_pos, b_tf),
-                            int(b_tf.max()),
-                            float((idf[bs:be] * wtf[bs:be]).max()),
-                        )
-                    )
+            # per-block payloads via the grouped codec
+            did_deltas = codec.delta_encode_grouped(g_did, block_starts)
+            doc_bytes = codec.varint_encode_grouped(did_deltas, block_lens)
+            tf_bytes = codec.varint_encode_grouped(tf, block_lens)
+            dl_bytes = codec.varint_encode_grouped(g_dl, block_lens)
+            pos_deltas = codec.delta_encode_grouped(pos, td_starts)
+            flat_block_lens = np.add.reduceat(tf, block_starts)
+            pos_bytes = codec.varint_encode_grouped(pos_deltas, flat_block_lens)
+
             return pd.DataFrame(
-                rows,
-                columns=[
-                    "segment_id", "term_id", "block_id", "n_docs", "min_doc",
-                    "max_doc", "doc_ids", "freqs", "dls", "positions",
-                    "block_max_tf", "block_max_wtf",
-                ],
+                {
+                    "segment_id": np.full(len(block_starts), seg, dtype=np.int64),
+                    "term_id": g_tid[block_starts],
+                    "block_id": (within[block_starts] // block_size).astype(np.int32),
+                    "n_docs": block_lens.astype(np.int32),
+                    "min_doc": g_did[block_starts],
+                    "max_doc": g_did[block_ends - 1],
+                    "doc_ids": doc_bytes,
+                    "freqs": tf_bytes,
+                    "dls": dl_bytes,
+                    "positions": pos_bytes,
+                    "block_max_tf": np.maximum.reduceat(tf, block_starts).astype(np.int32),
+                    "block_max_wtf": np.maximum.reduceat(score, block_starts),
+                }
             )
 
-        postings = joined.groupBy("segment_id").applyInPandas(
-            encode_segment, schema=POSTINGS_SCHEMA
+        # encode parallelism = segments x term-buckets: blocks are per
+        # (segment, term), so bucketing terms is partition-safe; it also
+        # bounds any head term to one (segment, bucket) task.
+        salted = joined.withColumn(
+            "bucket", F.pmod(F.hash("term_id"), F.lit(cfg.encode_buckets))
+        )
+        postings = salted.groupBy("segment_id", "bucket").applyInPandas(
+            encode_group, schema=POSTINGS_SCHEMA
         )
         (
             postings.write.mode("overwrite")

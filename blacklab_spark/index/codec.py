@@ -132,3 +132,59 @@ def decode_positions(buf: bytes, freqs: np.ndarray) -> np.ndarray:
     base = np.zeros(d.size, dtype=np.int64)
     base[starts[1:]] = c[starts[1:] - 1]
     return c - np.repeat(np.maximum.accumulate(base[starts]), f)
+
+
+# ---------------------------------------------------------------------------
+# grouped (batch) encoders: one vectorized pass over a whole segment,
+# returning per-group bytes — replaces per-block encode calls whose
+# numpy dispatch overhead dominates at ~100k tiny blocks per segment.
+# ---------------------------------------------------------------------------
+
+def varint_encode_grouped(values: np.ndarray, group_lens: np.ndarray) -> list[bytes]:
+    """LEB128-encode ``values`` and split the byte stream into one
+    bytes object per group of ``group_lens`` values. Semantically equal
+    to [varint_encode(g) for g in split(values)], one numpy pass."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    gl = np.asarray(group_lens, dtype=np.int64)
+    if v.size == 0:
+        return [b""] * gl.size
+    nbytes = np.ones(v.size, dtype=np.int64)
+    x = v >> _SEVEN
+    while x.any():
+        nbytes += (x > 0).astype(np.int64)
+        x >>= _SEVEN
+    offsets = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + nbytes[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    cur = v.copy()
+    for b in range(int(nbytes.max())):
+        mask = nbytes > b
+        idx = offsets[mask] + b
+        byte = (cur[mask] & _U64(0x7F)).astype(np.uint8)
+        more = (nbytes[mask] > (b + 1)).astype(np.uint8) << 7
+        out[idx] = byte | more
+        cur >>= _SEVEN
+    raw = out.tobytes()
+    # byte ranges per group
+    val_bounds = np.zeros(gl.size + 1, dtype=np.int64)
+    np.cumsum(gl, out=val_bounds[1:])
+    byte_bounds = np.zeros(gl.size + 1, dtype=np.int64)
+    cum_bytes = np.cumsum(nbytes)
+    byte_bounds[1:] = cum_bytes[val_bounds[1:] - 1]
+    byte_bounds[1:][gl == 0] = byte_bounds[:-1][gl == 0]
+    return [raw[byte_bounds[i]: byte_bounds[i + 1]] for i in range(gl.size)]
+
+
+def delta_encode_grouped(sorted_vals: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
+    """Delta-encode with the delta chain reset at each group start
+    (first value of each group stays absolute)."""
+    v = np.asarray(sorted_vals, dtype=np.int64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    gs = np.asarray(group_starts, dtype=np.int64)
+    out[gs] = v[gs]
+    return out

@@ -50,15 +50,19 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def minhash_signature(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, sig: array<bigint>) — min over shingles of H salted
-    32-bit hashes, computed as pure array expressions."""
-    sh = _shingles_expr()
-    sig = F.array(
-        *[
-            F.expr(f"array_min(transform({sh}, s -> {spark_hash32('s', f'h{i}')}))")
-            for i in range(n_hashes)
-        ]
-    ).alias("sig")
-    return docs.select("doc_id", sig)
+    32-bit hashes. Shingles are exploded ONCE, then one hash-aggregate
+    computes all H mins (partial aggregation map-side): tokenization
+    and shingling run exactly once per doc regardless of H, and the
+    shuffle moves only (doc_id, H mins)."""
+    sh = docs.select("doc_id", F.explode(F.expr(_shingles_expr())).alias("s"))
+    aggs = [
+        F.min(F.expr(spark_hash32("s", f"h{i}"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    mins = sh.groupBy("doc_id").agg(*aggs)
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES,

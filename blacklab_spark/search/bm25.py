@@ -137,11 +137,18 @@ def topk_bm25(
     per_seg = posts.groupBy("segment_id").applyInPandas(
         score_segment, schema=out_schema
     )
-    top = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return top.join(
-        corpus.tokenized.select(
-            "doc_id", "conv_id", "turn_idx", "role", "tool", "text"
-        ),
-        "doc_id",
-        "left",
-    ).orderBy(F.desc("score"), F.asc("doc_id"))
+    # global top-k merge (TakeOrderedAndProject over <=k rows/segment),
+    # then hydrate metadata for just those k docs: the isin filter is
+    # pushed into the tokenized parquet scan (row-group pruning), so
+    # hydration never joins against the full corpus.
+    top_rows = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    if not top_rows:
+        return spark.createDataFrame([], out_schema)
+    scores = spark.createDataFrame(top_rows, out_schema)
+    ids = [int(r["doc_id"]) for r in top_rows]
+    hyd = corpus.tokenized.filter(F.col("doc_id").isin(ids)).select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "text"
+    )
+    return scores.join(F.broadcast(hyd), "doc_id", "left").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
