@@ -55,11 +55,27 @@ class Corpus:
     # ---- tables ---------------------------------------------------------
     def _t(self, name: str) -> DataFrame:
         """DataFrame handle per index table, memoized — avoids repeated
-        driver-side parquet listing/schema reads across queries."""
+        driver-side parquet listing/schema reads across queries.
+        Doc-keyed tables are filtered against the tombstone table
+        (the liveDocs analogue, reference SpansReader.java checks
+        liveDocs per segment) whenever deletes exist."""
         cache = self.__dict__.setdefault("_tables", {})
         if name not in cache:
             cache[name] = self.spark.read.parquet(os.path.join(self.index_dir, name))
-        return cache[name]
+        df = cache[name]
+        if name in ("tokenized", "doc_stats", "spans"):
+            dels = self.deletes
+            if dels is not None:
+                df = df.join(dels, "doc_id", "leftanti")
+        return df
+
+    @property
+    def deletes(self) -> DataFrame | None:
+        """Live tombstones, or None (re-checked per access: deletions
+        may land while this Corpus handle is open)."""
+        from blacklab_spark.index.incremental import load_deletes
+
+        return load_deletes(self.spark, self.index_dir)
 
     @property
     def tokenized(self) -> DataFrame:

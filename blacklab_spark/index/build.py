@@ -88,6 +88,122 @@ def tokenize(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def make_encoder(cfg: EngineConfig, n_docs: int, avgdl: float):
+    """Posting-block encoder for one (segment, term-bucket) slice —
+    a single vectorized numpy pass, no per-block Python (the grouped
+    codec splits one encoded byte stream into per-block buffers).
+    Shared by the full build and incremental delta builds."""
+    k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
+    n_docs_b, avgdl_b = n_docs, avgdl
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment_id"].iloc[0])
+        tid = pdf["term_id"].to_numpy(np.int64)
+        did = pdf["doc_id"].to_numpy(np.int64)
+        pos = pdf["pos"].to_numpy(np.int64)
+        dl = pdf["num_tokens"].to_numpy(np.int64)
+        dfv = pdf["df"].to_numpy(np.int64)
+        order = np.lexsort((pos, did, tid))
+        tid, did, pos, dl, dfv = (
+            tid[order], did[order], pos[order], dl[order], dfv[order]
+        )
+        # group boundaries at (term, doc) changes
+        td_change = np.empty(len(tid), dtype=bool)
+        td_change[0] = True
+        np.not_equal(tid[1:], tid[:-1], out=td_change[1:])
+        td_change[1:] |= did[1:] != did[:-1]
+        td_starts = np.flatnonzero(td_change)
+        tf = np.diff(np.append(td_starts, len(tid)))
+        g_tid = tid[td_starts]
+        g_did = did[td_starts]
+        g_dl = dl[td_starts]
+        g_df = dfv[td_starts]
+        idf = np.log(1.0 + (n_docs_b - g_df + 0.5) / (g_df + 0.5))
+        score = idf * (tf / (tf + k1 * (1.0 - b + b * g_dl / avgdl_b)))
+
+        # blocks: runs of <= block_size (term,doc) groups per term
+        t_change = np.empty(len(g_tid), dtype=bool)
+        t_change[0] = True
+        np.not_equal(g_tid[1:], g_tid[:-1], out=t_change[1:])
+        t_starts = np.flatnonzero(t_change)
+        t_counts = np.diff(np.append(t_starts, len(g_tid)))
+        within = np.arange(len(g_tid)) - np.repeat(t_starts, t_counts)
+        block_starts = np.flatnonzero(within % block_size == 0)
+        block_lens = np.diff(np.append(block_starts, len(g_tid)))
+        block_ends = block_starts + block_lens
+
+        # per-block payloads via the grouped codec
+        did_deltas = codec.delta_encode_grouped(g_did, block_starts)
+        doc_bytes = codec.varint_encode_grouped(did_deltas, block_lens)
+        tf_bytes = codec.varint_encode_grouped(tf, block_lens)
+        dl_bytes = codec.varint_encode_grouped(g_dl, block_lens)
+        pos_deltas = codec.delta_encode_grouped(pos, td_starts)
+        flat_block_lens = np.add.reduceat(tf, block_starts)
+        pos_bytes = codec.varint_encode_grouped(pos_deltas, flat_block_lens)
+
+        return pd.DataFrame(
+            {
+                "segment_id": np.full(len(block_starts), seg, dtype=np.int64),
+                "term_id": g_tid[block_starts],
+                "block_id": (within[block_starts] // block_size).astype(np.int32),
+                "n_docs": block_lens.astype(np.int32),
+                "min_doc": g_did[block_starts],
+                "max_doc": g_did[block_ends - 1],
+                "doc_ids": doc_bytes,
+                "freqs": tf_bytes,
+                "dls": dl_bytes,
+                "positions": pos_bytes,
+                "block_max_tf": np.maximum.reduceat(tf, block_starts).astype(np.int32),
+                "block_max_wtf": np.maximum.reduceat(score, block_starts),
+            }
+        )
+
+    return encode_group
+
+
+def encode_postings(
+    tokenized: DataFrame,
+    terms: DataFrame,
+    cfg: EngineConfig,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """tokenized -> posting blocks. Encode parallelism = segments x
+    term-buckets: blocks are per (segment, term), so bucketing terms is
+    partition-safe; it also bounds any Zipf head term to one task."""
+    exploded = tokenized.select(
+        "segment_id",
+        "doc_id",
+        "num_tokens",
+        F.posexplode("tokens_i").alias("pos", "term"),
+    )
+    # term -> term_id: vocab is tiny next to the corpus, broadcast;
+    # (at >~100M-term vocab Spark falls back to sort-merge + AQE
+    # skew-split automatically when the broadcast threshold trips)
+    joined = exploded.join(F.broadcast(terms.select("term", "term_id", "df")), "term")
+    salted = joined.withColumn(
+        "bucket", F.pmod(F.hash("term_id"), F.lit(cfg.encode_buckets))
+    )
+    return salted.groupBy("segment_id", "bucket").applyInPandas(
+        make_encoder(cfg, n_docs, avgdl), schema=POSTINGS_SCHEMA
+    )
+
+
+def turn_spans(tokenized: DataFrame) -> DataFrame:
+    """The implicit per-turn span rows (analogue of the reference's
+    starttag annotation, SpansTags.java:81-102)."""
+    return tokenized.select(
+        "doc_id",
+        F.lit("turn").alias("tag"),
+        F.lit(0).alias("start"),
+        F.col("num_tokens").alias("end"),
+        F.map_from_arrays(
+            F.array(F.lit("role"), F.lit("tool")),
+            F.array(F.col("role"), F.col("tool")),
+        ).alias("attrs"),
+    )
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -167,95 +283,7 @@ def build_index(
     # ---- stage 4: postings (the inverted index) ----------------------
     post_path = _stage_dir(index_dir, "postings")
     if not (resume and _stage_done(index_dir, "postings")):
-        exploded = tokenized.select(
-            "segment_id",
-            "doc_id",
-            "num_tokens",
-            F.posexplode("tokens_i").alias("pos", "term"),
-        )
-        # term -> term_id: vocab is tiny next to the corpus, broadcast;
-        # (at >~100M-term vocab Spark falls back to sort-merge + AQE
-        # skew-split automatically when the broadcast threshold trips)
-        joined = exploded.join(F.broadcast(terms.select("term", "term_id", "df")), "term")
-
-        k1, b, seg_size, block_size = cfg.k1, cfg.b, cfg.segment_size, cfg.block_size
-        n_docs_b, avgdl_b = n_docs, avgdl
-
-        def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            """Encode one (segment, term-bucket) slice of postings into
-            delta+varint blocks — a single vectorized numpy pass, no
-            per-block Python (the grouped codec splits one encoded byte
-            stream into per-block buffers)."""
-            seg = int(pdf["segment_id"].iloc[0])
-            tid = pdf["term_id"].to_numpy(np.int64)
-            did = pdf["doc_id"].to_numpy(np.int64)
-            pos = pdf["pos"].to_numpy(np.int64)
-            dl = pdf["num_tokens"].to_numpy(np.int64)
-            dfv = pdf["df"].to_numpy(np.int64)
-            order = np.lexsort((pos, did, tid))
-            tid, did, pos, dl, dfv = (
-                tid[order], did[order], pos[order], dl[order], dfv[order]
-            )
-            # group boundaries at (term, doc) changes
-            td_change = np.empty(len(tid), dtype=bool)
-            td_change[0] = True
-            np.not_equal(tid[1:], tid[:-1], out=td_change[1:])
-            td_change[1:] |= did[1:] != did[:-1]
-            td_starts = np.flatnonzero(td_change)
-            tf = np.diff(np.append(td_starts, len(tid)))
-            g_tid = tid[td_starts]
-            g_did = did[td_starts]
-            g_dl = dl[td_starts]
-            g_df = dfv[td_starts]
-            idf = np.log(1.0 + (n_docs_b - g_df + 0.5) / (g_df + 0.5))
-            score = idf * (tf / (tf + k1 * (1.0 - b + b * g_dl / avgdl_b)))
-
-            # blocks: runs of <= block_size (term,doc) groups per term
-            t_change = np.empty(len(g_tid), dtype=bool)
-            t_change[0] = True
-            np.not_equal(g_tid[1:], g_tid[:-1], out=t_change[1:])
-            t_starts = np.flatnonzero(t_change)
-            t_counts = np.diff(np.append(t_starts, len(g_tid)))
-            within = np.arange(len(g_tid)) - np.repeat(t_starts, t_counts)
-            block_starts = np.flatnonzero(within % block_size == 0)
-            block_lens = np.diff(np.append(block_starts, len(g_tid)))
-            block_ends = block_starts + block_lens
-
-            # per-block payloads via the grouped codec
-            did_deltas = codec.delta_encode_grouped(g_did, block_starts)
-            doc_bytes = codec.varint_encode_grouped(did_deltas, block_lens)
-            tf_bytes = codec.varint_encode_grouped(tf, block_lens)
-            dl_bytes = codec.varint_encode_grouped(g_dl, block_lens)
-            pos_deltas = codec.delta_encode_grouped(pos, td_starts)
-            flat_block_lens = np.add.reduceat(tf, block_starts)
-            pos_bytes = codec.varint_encode_grouped(pos_deltas, flat_block_lens)
-
-            return pd.DataFrame(
-                {
-                    "segment_id": np.full(len(block_starts), seg, dtype=np.int64),
-                    "term_id": g_tid[block_starts],
-                    "block_id": (within[block_starts] // block_size).astype(np.int32),
-                    "n_docs": block_lens.astype(np.int32),
-                    "min_doc": g_did[block_starts],
-                    "max_doc": g_did[block_ends - 1],
-                    "doc_ids": doc_bytes,
-                    "freqs": tf_bytes,
-                    "dls": dl_bytes,
-                    "positions": pos_bytes,
-                    "block_max_tf": np.maximum.reduceat(tf, block_starts).astype(np.int32),
-                    "block_max_wtf": np.maximum.reduceat(score, block_starts),
-                }
-            )
-
-        # encode parallelism = segments x term-buckets: blocks are per
-        # (segment, term), so bucketing terms is partition-safe; it also
-        # bounds any head term to one (segment, bucket) task.
-        salted = joined.withColumn(
-            "bucket", F.pmod(F.hash("term_id"), F.lit(cfg.encode_buckets))
-        )
-        postings = salted.groupBy("segment_id", "bucket").applyInPandas(
-            encode_group, schema=POSTINGS_SCHEMA
-        )
+        postings = encode_postings(tokenized, terms, cfg, n_docs, avgdl)
         (
             postings.write.mode("overwrite")
             .partitionBy("segment_id")
@@ -263,20 +291,10 @@ def build_index(
         )
         _mark_done(index_dir, "postings")
     postings = spark.read.parquet(post_path)
-
     # ---- stage 5: spans table (turn spans; analogue of starttag) -----
     spans_path = _stage_dir(index_dir, "spans")
     if not (resume and _stage_done(index_dir, "spans")):
-        spans = tokenized.select(
-            "doc_id",
-            F.lit("turn").alias("tag"),
-            F.lit(0).alias("start"),
-            F.col("num_tokens").alias("end"),
-            F.map_from_arrays(
-                F.array(F.lit("role"), F.lit("tool")),
-                F.array(F.col("role"), F.col("tool")),
-            ).alias("attrs"),
-        )
+        spans = turn_spans(tokenized)
         if extra_spans is not None:
             extra = extra_spans.join(
                 tokenized.select("conv_id", "turn_idx", "doc_id"),

@@ -1,0 +1,311 @@
+"""Incremental index maintenance: append, delete, compact.
+
+The reference supports adding/deleting documents in an existing index
+(reference index/IndexerImpl.java, core TestDeleteDocument.java); Lucene
+realizes this as new segments + liveDocs tombstones + merges. Our
+analogue over parquet tables:
+
+- add_documents: new docs become NEW segments (doc_ids continue after
+  the current max; existing segments are never rewritten). The terms
+  dict is merged with STABLE term_ids for existing terms; df/cf are
+  incremented. Global stats (N, avgdl) are updated in meta.json.
+  Stored block_max_wtf of older segments becomes a stale bound — it is
+  advisory metadata only (scoring recomputes idf from live stats), the
+  same way Lucene keeps deleted docs in stats until merge.
+- delete_documents: tombstone table (doc_id rows), honored at query
+  time like Lucene liveDocs; stats keep counting tombstoned docs until
+  compaction (Lucene parity).
+- compact: rewrites only segments that have tombstones (re-encoding
+  from the forward index minus deleted docs), refreshes terms df/cf
+  and global stats, clears tombstones. Untouched segments' files are
+  not rewritten.
+
+Each operation appends lineage rows to segments_meta (stage name,
+partition, rows, tokens, checksum) so a resumed/audited build can
+verify per-partition state — the north rule's checkpoint story.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from blacklab_spark.config import EngineConfig
+from blacklab_spark.ids import with_dense_id
+from blacklab_spark.index.build import (
+    _stage_dir,
+    encode_postings,
+    tokenize,
+    turn_spans,
+)
+
+DELETES_SCHEMA = "doc_id long"
+
+
+def _load_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+def _save_meta(index_dir: str, meta: dict) -> None:
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def _append_lineage(spark: SparkSession, index_dir: str, stage: str,
+                    doc_stats: DataFrame) -> None:
+    lin = (
+        doc_stats.groupBy("segment_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("num_tokens").alias("tokens"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))).alias(
+                "checksum"
+            ),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("segment_id").alias("partition_id"),
+            "rows",
+            "tokens",
+            "checksum",
+        )
+    )
+    lin.write.mode("append").parquet(_stage_dir(index_dir, "segments_meta"))
+
+
+def add_documents(
+    spark: SparkSession,
+    index_dir: str,
+    new_transcripts: DataFrame,
+    extra_spans: DataFrame | None = None,
+) -> dict:
+    """Append new docs as fresh segments. Returns updated meta."""
+    meta = _load_meta(index_dir)
+    cfg = EngineConfig(
+        k1=meta["k1"], b=meta["b"], segment_size=meta["segment_size"],
+        block_size=meta["block_size"], token_pattern=meta["token_pattern"],
+    )
+    seg_size = cfg.segment_size
+    old_stats = spark.read.parquet(_stage_dir(index_dir, "doc_stats"))
+    base = int(old_stats.agg(F.max("doc_id")).collect()[0][0]) + 1
+    # new docs start at a fresh segment boundary: existing segment files
+    # are immutable (Lucene-style write-once segments)
+    base = ((base + seg_size - 1) // seg_size) * seg_size
+
+    with_ids = with_dense_id(new_transcripts, ("conv_id", "turn_idx"), "doc_id")
+    with_ids = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+    tokenized = tokenize(with_ids, cfg).withColumn(
+        "segment_id", F.expr(f"doc_id DIV {seg_size}")
+    )
+    n_out = max(spark.sparkContext.defaultParallelism // 2, 4)
+    (
+        tokenized.repartitionByRange(n_out, "doc_id")
+        .write.mode("append")
+        .partitionBy("segment_id")
+        .parquet(_stage_dir(index_dir, "tokenized"))
+    )
+    # re-read the delta (stable lineage for the remaining stages)
+    delta = spark.read.parquet(_stage_dir(index_dir, "tokenized")).filter(
+        F.col("doc_id") >= base
+    )
+
+    new_stats = delta.select(
+        "doc_id", "segment_id", "conv_id", "turn_idx", "role", "tool", "num_tokens"
+    )
+    new_stats.write.mode("append").parquet(_stage_dir(index_dir, "doc_stats"))
+
+    # ---- terms merge with stable ids ---------------------------------
+    terms_path = _stage_dir(index_dir, "terms")
+    old_terms = spark.read.parquet(terms_path)
+    delta_stats = (
+        delta.select("doc_id", F.explode("tokens_i").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_new"), F.sum("tf").alias("cf_new"))
+    )
+    joined = old_terms.join(delta_stats, "term", "full_outer")
+    existing = joined.filter(F.col("term_id").isNotNull()).select(
+        "term",
+        (F.col("df") + F.coalesce(F.col("df_new"), F.lit(0))).alias("df"),
+        (F.col("cf") + F.coalesce(F.col("cf_new"), F.lit(0))).alias("cf"),
+        "term_id",
+        "sort_pos_s",
+        "sort_pos_i",
+    )
+    max_tid = int(old_terms.agg(F.max("term_id")).collect()[0][0])
+    unseen = joined.filter(F.col("term_id").isNull()).select(
+        "term", F.col("df_new").alias("df"), F.col("cf_new").alias("cf")
+    )
+    unseen = with_dense_id(unseen, ("term",), "term_id").withColumn(
+        "term_id", F.col("term_id") + F.lit(max_tid + 1)
+    )
+    unseen = unseen.withColumn("sort_pos_s", F.col("term_id")).withColumn(
+        "sort_pos_i", F.col("term_id")
+    )
+    merged = existing.unionByName(unseen.select(*existing.columns))
+    tmp = terms_path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(terms_path)
+    os.rename(tmp, terms_path)
+    terms = spark.read.parquet(terms_path)
+
+    # ---- delta postings (new segments only) ---------------------------
+    n_docs = meta["n_docs"] + delta.count()
+    total_tokens = meta["total_tokens"] + int(
+        delta.agg(F.sum("num_tokens")).collect()[0][0] or 0
+    )
+    avgdl = total_tokens / max(n_docs, 1)
+    postings = encode_postings(delta, terms, cfg, n_docs, avgdl)
+    (
+        postings.write.mode("append")
+        .partitionBy("segment_id")
+        .parquet(_stage_dir(index_dir, "postings"))
+    )
+
+    # ---- spans ----------------------------------------------------------
+    spans = turn_spans(delta)
+    if extra_spans is not None:
+        extra = extra_spans.join(
+            delta.select("conv_id", "turn_idx", "doc_id"), ["conv_id", "turn_idx"]
+        ).select(
+            "doc_id",
+            "tag",
+            F.col("start").cast("int").alias("start"),
+            F.col("end").cast("int").alias("end"),
+            F.col("attrs").cast("map<string,string>").alias("attrs"),
+        )
+        spans = spans.unionByName(extra)
+    spans.write.mode("append").parquet(_stage_dir(index_dir, "spans"))
+
+    _append_lineage(spark, index_dir, "add_documents", new_stats)
+    meta.update(
+        {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            "n_terms": terms.count(),
+            "generation": meta.get("generation", 0) + 1,
+        }
+    )
+    _save_meta(index_dir, meta)
+    return meta
+
+
+def delete_documents(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> int:
+    """Tombstone docs (liveDocs analogue). Takes a (doc_id) DataFrame;
+    returns the number of live tombstones after the append."""
+    path = _stage_dir(index_dir, "deletes")
+    doc_ids.select(F.col("doc_id").cast("long")).distinct().write.mode(
+        "append"
+    ).parquet(path)
+    return spark.read.parquet(path).distinct().count()
+
+
+def load_deletes(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    path = _stage_dir(index_dir, "deletes")
+    if not os.path.exists(path):
+        return None
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return None
+    return df.distinct()
+
+
+def compact(spark: SparkSession, index_dir: str) -> dict:
+    """Merge tombstones into the index: rewrite ONLY segments that
+    contain deleted docs, refresh terms df/cf + global stats, drop the
+    tombstone table. Clean segments' files are untouched (the analogue
+    of Lucene merging only segments with deletions)."""
+    meta = _load_meta(index_dir)
+    cfg = EngineConfig(
+        k1=meta["k1"], b=meta["b"], segment_size=meta["segment_size"],
+        block_size=meta["block_size"], token_pattern=meta["token_pattern"],
+    )
+    deletes = load_deletes(spark, index_dir)
+    if deletes is None or deletes.isEmpty():
+        return meta
+    tok_path = _stage_dir(index_dir, "tokenized")
+    tokenized = spark.read.parquet(tok_path)
+    dirty = [
+        int(r["segment_id"])
+        for r in tokenized.join(deletes, "doc_id", "leftsemi")
+        .select("segment_id")
+        .distinct()
+        .collect()
+    ]
+
+    # rewrite dirty segments of the partitioned tokenized table; spans
+    # and doc_stats are unpartitioned -> whole-table anti-join rewrite
+    for table in ("doc_stats", "spans"):
+        path = _stage_dir(index_dir, table)
+        keep = spark.read.parquet(path).join(deletes, "doc_id", "leftanti")
+        tmp = path + ".tmp"
+        keep.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    for seg in dirty:
+        seg_dir = os.path.join(tok_path, f"segment_id={seg}")
+        part = spark.read.parquet(seg_dir)
+        keep = part.join(deletes, "doc_id", "leftanti")
+        tmp = seg_dir + ".tmp"
+        keep.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(seg_dir)
+        os.rename(tmp, seg_dir)
+
+    tokenized = spark.read.parquet(tok_path)
+    stats = spark.read.parquet(_stage_dir(index_dir, "doc_stats"))
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("num_tokens").alias("tt")
+    ).collect()[0]
+    n_docs, total_tokens = int(agg["n"]), int(agg["tt"] or 0)
+    avgdl = total_tokens / max(n_docs, 1)
+
+    # refresh terms stats (stable term_ids), then re-encode dirty segs
+    terms_path = _stage_dir(index_dir, "terms")
+    old_terms = spark.read.parquet(terms_path)
+    fresh = (
+        tokenized.select("doc_id", F.explode("tokens_i").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+    )
+    merged = old_terms.drop("df", "cf").join(fresh, "term", "inner")
+    tmp = terms_path + ".tmp"
+    merged.select(*old_terms.columns).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(terms_path)
+    os.rename(tmp, terms_path)
+    terms = spark.read.parquet(terms_path)
+
+    post_path = _stage_dir(index_dir, "postings")
+    dirty_tok = tokenized.filter(F.col("segment_id").isin(dirty))
+    new_posts = encode_postings(dirty_tok, terms, cfg, n_docs, avgdl)
+    tmp = post_path + ".rewrite"
+    new_posts.write.mode("overwrite").partitionBy("segment_id").parquet(tmp)
+    for seg in dirty:
+        seg_dir = os.path.join(post_path, f"segment_id={seg}")
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        src = os.path.join(tmp, f"segment_id={seg}")
+        if os.path.exists(src):
+            os.rename(src, seg_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    shutil.rmtree(_stage_dir(index_dir, "deletes"), ignore_errors=True)
+    _append_lineage(spark, index_dir, "compact", stats)
+    meta.update(
+        {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            "n_terms": terms.count(),
+            "generation": meta.get("generation", 0) + 1,
+        }
+    )
+    _save_meta(index_dir, meta)
+    return meta

@@ -82,11 +82,23 @@ def topk_bm25(
             raise NotImplementedError("filter too large for broadcast set; "
                                       "use join-based filtering")
 
+    # tombstones (liveDocs analogue): excluded before per-segment top-k
+    # selection so tombstoned docs can't crowd out live candidates.
+    # Deletes between compactions are assumed modest (Lucene parity).
+    dels = corpus.deletes
+    dead: set[int] = (
+        {int(r["doc_id"]) for r in dels.collect()} if dels is not None else set()
+    )
+    if allowed is not None and dead:
+        allowed -= dead
+        dead = set()
+
     k1, b_ = meta["k1"], meta["b"]
     avgdl = meta["avgdl"]
     seg_size = meta["segment_size"]
     b_idf = spark.sparkContext.broadcast(idf_by_tid)
     b_allowed = spark.sparkContext.broadcast(allowed)
+    b_dead = spark.sparkContext.broadcast(dead)
 
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         idf = b_idf.value
@@ -115,6 +127,9 @@ def topk_bm25(
                 keep = np.isin(dids, allow_arr)
                 local, w = local[keep], w[keep]
             np.add.at(scores, local, w)
+        seg_dead = [d - base for d in b_dead.value if base <= d < base + seg_size]
+        if seg_dead:
+            scores[np.asarray(seg_dead, dtype=np.int64)] = 0.0
         nz = np.flatnonzero(scores)
         if nz.size == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),

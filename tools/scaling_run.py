@@ -1,0 +1,76 @@
+"""One scaling-evidence run: build + query the same corpus at a given
+parallelism level. Prints one JSON line. Invoked by scaling_bench.py
+in a fresh process per cluster size (fresh JVM, no warm caches).
+
+Usage: python tools/scaling_run.py <cpus> [n_turns]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blacklab_spark.config import EngineConfig
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.session import get_spark
+from blacklab_spark.synth import generate_spark
+
+QUERIES = [
+    "word00001 word00050",
+    "word00002 word00100 word00500",
+    "word00010",
+    "word00003 word00007 word00250 word01000",
+    "word00020 word00200",
+    "word00005 word02000",
+    "word00001 word00002 word00003",
+    "word00042 word00420 word04200",
+]
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    n_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+    spark = get_spark("scaling", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    idx = f"/tmp/scaling_idx_{cpus}_{n_turns}"
+    shutil.rmtree(idx, ignore_errors=True)
+    tr = generate_spark(spark, n_turns, seed=42, n_partitions=max(cpus * 2, 16))
+    # warm up executors/python workers so the measured run is steady-state
+    tr.limit(1000).count()
+
+    t0 = time.time()
+    corpus = Corpus.build(
+        spark, tr, idx, EngineConfig(segment_size=1 << 13, block_size=128)
+    )
+    build_s = time.time() - t0
+
+    # query throughput: one warmup, then timed batch
+    corpus.topk(QUERIES[0], k=10).collect()
+    t0 = time.time()
+    for q in QUERIES:
+        corpus.topk(q, k=10).collect()
+    query_batch_s = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_turns": n_turns,
+                "build_s": round(build_s, 2),
+                "build_turns_per_sec": round(n_turns / build_s, 1),
+                "query_batch_s": round(query_batch_s, 2),
+                "queries_per_sec": round(len(QUERIES) / query_batch_s, 2),
+            }
+        )
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
