@@ -50,9 +50,10 @@ from blacklab_spark.ids import with_dense_id
 from blacklab_spark.index import codec
 
 POSTINGS_SCHEMA = (
-    "segment_id long, term_id long, block_id int, n_docs int, "
+    "segment_id long, term string, block_id int, n_docs int, "
     "min_doc long, max_doc long, doc_ids binary, freqs binary, "
-    "dls binary, positions binary, block_max_tf int, block_max_wtf double"
+    "dls binary, positions binary, block_max_tf int, sum_tf long, "
+    "block_max_wtf_raw double"
 )
 
 SEGMENTS_META_SCHEMA = (
@@ -88,38 +89,57 @@ def tokenize(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
-def make_encoder(cfg: EngineConfig, n_docs: int, avgdl: float):
-    """Posting-block encoder for one (segment, term-bucket) slice —
-    a single vectorized numpy pass, no per-block Python (the grouped
-    codec splits one encoded byte stream into per-block buffers).
+def make_encoder(cfg: EngineConfig, avgdl: float):
+    """Posting-block encoder for one segment — a single vectorized
+    numpy pass over the segment's (doc_id, tokens) rows: flatten token
+    arrays, factorize terms (hash, no string sort), int-lexsort, then
+    one grouped delta+varint pass per payload. No per-block Python.
+    Blocks stay keyed by term STRING — the postings table needs no
+    term_id join at all, and the terms dictionary is derived FROM the
+    blocks afterwards (df = sum n_docs, cf = sum tf). The
+    idf-independent score factor is stored so BM25 bounds can be
+    recomputed from live stats at query time (appends change N/avgdl;
+    the reference's codec likewise writes per-segment postings at
+    Lucene flush, BlackLab40PostingsWriter.java:222-340).
     Shared by the full build and incremental delta builds."""
     k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
-    n_docs_b, avgdl_b = n_docs, avgdl
+    avgdl_b = avgdl
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment_id"].iloc[0])
-        tid = pdf["term_id"].to_numpy(np.int64)
-        did = pdf["doc_id"].to_numpy(np.int64)
-        pos = pdf["pos"].to_numpy(np.int64)
-        dl = pdf["num_tokens"].to_numpy(np.int64)
-        dfv = pdf["df"].to_numpy(np.int64)
-        order = np.lexsort((pos, did, tid))
-        tid, did, pos, dl, dfv = (
-            tid[order], did[order], pos[order], dl[order], dfv[order]
-        )
+        lens = pdf["num_tokens"].to_numpy(np.int64)
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        total = int(lens.sum())
+        cols = [
+            "segment_id", "term", "block_id", "n_docs", "min_doc", "max_doc",
+            "doc_ids", "freqs", "dls", "positions", "block_max_tf", "sum_tf",
+            "block_max_wtf_raw",
+        ]
+        if total == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        flat = np.concatenate([np.asarray(a, dtype=object) for a in pdf["tokens_i"]])
+        codes, uniques = pd.factorize(flat)
+        did = np.repeat(docs, lens)
+        dl = np.repeat(lens, lens)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+        order = np.lexsort((pos, did, codes))
+        tid, did, pos, dl = codes[order], did[order], pos[order], dl[order]
+
         # group boundaries at (term, doc) changes
-        td_change = np.empty(len(tid), dtype=bool)
+        td_change = np.empty(total, dtype=bool)
         td_change[0] = True
         np.not_equal(tid[1:], tid[:-1], out=td_change[1:])
         td_change[1:] |= did[1:] != did[:-1]
         td_starts = np.flatnonzero(td_change)
-        tf = np.diff(np.append(td_starts, len(tid)))
+        tf = np.diff(np.append(td_starts, total))
         g_tid = tid[td_starts]
         g_did = did[td_starts]
         g_dl = dl[td_starts]
-        g_df = dfv[td_starts]
-        idf = np.log(1.0 + (n_docs_b - g_df + 0.5) / (g_df + 0.5))
-        score = idf * (tf / (tf + k1 * (1.0 - b + b * g_dl / avgdl_b)))
+        # idf attaches post-join; this is the idf-independent factor
+        wtf = tf / (tf + k1 * (1.0 - b + b * g_dl / avgdl_b))
 
         # blocks: runs of <= block_size (term,doc) groups per term
         t_change = np.empty(len(g_tid), dtype=bool)
@@ -144,7 +164,7 @@ def make_encoder(cfg: EngineConfig, n_docs: int, avgdl: float):
         return pd.DataFrame(
             {
                 "segment_id": np.full(len(block_starts), seg, dtype=np.int64),
-                "term_id": g_tid[block_starts],
+                "term": uniques[g_tid[block_starts]],
                 "block_id": (within[block_starts] // block_size).astype(np.int32),
                 "n_docs": block_lens.astype(np.int32),
                 "min_doc": g_did[block_starts],
@@ -154,38 +174,44 @@ def make_encoder(cfg: EngineConfig, n_docs: int, avgdl: float):
                 "dls": dl_bytes,
                 "positions": pos_bytes,
                 "block_max_tf": np.maximum.reduceat(tf, block_starts).astype(np.int32),
-                "block_max_wtf": np.maximum.reduceat(score, block_starts),
+                "sum_tf": flat_block_lens,
+                "block_max_wtf_raw": np.maximum.reduceat(wtf, block_starts),
             }
         )
 
-    return encode_group
+    return encode_segment
 
 
 def encode_postings(
     tokenized: DataFrame,
-    terms: DataFrame,
     cfg: EngineConfig,
-    n_docs: int,
     avgdl: float,
 ) -> DataFrame:
-    """tokenized -> posting blocks. Encode parallelism = segments x
-    term-buckets: blocks are per (segment, term), so bucketing terms is
-    partition-safe; it also bounds any Zipf head term to one task."""
-    exploded = tokenized.select(
-        "segment_id",
-        "doc_id",
-        "num_tokens",
-        F.posexplode("tokens_i").alias("pos", "term"),
+    """tokenized -> posting blocks (term-string keyed, final form).
+
+    Shuffle moves the UNEXPLODED token arrays keyed by segment (~3x
+    less volume than exploded rows, and bounded per group by
+    segment_size docs regardless of term skew); term explosion +
+    grouping happens inside the vectorized kernel. No term_id join
+    exists anywhere: queries filter blocks on the term string with the
+    same parquet predicate pushdown, and the terms dictionary is
+    aggregated FROM these blocks."""
+    rows = tokenized.select("segment_id", "doc_id", "num_tokens", "tokens_i")
+    return rows.groupBy("segment_id").applyInPandas(
+        make_encoder(cfg, avgdl), schema=POSTINGS_SCHEMA
     )
-    # term -> term_id: vocab is tiny next to the corpus, broadcast;
-    # (at >~100M-term vocab Spark falls back to sort-merge + AQE
-    # skew-split automatically when the broadcast threshold trips)
-    joined = exploded.join(F.broadcast(terms.select("term", "term_id", "df")), "term")
-    salted = joined.withColumn(
-        "bucket", F.pmod(F.hash("term_id"), F.lit(cfg.encode_buckets))
+
+
+def terms_from_postings(postings: DataFrame) -> DataFrame:
+    """Terms dictionary derived from posting blocks: df/cf are sums of
+    per-block counts — a groupBy over block rows (~1/block_size of the
+    token count), not over exploded tokens."""
+    stats = postings.groupBy("term").agg(
+        F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
     )
-    return salted.groupBy("segment_id", "bucket").applyInPandas(
-        make_encoder(cfg, n_docs, avgdl), schema=POSTINGS_SCHEMA
+    t = with_dense_id(stats, ("term",), "term_id")
+    return t.withColumn("sort_pos_s", F.col("term_id")).withColumn(
+        "sort_pos_i", F.col("term_id")
     )
 
 
@@ -228,9 +254,12 @@ def build_index(
         tokenized = tokenize(with_ids, cfg).withColumn(
             "segment_id", F.expr(f"doc_id DIV {cfg.segment_size}")
         )
-        n_out = max(spark.sparkContext.defaultParallelism, 8)
+        # with_dense_id emits partitions that are already contiguous
+        # doc_id ranges (range-partitioned by the stable sort order),
+        # so no extra shuffle is needed before the partitioned write:
+        # each task holds whole segments' rows (+/- one boundary)
         (
-            tokenized.repartitionByRange(n_out, "doc_id")
+            tokenized
             .write.mode("overwrite")
             .partitionBy("segment_id")
             .parquet(tok_path)
@@ -254,36 +283,10 @@ def build_index(
     n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"] or 0)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
-    # ---- stage 3: terms dictionary -----------------------------------
-    terms_path = _stage_dir(index_dir, "terms")
-    if not (resume and _stage_done(index_dir, "terms")):
-        exploded = tokenized.select(
-            "doc_id", F.explode("tokens_i").alias("term")
-        )
-        # two-phase agg: per-(term,doc) tf first (map-side partial aggs
-        # already absorb Zipf skew), then per-term df/cf
-        per_doc = exploded.groupBy("term", "doc_id").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
-        term_stats = per_doc.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-        )
-        # dense alphabetical term_id == sensitive sort position
-        # (reference precomputes collator sort orders per terms dict,
-        # forwardindex/Terms.java:69-95); our terms are already
-        # case-folded so insensitive order == sensitive order here.
-        terms = with_dense_id(term_stats, ("term",), "term_id")
-        terms = terms.withColumn("sort_pos_s", F.col("term_id")).withColumn(
-            "sort_pos_i", F.col("term_id")
-        )
-        terms.write.mode("overwrite").parquet(terms_path)
-        _mark_done(index_dir, "terms")
-    terms = spark.read.parquet(terms_path)
-
-    # ---- stage 4: postings (the inverted index) ----------------------
+    # ---- stage 3: postings (the inverted index) ----------------------
     post_path = _stage_dir(index_dir, "postings")
     if not (resume and _stage_done(index_dir, "postings")):
-        postings = encode_postings(tokenized, terms, cfg, n_docs, avgdl)
+        postings = encode_postings(tokenized, cfg, avgdl)
         (
             postings.write.mode("overwrite")
             .partitionBy("segment_id")
@@ -291,6 +294,18 @@ def build_index(
         )
         _mark_done(index_dir, "postings")
     postings = spark.read.parquet(post_path)
+
+    # ---- stage 4: terms dictionary (derived from the blocks) ---------
+    # dense alphabetical term_id == sensitive sort position
+    # (reference precomputes collator sort orders per terms dict,
+    # forwardindex/Terms.java:69-95); our terms are already
+    # case-folded so insensitive order == sensitive order here.
+    terms_path = _stage_dir(index_dir, "terms")
+    if not (resume and _stage_done(index_dir, "terms")):
+        terms = terms_from_postings(postings)
+        terms.write.mode("overwrite").parquet(terms_path)
+        _mark_done(index_dir, "terms")
+    terms = spark.read.parquet(terms_path)
     # ---- stage 5: spans table (turn spans; analogue of starttag) -----
     spans_path = _stage_dir(index_dir, "spans")
     if not (resume and _stage_done(index_dir, "spans")):

@@ -118,15 +118,27 @@ def add_documents(
     )
     new_stats.write.mode("append").parquet(_stage_dir(index_dir, "doc_stats"))
 
-    # ---- terms merge with stable ids ---------------------------------
+    # ---- delta postings (new segments only; term-string keyed) -------
+    n_docs = meta["n_docs"] + delta.count()
+    total_tokens = meta["total_tokens"] + int(
+        delta.agg(F.sum("num_tokens")).collect()[0][0] or 0
+    )
+    avgdl = total_tokens / max(n_docs, 1)
+    postings = encode_postings(delta, cfg, avgdl)
+    (
+        postings.write.mode("append")
+        .partitionBy("segment_id")
+        .parquet(_stage_dir(index_dir, "postings"))
+    )
+
+    # ---- terms merge with stable ids (stats from the delta blocks) ---
     terms_path = _stage_dir(index_dir, "terms")
     old_terms = spark.read.parquet(terms_path)
     delta_stats = (
-        delta.select("doc_id", F.explode("tokens_i").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        spark.read.parquet(_stage_dir(index_dir, "postings"))
+        .filter(F.col("min_doc") >= base)
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df_new"), F.sum("tf").alias("cf_new"))
+        .agg(F.sum("n_docs").alias("df_new"), F.sum("sum_tf").alias("cf_new"))
     )
     joined = old_terms.join(delta_stats, "term", "full_outer")
     existing = joined.filter(F.col("term_id").isNotNull()).select(
@@ -153,19 +165,6 @@ def add_documents(
     shutil.rmtree(terms_path)
     os.rename(tmp, terms_path)
     terms = spark.read.parquet(terms_path)
-
-    # ---- delta postings (new segments only) ---------------------------
-    n_docs = meta["n_docs"] + delta.count()
-    total_tokens = meta["total_tokens"] + int(
-        delta.agg(F.sum("num_tokens")).collect()[0][0] or 0
-    )
-    avgdl = total_tokens / max(n_docs, 1)
-    postings = encode_postings(delta, terms, cfg, n_docs, avgdl)
-    (
-        postings.write.mode("append")
-        .partitionBy("segment_id")
-        .parquet(_stage_dir(index_dir, "postings"))
-    )
 
     # ---- spans ----------------------------------------------------------
     spans = turn_spans(delta)
@@ -266,26 +265,11 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     n_docs, total_tokens = int(agg["n"]), int(agg["tt"] or 0)
     avgdl = total_tokens / max(n_docs, 1)
 
-    # refresh terms stats (stable term_ids), then re-encode dirty segs
-    terms_path = _stage_dir(index_dir, "terms")
-    old_terms = spark.read.parquet(terms_path)
-    fresh = (
-        tokenized.select("doc_id", F.explode("tokens_i").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-    )
-    merged = old_terms.drop("df", "cf").join(fresh, "term", "inner")
-    tmp = terms_path + ".tmp"
-    merged.select(*old_terms.columns).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(terms_path)
-    os.rename(tmp, terms_path)
-    terms = spark.read.parquet(terms_path)
-
+    # re-encode dirty segments, then refresh terms stats FROM the
+    # blocks (stable term_ids; vanished terms drop out)
     post_path = _stage_dir(index_dir, "postings")
     dirty_tok = tokenized.filter(F.col("segment_id").isin(dirty))
-    new_posts = encode_postings(dirty_tok, terms, cfg, n_docs, avgdl)
+    new_posts = encode_postings(dirty_tok, cfg, avgdl)
     tmp = post_path + ".rewrite"
     new_posts.write.mode("overwrite").partitionBy("segment_id").parquet(tmp)
     for seg in dirty:
@@ -295,6 +279,20 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         if os.path.exists(src):
             os.rename(src, seg_dir)
     shutil.rmtree(tmp, ignore_errors=True)
+
+    terms_path = _stage_dir(index_dir, "terms")
+    old_terms = spark.read.parquet(terms_path)
+    fresh = (
+        spark.read.parquet(post_path)
+        .groupBy("term")
+        .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf"))
+    )
+    merged = old_terms.drop("df", "cf").join(fresh, "term", "inner")
+    tmp = terms_path + ".tmp"
+    merged.select(*old_terms.columns).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(terms_path)
+    os.rename(tmp, terms_path)
+    terms = spark.read.parquet(terms_path)
 
     shutil.rmtree(_stage_dir(index_dir, "deletes"), ignore_errors=True)
     _append_lineage(spark, index_dir, "compact", stats)

@@ -49,27 +49,28 @@ def topk_bm25(
 
     tinfo = (
         corpus.terms.filter(F.col("term").isin(list(set(qterms))))
-        .select("term", "term_id", "df")
+        .select("term", "df")
         .collect()
     )
     if not tinfo:
         return spark.createDataFrame([], out_schema)
     n_docs = meta["n_docs"]
     # repeated query terms accumulate idf weight, like Lucene's
-    # BooleanQuery with duplicate clauses
+    # BooleanQuery with duplicate clauses; idf comes from LIVE stats
+    # (appends/compactions change N and df — stored per-block maxima
+    # are idf-independent for this reason)
     from collections import Counter
 
     qcount = Counter(qterms)
-    idf_by_tid = {
-        int(r["term_id"]): qcount[r["term"]]
+    idf_by_term = {
+        r["term"]: qcount[r["term"]]
         * float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
         for r in tinfo
     }
-    tids = list(idf_by_tid)
 
-    posts = corpus.postings.filter(F.col("term_id").isin(tids)).select(
-        "segment_id", "term_id", "doc_ids", "freqs", "dls", "block_max_wtf"
-    )
+    posts = corpus.postings.filter(
+        F.col("term").isin(list(idf_by_term))
+    ).select("segment_id", "term", "doc_ids", "freqs", "dls", "block_max_wtf_raw")
 
     allowed = None
     if filter_expr:
@@ -96,7 +97,7 @@ def topk_bm25(
     k1, b_ = meta["k1"], meta["b"]
     avgdl = meta["avgdl"]
     seg_size = meta["segment_size"]
-    b_idf = spark.sparkContext.broadcast(idf_by_tid)
+    b_idf = spark.sparkContext.broadcast(idf_by_term)
     b_allowed = spark.sparkContext.broadcast(allowed)
     b_dead = spark.sparkContext.broadcast(dead)
 
@@ -114,7 +115,7 @@ def topk_bm25(
             if allow is not None
             else None
         )
-        pdf = pdf.assign(qidf=pdf["term_id"].map(idf)).sort_values(
+        pdf = pdf.assign(qidf=pdf["term"].map(idf)).sort_values(
             "qidf", ascending=False, kind="stable"
         )
         for r in pdf.itertuples(index=False):

@@ -7,6 +7,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_mem() -> str:
+    """Size the local-mode heap to the machine: many concurrent tasks
+    over columnar data need real headroom or GC dominates wall-clock."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(l for l in f if l.startswith("MemTotal")).split()[1])
+        gb = max(4, min(48, int(kb / 1024 / 1024 * 0.35)))
+        return f"{gb}g"
+    except Exception:
+        return "8g"
+
+
 def get_spark(
     app_name: str = "blacklab_spark",
     cpus: int | None = None,
@@ -31,7 +43,25 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", _default_mem()))
+        # throughput GC: G1's concurrent cycles contend with 32 busy
+        # task threads on allocation-heavy columnar workloads; the
+        # parallel collector scales the build/scan stages measurably
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
+        # shuffle/spill scratch: prefer tmpfs when present — on this
+        # single-node sandbox the OS disk is a virtio device that
+        # serializes under many-way concurrent shuffle I/O (a real
+        # cluster would use fast local SSDs per executor instead)
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

@@ -53,14 +53,13 @@ def test_terms_dict_matches_oracle(small_corpus):
 def test_postings_decode_matches_oracle(small_corpus):
     corpus, pdf = small_corpus
     oracle = OracleIndex.from_rows(pdf.to_dict("records"))
-    terms = {r["term"]: r["term_id"] for r in corpus.terms.collect()}
     # pick a head term, a mid term, and a tail term
     by_cf = sorted(
         oracle.postings, key=lambda t: -sum(len(p) for p in oracle.postings[t].values())
     )
     for term in [by_cf[0], by_cf[len(by_cf) // 2], by_cf[-1]]:
         blocks = (
-            corpus.postings.filter(F.col("term_id") == terms[term])
+            corpus.postings.filter(F.col("term") == term)
             .orderBy("segment_id", "block_id")
             .collect()
         )

@@ -35,12 +35,16 @@ QUERIES = [
 def main() -> None:
     cpus = int(sys.argv[1])
     n_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
-    spark = get_spark("scaling", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    # fixed shuffle partitioning: both cluster sizes execute the same
+    # physical plan over the same splits; only executor count varies
+    spark = get_spark("scaling", cpus=cpus, shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
 
-    idx = f"/tmp/scaling_idx_{cpus}_{n_turns}"
+    idx = f"/dev/shm/scaling_idx_{cpus}_{n_turns}"
     shutil.rmtree(idx, ignore_errors=True)
-    tr = generate_spark(spark, n_turns, seed=42, n_partitions=max(cpus * 2, 16))
+    # fixed partition count: both cluster sizes process the IDENTICAL
+    # input split (generation is seeded per partition)
+    tr = generate_spark(spark, n_turns, seed=42, n_partitions=64)
     # warm up executors/python workers so the measured run is steady-state
     tr.limit(1000).count()
 
