@@ -126,3 +126,22 @@ class Corpus:
         from blacklab_spark.search.spans import term_hits
 
         return term_hits(self, term, sensitive=sensitive)
+
+    def explain(self, cql: str, physical: bool = False) -> str:
+        """Query rewrite trace (reference RequestHandlerExplain)."""
+        from blacklab_spark.cql.explain import explain
+
+        return explain(self, cql, physical=physical)
+
+    def snippets(self, hits_df: DataFrame, context_chars: int = 40) -> DataFrame:
+        """Original-content snippets with <hl> highlighting (reference
+        RequestHandlerDocSnippet / XmlHighlighter)."""
+        from blacklab_spark.search.snippets import snippets
+
+        return snippets(self, hits_df, context_chars=context_chars)
+
+    def fuzzy_hits(self, term: str, max_edits: int = 2) -> DataFrame:
+        """Fuzzy term positions (reference SpanFuzzyQuery.java)."""
+        from blacklab_spark.search.spans import fuzzy_hits
+
+        return fuzzy_hits(self, term, max_edits=max_edits)

@@ -327,3 +327,31 @@ def constrained(
         for name in cap_names
     }
     return joined.filter(predicate(env)).drop("_toks")
+
+
+def fuzzy_hits(corpus, term: str, max_edits: int = 2,
+               annotation: str = "word") -> DataFrame:
+    """Fuzzy term match via levenshtein over the terms dict
+    (reference SpanFuzzyQuery.java — Lucene expands the fuzzy term to
+    an OR over dictionary matches; our dict scan is a tiny broadcast)."""
+    matching = corpus.terms.filter(
+        F.levenshtein(F.col("term"), F.lit(term.lower())) <= max_edits
+    ).select("term")
+    tp = token_positions(corpus, annotation, sensitive=False)
+    return tp.join(F.broadcast(matching), "term").select(
+        "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
+    )
+
+
+def filter_ngrams(
+    corpus,
+    source: DataFrame,
+    op: str = "within",
+    min_len: int = 1,
+    max_len: int = 3,
+) -> DataFrame:
+    """N-grams of length [min,max] standing in relation ``op`` to a
+    source hit (reference SpanQueryFilterNGrams.java:205) — n-gram
+    windows from doc lengths, then the positional predicate."""
+    grams = any_token(corpus, min_len, max_len)
+    return position_filter(grams, source, op)

@@ -30,26 +30,47 @@ def run(cpus: int, n_turns: int) -> dict:
 def main() -> None:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_large = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    n_turns = int(sys.argv[3]) if len(sys.argv) > 3 else 400_000
-    a = run(n_small, n_turns)
-    print(json.dumps(a))
-    b = run(n_large, n_turns)
-    print(json.dumps(b))
+    n_turns = int(sys.argv[3]) if len(sys.argv) > 3 else 1_600_000
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    # interleave A/B and take the best run per size: the sandbox host
+    # is multi-tenant and wall-clock noise between runs reaches 2x —
+    # min-of-N is the standard noise-robust estimator
+    results: dict[int, list[dict]] = {n_small: [], n_large: []}
+    for _ in range(reps):
+        for cpus in (n_small, n_large):
+            r = run(cpus, n_turns)
+            results[cpus].append(r)
+            print(json.dumps(r), flush=True)
+    best = {
+        c: max(rs, key=lambda r: r["build_turns_per_sec"]) for c, rs in results.items()
+    }
+    bestq = {c: max(rs, key=lambda r: r["queries_per_sec"]) for c, rs in results.items()}
     factor = n_large / n_small
-    eff_build = b["build_turns_per_sec"] / (factor * a["build_turns_per_sec"])
-    eff_query = b["queries_per_sec"] / (factor * a["queries_per_sec"])
+    eff_build = (
+        best[n_large]["build_turns_per_sec"]
+        / (factor * best[n_small]["build_turns_per_sec"])
+    )
+    eff_query = (
+        bestq[n_large]["queries_per_sec"] / (factor * bestq[n_small]["queries_per_sec"])
+    )
     print(
         json.dumps(
             {
                 "pair": f"local[{n_small}] -> local[{n_large}]",
                 "n_turns": n_turns,
+                "reps": reps,
+                "best_small": best[n_small],
+                "best_large": best[n_large],
                 "build_eff": round(eff_build, 3),
                 "query_eff": round(eff_query, 3),
                 "build_speedup": round(
-                    b["build_turns_per_sec"] / a["build_turns_per_sec"], 2
+                    best[n_large]["build_turns_per_sec"]
+                    / best[n_small]["build_turns_per_sec"],
+                    2,
                 ),
             }
-        )
+        ),
+        flush=True,
     )
 
 
