@@ -113,6 +113,13 @@ class Corpus:
 
         return topk_bm25(self, query, k=k, filter_expr=filter_expr)
 
+    def batch_topk(self, queries: list[str], k: int = 10) -> DataFrame:
+        """Top-k BM25 for many queries in one job (reference
+        tools/.../performance/BatchQuery.java analogue)."""
+        from blacklab_spark.search.bm25 import batch_topk
+
+        return batch_topk(self, queries, k=k)
+
     def find(self, cql: str) -> "Hits":
         """Run a BlackLab CQL pattern, mirroring
         `BlackLabIndex.find(BLSpanQuery)` (reference BlackLabIndex.java:183-194)."""

@@ -168,3 +168,132 @@ def topk_bm25(
     return scores.join(F.broadcast(hyd), "doc_id", "left").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
+
+
+def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
+    """Score MANY queries in ONE Spark job (the reference ships the
+    same idea as a perf harness: tools/.../performance/BatchQuery.java).
+
+    One postings scan covers the union of all query terms (parquet
+    pushdown on the term column), one per-segment kernel scores every
+    query against its blocks, and one window takes global top-k per
+    query. Amortizes per-job overhead across the whole batch — the
+    honest way to measure query THROUGHPUT at scale.
+
+    Returns (query_id, doc_id, score) with k rows per query, ordered
+    (score desc, doc_id asc) within each query.
+    """
+    from pyspark.sql import Window
+
+    spark = corpus.spark
+    meta = corpus.meta
+    n_docs = meta["n_docs"]
+    out_schema = "query_id int, doc_id long, score double"
+
+    from collections import Counter
+
+    qterm_counts = [Counter(corpus.tokenize_query(q)) for q in queries]
+    all_terms = sorted({t for qc in qterm_counts for t in qc})
+    if not all_terms:
+        return spark.createDataFrame([], out_schema)
+    tinfo = {
+        r["term"]: int(r["df"])
+        for r in corpus.terms.filter(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    }
+    # per-query {term: weighted idf}
+    idf_by_query: list[dict[str, float]] = []
+    for qc in qterm_counts:
+        m = {}
+        for t, qtf in qc.items():
+            if t in tinfo:
+                df_ = tinfo[t]
+                m[t] = qtf * float(
+                    np.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+                )
+        idf_by_query.append(m)
+    live_terms = sorted({t for m in idf_by_query for t in m})
+    if not live_terms:
+        return spark.createDataFrame([], out_schema)
+
+    posts = corpus.postings.filter(F.col("term").isin(live_terms)).select(
+        "segment_id", "term", "doc_ids", "freqs", "dls"
+    )
+    k1, b_, avgdl = meta["k1"], meta["b"], meta["avgdl"]
+    seg_size = meta["segment_size"]
+    dels = corpus.deletes
+    dead = {int(r["doc_id"]) for r in dels.collect()} if dels is not None else set()
+    b_q = spark.sparkContext.broadcast(idf_by_query)
+    b_dead = spark.sparkContext.broadcast(dead)
+
+    def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment_id"].iloc[0])
+        base = seg * seg_size
+        # decode each term's blocks once, reuse across queries
+        decoded: dict[str, tuple] = {}
+        for term, grp in pdf.groupby("term"):
+            dl_ = []
+            dids_ = []
+            w_ = []
+            for r in grp.itertuples(index=False):
+                dids = codec.decode_doc_ids(r.doc_ids)
+                tf = codec.decode_freqs(r.freqs)
+                dl = codec.decode_freqs(r.dls)
+                dids_.append(dids)
+                w_.append(tf / (tf + k1 * (1.0 - b_ + b_ * dl / avgdl)))
+            decoded[term] = (np.concatenate(dids_), np.concatenate(w_))
+        out_q, out_d, out_s = [], [], []
+        dead_local = [d - base for d in b_dead.value if base <= d < base + seg_size]
+        for qid, idf_map in enumerate(b_q.value):
+            if not idf_map:
+                continue
+            scores = np.zeros(seg_size, dtype=np.float64)
+            touched = False
+            for t, w_idf in idf_map.items():
+                if t not in decoded:
+                    continue
+                dids, w = decoded[t]
+                np.add.at(scores, dids - base, w_idf * w)
+                touched = True
+            if not touched:
+                continue
+            if dead_local:
+                scores[np.asarray(dead_local, dtype=np.int64)] = 0.0
+            nz = np.flatnonzero(scores)
+            if nz.size == 0:
+                continue
+            n = nz.size
+            if n > k:
+                s = scores[nz]
+                kth = np.partition(s, n - k)[n - k]
+                above = nz[s > kth]
+                equal = np.sort(nz[s == kth])[: k - above.size]
+                nz = np.concatenate([above, equal])
+            order = np.lexsort((nz, -scores[nz]))
+            sel = nz[order]
+            out_q.append(np.full(sel.size, qid, dtype=np.int32))
+            out_d.append(sel + base)
+            out_s.append(scores[sel])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int32),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "score": pd.Series([], dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {"query_id": np.concatenate(out_q),
+             "doc_id": np.concatenate(out_d),
+             "score": np.concatenate(out_s)}
+        )
+
+    per_seg = posts.groupBy("segment_id").applyInPandas(
+        score_segment, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_seg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )

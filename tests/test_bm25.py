@@ -77,3 +77,26 @@ def test_result_text_matches_source(small_corpus, oracle):
     src = {(r["conv_id"], r["turn_idx"]): r["text"] for r in pdf.to_dict("records")}
     for r in corpus.topk(q, k=10).collect():
         assert src[(r["conv_id"], r["turn_idx"])] == r["text"]
+
+
+def test_batch_topk_rank_identical(small_corpus):
+    corpus, pdf = small_corpus
+    from blacklab_spark.oracle import OracleIndex
+
+    oracle = OracleIndex.from_rows(pdf.to_dict("records"))
+    queries = [
+        "word00001 word00050",
+        "word00002",
+        "zzz_not_a_term",
+        "word00003 word00007 word00100",
+    ]
+    got = corpus.batch_topk(queries, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in enumerate(queries):
+        exp = oracle.bm25_topk(q, k=5)
+        have = by_q.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in exp], q
+        for (_, s1), (_, s2) in zip(have, exp):
+            assert abs(s1 - s2) < 1e-9

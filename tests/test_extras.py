@@ -1,0 +1,109 @@
+"""Tests for explain / fuzzy / n-gram filter / snippets, plus
+plan-quality checks (predicate pushdown, column pruning) — the
+".explain until it's the plan you'd want" gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blacklab_spark.config import EngineConfig
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.search import spans as S
+
+from micro_corpus import spans_pdf, transcripts_pdf
+
+
+@pytest.fixture(scope="module")
+def micro(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("extras") / "idx")
+    return Corpus.build(
+        spark,
+        spark.createDataFrame(transcripts_pdf()),
+        d,
+        EngineConfig(segment_size=2, block_size=4),
+        extra_spans=spark.createDataFrame(
+            spans_pdf(),
+            schema="conv_id string, turn_idx long, tag string, "
+            "start int, end int, attrs map<string,string>",
+        ),
+    )
+
+
+def test_explain_renders(micro):
+    out = micro.explain('"the" []{0,2} x:"fox" within <s/>')
+    assert "AST:" in out and "rewrites:" in out
+    assert "any-token -> expansion" in out
+    assert "plain-term fast path" in out
+    assert "CAPTURE x:" in out
+
+
+def test_explain_physical_plan(micro):
+    out = micro.explain('"the"', physical=True)
+    assert "spark plan:" in out
+
+
+def test_fuzzy_hits(micro):
+    # 'foo' ~1 -> fox, for? corpus has fox (doc0), force is 3 edits away
+    got = sorted(
+        (r["doc_id"], r["start"]) for r in micro.fuzzy_hits("foo", 1).collect()
+    )
+    assert (0, 3) in got  # fox
+    # levenshtein(fox, foo)=1; (for,foo)=1 (no 'for' in corpus)
+    assert all(d == 0 for d, _ in got)
+
+
+def test_filter_ngrams(micro):
+    ent = S.tag_spans(micro, "entity")
+    grams = S.filter_ngrams(micro, ent, "within", 2, 2)
+    got = sorted((r["doc_id"], r["start"], r["end"]) for r in grams.collect())
+    # bigrams within entity [0,4) of doc0: (0,2),(1,3),(2,4); entity [6,9): (6,8),(7,9); doc2 entity [1,3): (1,3)
+    assert (0, 0, 2) in got and (0, 7, 9) in got and (2, 1, 3) in got
+
+
+def test_snippets(micro):
+    h = micro.find('"quick brown"')
+    snip = micro.snippets(h.df, context_chars=10).collect()
+    assert len(snip) == 1
+    s = snip[0]
+    assert s["match_text"] == "quick brown"
+    assert "<hl>quick brown</hl>" in s["snippet"]
+
+
+def test_snippet_full_doc_span(micro):
+    h = micro.find('"may"')
+    s = micro.snippets(h.df).collect()[0]
+    assert s["match_text"] == "May"
+
+
+# ---- plan quality ----------------------------------------------------------
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_postings_scan_pushdown(micro):
+    """BM25's postings scan must push the term filter into parquet."""
+    posts = micro.postings.filter(F.col("term").isin(["the", "fox"])).select(
+        "segment_id", "term", "doc_ids"
+    )
+    plan = _formatted_plan(posts)
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the scan must not read `positions`
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "positions" not in read_schema
+
+
+def test_doc_stats_filter_pushdown(micro):
+    df = micro.doc_stats.filter(F.col("conv_id") == "doc0").select("doc_id")
+    plan = _formatted_plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "conv_id" in pushed
+
+
+def test_term_hits_whole_stage_codegen(micro):
+    """Leaf token scans stay inside whole-stage codegen (no Python)."""
+    plan = _formatted_plan(S.term_hits(micro, "the"))
+    assert "codegen id" in plan  # whole-stage codegen spans
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
