@@ -56,7 +56,14 @@ def main() -> None:
     # ---- index build over synthetic transcripts -------------------------
     idx_dir = f"/tmp/bench_idx_{cpus}_{n_turns}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    transcripts = generate_spark(spark, n_turns, seed=42, n_partitions=cpus * 2)
+    # input corpus as a stored parquet table (the north-rule input
+    # shape); generation happens outside the timed build
+    src = f"/tmp/bench_src_{n_turns}.parquet"
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        generate_spark(spark, n_turns, seed=42, n_partitions=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(src)
+    transcripts = spark.read.parquet(src)
     t0 = time.time()
     corpus = Corpus.build(
         spark, transcripts, idx_dir, EngineConfig(segment_size=1 << 13, block_size=128)

@@ -29,6 +29,15 @@ class EngineConfig:
     # block_size: docs per posting block inside a (segment, term)
     # posting list; the block-max skipping granularity (Lucene uses 128).
     block_size: int = 128
+    # segments_per_dir: segments per physical partition directory
+    # (`seg_group=` dirs). Writing one dir per segment anti-scales —
+    # measured 2.5x slower at 32 cores from dynamic-partition writer
+    # overhead + thousands of tiny dirs — and at 10^12 turns would
+    # mean ~10^8 directories. Group dirs keep the dir-replacement
+    # semantics incremental compaction relies on at a granularity
+    # that survives scale; per-segment access within a dir uses
+    # parquet row-group pruning on the segment_id column.
+    segments_per_dir: int = 64
 
     # Tokenizer: one regex, shared verbatim with the DuckDB/pure-Python
     # oracles so tokenization is bit-identical everywhere.

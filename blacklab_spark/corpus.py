@@ -29,6 +29,7 @@ class Corpus:
             segment_size=self.meta["segment_size"],
             block_size=self.meta["block_size"],
             token_pattern=self.meta["token_pattern"],
+            segments_per_dir=self.meta.get("segments_per_dir", 64),
         )
 
     # ---- build/open ---------------------------------------------------
@@ -126,6 +127,32 @@ class Corpus:
         from blacklab_spark.cql.engine import find as cql_find
 
         return cql_find(self, cql)
+
+    def search(self, **params) -> DataFrame:
+        """BLS parameter-algebra request (reference
+        wslib/.../lib/PlainWebserviceParams.java:19-110): patt/pattlang,
+        filter/filterlang, sort, group, viewgroup, sample/samplenum/
+        sampleseed, first/number, wordsaroundhit, calc='colloc'."""
+        from blacklab_spark.search.facade import search as _search
+
+        return _search(self, **params)
+
+    def find_contextql(self, query: str):
+        """Run a ContextQL (SRU CQL) query (reference
+        queryParser/contextql/ContextualQueryLanguageParser.java).
+        Contents pattern → Hits (optionally doc-filtered); pure
+        metadata query → DataFrame of matching docs (DocResults
+        analogue, reference DocResults.java:86-88)."""
+        from blacklab_spark.cql.contextql import parse_contextql
+        from blacklab_spark.cql.engine import translate
+        from blacklab_spark.search.results import Hits
+
+        cq = parse_contextql(query)
+        if cq.pattern is None:
+            docs = self.doc_stats
+            return docs.filter(cq.filter) if cq.filter else docs
+        hits = Hits(self, translate(self, cq.pattern))
+        return hits.filter_docs(cq.filter) if cq.filter else hits
 
     def term_hits(self, term: str, sensitive: bool = False) -> DataFrame:
         """All (doc_id, start, end) positions of one term — the leaf scan

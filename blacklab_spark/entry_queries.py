@@ -291,6 +291,152 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_or_hits(spark, sf_dir):
+    """BLSpanOrQuery analogue (reference BLSpanOrQuery.java:798)."""
+    c = _corpus(spark, sf_dir)
+    h = c.find('"key" | "value"').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_OR_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM tok
+WHERE t IN ('key', 'value')
+"""
+
+
+def q_token_not_hits(spark, sf_dir):
+    """Token-level NOT (reference SpanQueryNot.java:22-25)."""
+    c = _corpus(spark, sf_dir)
+    h = c.find('[word != "key"]').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_TOKEN_NOT_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM tok WHERE t <> 'key'
+"""
+
+
+def q_expansion_hits(spark, sf_dir):
+    """Any-token expansion, clipped at doc bounds
+    (reference SpanQueryExpansion.java:21-33)."""
+    c = _corpus(spark, sf_dir)
+    h = c.find('"key" []{0,2}').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_EXPANSION_HITS = f"""
+WITH {_DUCK_TOKPOS},
+dl AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+SELECT k.doc_id, k.pos AS start, k.pos + 1 + e AS "end"
+FROM tok k
+JOIN dl ON dl.doc_id = k.doc_id
+CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS e) es
+WHERE k.t = 'key' AND k.pos + 1 + e <= dl.n
+"""
+
+
+def q_hits_window(spark, sf_dir):
+    """Stable pagination (reference HitsAbstract.java:154-196)."""
+    c = _corpus(spark, sf_dir)
+    h = c.find('"value"').window(50, 100).df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_HITS_WINDOW = f"""
+WITH {_DUCK_TOKPOS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM tok
+WHERE t = 'value'
+ORDER BY doc_id, pos LIMIT 100 OFFSET 50
+"""
+
+
+def q_per_doc_hits(spark, sf_dir):
+    """DocResults: hits grouped per document
+    (reference DocResults.java:40-110)."""
+    c = _corpus(spark, sf_dir)
+    d = c.find('"table"').per_doc().select("doc_id", "n_hits")
+    return _orig_doc_id(d, c).select("doc_id", "n_hits")
+
+
+O_PER_DOC_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT doc_id, count(*) AS n_hits FROM tok WHERE t = 'table' GROUP BY doc_id
+"""
+
+
+def q_facet_role(spark, sf_dir):
+    """Facets: independent 1-D doc counts (reference Facets.java:9).
+    `role` carries the documents.lang metadata in this corpus."""
+    c = _corpus(spark, sf_dir)
+    return c.find('"spark"').facets("role")["role"]
+
+
+O_FACET_ROLE = f"""
+WITH {_DUCK_TOKPOS}
+SELECT d.lang AS role, count(*) AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tok WHERE t = 'spark')
+GROUP BY d.lang
+"""
+
+
+def q_right_context_word(spark, sf_dir):
+    """HitProperty wordright: first word right of each hit
+    (reference resultproperty/HitProperty.java:41-110, Contexts.java)."""
+    c = _corpus(spark, sf_dir)
+    ctx = c.find('"table"').with_context(1)
+    h = ctx.select(
+        "doc_id", "start", F.try_element_at("right", F.lit(1)).alias("wordright")
+    ).filter(F.col("wordright").isNotNull())
+    return _orig_doc_id(h, c).select("doc_id", "start", "wordright")
+
+
+O_RIGHT_CONTEXT_WORD = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, b.t AS wordright
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.t = 'table'
+"""
+
+
+def q_capture_hits(spark, sf_dir):
+    """Named capture groups threaded through joins
+    (reference SpanQueryCaptureGroup.java:205)."""
+    c = _corpus(spark, sf_dir)
+    h = c.find('a:"key" "value"').df.select(
+        "doc_id", "start", "end", "cap_a_start", "cap_a_end"
+    )
+    return _orig_doc_id(h, c).select(
+        "doc_id", "start", "end", "cap_a_start", "cap_a_end"
+    )
+
+
+O_CAPTURE_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end",
+       a.pos AS cap_a_start, a.pos + 1 AS cap_a_end
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.t = 'key' AND b.t = 'value'
+"""
+
+
+def q_fuzzy_term_hits(spark, sf_dir):
+    """Fuzzy term positions (reference SpanFuzzyQuery.java; Lucene
+    expands over the dictionary — ours is a broadcast dict scan)."""
+    c = _corpus(spark, sf_dir)
+    h = c.fuzzy_hits("tabl", max_edits=1)
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_FUZZY_TERM_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM tok
+WHERE levenshtein(t, 'tabl') <= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (directly over documents/embeddings)
 # ---------------------------------------------------------------------------
@@ -560,6 +706,15 @@ QUERIES = {
     "kwic": q_kwic,
     "doc_token_counts": q_doc_token_counts,
     "bm25_topk": q_bm25_topk,
+    "or_hits": q_or_hits,
+    "token_not_hits": q_token_not_hits,
+    "expansion_hits": q_expansion_hits,
+    "hits_window": q_hits_window,
+    "per_doc_hits": q_per_doc_hits,
+    "facet_role": q_facet_role,
+    "right_context_word": q_right_context_word,
+    "capture_hits": q_capture_hits,
+    "fuzzy_term_hits": q_fuzzy_term_hits,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -589,6 +744,15 @@ ORACLES = {
     "kwic": O_KWIC,
     "doc_token_counts": O_DOC_TOKEN_COUNTS,
     "bm25_topk": O_BM25_TOPK,
+    "or_hits": O_OR_HITS,
+    "token_not_hits": O_TOKEN_NOT_HITS,
+    "expansion_hits": O_EXPANSION_HITS,
+    "hits_window": O_HITS_WINDOW,
+    "per_doc_hits": O_PER_DOC_HITS,
+    "facet_role": O_FACET_ROLE,
+    "right_context_word": O_RIGHT_CONTEXT_WORD,
+    "capture_hits": O_CAPTURE_HITS,
+    "fuzzy_term_hits": O_FUZZY_TERM_HITS,
     "exact_dedup": O_EXACT_DEDUP,
     "minhash_signature": O_MINHASH_SIGNATURE,
     "lsh_candidate_pairs": O_LSH_CANDIDATE_PAIRS,

@@ -2,26 +2,101 @@
 
 BlackLab's doc ids are Lucene's dense segment-local ints rebased by
 docBase (reference search/results/SpansReader.java:212-310). Our global
-``doc_id`` is a dense rank over a stable ordering, assigned with the
-classic distributed two-pass:
+``doc_id`` is a dense rank over a stable ordering.
 
-  range-partition by the sort key -> per-partition counts -> broadcast
-  partition offsets -> per-partition row_number + offset.
+Two physical strategies, picked by a cheap key-only pre-pass:
 
-Everything stays JVM-side (whole-stage codegen): the final stamp is a
-window partitioned by the physical partition id, so the sort is local
-to each already-range-partitioned group and the only data movement is
-one balanced hash exchange on _pid. (An earlier revision stamped ids in
-an Arrow pass; pushing the full rows through Python workers measurably
-anti-scaled at high core counts, so this stays in the JVM.)
-Cost at any scale: one range shuffle + one tiny collect + one balanced
-exchange. No global single-partition window anywhere.
+1. **Pre-ranged fast path (zero shuffle).** If the input's partitions
+   already cover pairwise-disjoint key ranges — the natural layout of
+   an Iceberg/parquet table written sorted or partitioned by the key
+   (e.g. transcripts laid out by conv_id) — then dense rank =
+   per-partition offset + local row index. The pre-pass reads ONLY the
+   key columns (parquet column pruning) to get per-partition
+   (count, min, max); the main pass is `sortWithinPartitions` (local
+   sort, no exchange) + `monotonically_increasing_id` (partition id in
+   the upper 31 bits, record number in the lower 33) + a broadcast
+   join against the offsets. Zero data movement. Within-partition
+   order is NOT required — only range disjointness — because the
+   local sort establishes it.
+
+2. **Generic path (one range shuffle).** Otherwise: repartitionByRange
+   on the key (the sampling job is column-pruned), persist, tiny
+   per-partition count collect, then the same local-sort + mono-id +
+   broadcast-offset stamp. No window over _pid anywhere — a window
+   partitioned by _pid would force a second full hash exchange.
+
+Everything stays JVM-side (whole-stage codegen). (An earlier revision
+stamped ids in an Arrow pass; pushing full rows through Python workers
+measurably anti-scaled at high core counts, so this stays in the JVM.)
+Cost at 100-TB scale: sorted-table ingest pays ZERO shuffle; unsorted
+ingest pays exactly one range shuffle + one tiny collect.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
+
+_RECORD_BITS = 33  # monotonically_increasing_id: record number bit width
+
+
+def _partition_key_stats(df: DataFrame, order_cols: tuple[str, ...]):
+    """One column-pruned pass: per physical partition
+    (pid, count, min_key, max_key) with key = struct(order_cols)."""
+    key = F.struct(*[F.col(c) for c in order_cols])
+    rows = (
+        df.select(key.alias("_key"))
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("_key").alias("kmin"),
+            F.max("_key").alias("kmax"),
+        )
+        .collect()
+    )
+    return sorted(rows, key=lambda r: r["kmin"])
+
+
+def _disjoint_ranges(stats) -> bool:
+    for prev, cur in zip(stats, stats[1:]):
+        if prev["kmax"] >= cur["kmin"]:
+            return False
+    return True
+
+
+def _stamp(df: DataFrame, order_cols: tuple[str, ...], id_col: str, offsets) -> DataFrame:
+    """Local sort + mono-id + broadcast offset join; no exchange."""
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    m = F.monotonically_increasing_id()
+    return (
+        df.sortWithinPartitions(*order_cols)
+        .withColumn("_mono", m)
+        .withColumn("_pid", F.shiftright("_mono", _RECORD_BITS).cast("int"))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            id_col,
+            F.col("_off")
+            + F.col("_mono").bitwiseAND(F.lit((1 << _RECORD_BITS) - 1)),
+        )
+        .drop("_pid", "_off", "_mono")
+    )
+
+
+def _stable_partitioning(df: DataFrame) -> bool:
+    """True iff two separate queries over ``df`` are guaranteed to see
+    the same physical partition ids: a file-based scan (deterministic
+    split planning) with only narrow ops above it (no Exchange — AQE
+    re-plans shuffle partitioning per query, and LocalRelation plans
+    parallelize differently per query)."""
+    try:
+        if not df.inputFiles():
+            return False
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return "Exchange" not in plan
+    except Exception:
+        return False
 
 
 def with_dense_id(
@@ -35,26 +110,31 @@ def with_dense_id(
     ``row_number() over (order by *order_cols) - 1`` without the
     single-partition global window."""
     spark = df.sparkSession
+
+    if _stable_partitioning(df):
+        stats = _partition_key_stats(df, order_cols)
+        if stats and _disjoint_ranges(stats):
+            offsets, acc = [], 0
+            for r in stats:
+                offsets.append((r["_pid"], acc))
+                acc += r["cnt"]
+            return _stamp(df, order_cols, id_col, offsets)
+
+    # generic path: one range shuffle, then the same local stamp
     n = num_partitions or spark.sparkContext.defaultParallelism
-    d = (
-        df.repartitionByRange(n, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    d = df.repartitionByRange(n, *order_cols).persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         r["_pid"]: r["cnt"]
-        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in (
+            d.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
     }
     offsets: list[tuple[int, int]] = []
     acc = 0
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
-
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    return (
-        d.join(F.broadcast(off_df), "_pid")
-        .withColumn(id_col, F.row_number().over(w) - 1 + F.col("_off"))
-        .drop("_pid", "_off")
-    )
+    return _stamp(d, order_cols, id_col, offsets)

@@ -88,8 +88,10 @@ def add_documents(
     cfg = EngineConfig(
         k1=meta["k1"], b=meta["b"], segment_size=meta["segment_size"],
         block_size=meta["block_size"], token_pattern=meta["token_pattern"],
+        segments_per_dir=meta.get("segments_per_dir", 64),
     )
     seg_size = cfg.segment_size
+    group_docs = seg_size * cfg.segments_per_dir
     old_stats = spark.read.parquet(_stage_dir(index_dir, "doc_stats"))
     base = int(old_stats.agg(F.max("doc_id")).collect()[0][0]) + 1
     # new docs start at a fresh segment boundary: existing segment files
@@ -100,12 +102,12 @@ def add_documents(
     with_ids = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(base))
     tokenized = tokenize(with_ids, cfg).withColumn(
         "segment_id", F.expr(f"doc_id DIV {seg_size}")
-    )
+    ).withColumn("seg_group", F.expr(f"doc_id DIV {group_docs}"))
     n_out = max(spark.sparkContext.defaultParallelism // 2, 4)
     (
         tokenized.repartitionByRange(n_out, "doc_id")
         .write.mode("append")
-        .partitionBy("segment_id")
+        .partitionBy("seg_group")
         .parquet(_stage_dir(index_dir, "tokenized"))
     )
     # re-read the delta (stable lineage for the remaining stages)
@@ -124,10 +126,12 @@ def add_documents(
         delta.agg(F.sum("num_tokens")).collect()[0][0] or 0
     )
     avgdl = total_tokens / max(n_docs, 1)
-    postings = encode_postings(delta, cfg, avgdl)
+    postings = encode_postings(delta, cfg, avgdl).withColumn(
+        "seg_group", F.expr(f"segment_id DIV {cfg.segments_per_dir}")
+    )
     (
         postings.write.mode("append")
-        .partitionBy("segment_id")
+        .partitionBy("seg_group")
         .parquet(_stage_dir(index_dir, "postings"))
     )
 
@@ -225,19 +229,21 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     cfg = EngineConfig(
         k1=meta["k1"], b=meta["b"], segment_size=meta["segment_size"],
         block_size=meta["block_size"], token_pattern=meta["token_pattern"],
+        segments_per_dir=meta.get("segments_per_dir", 64),
     )
     deletes = load_deletes(spark, index_dir)
     if deletes is None or deletes.isEmpty():
         return meta
     tok_path = _stage_dir(index_dir, "tokenized")
     tokenized = spark.read.parquet(tok_path)
-    dirty = [
-        int(r["segment_id"])
-        for r in tokenized.join(deletes, "doc_id", "leftsemi")
-        .select("segment_id")
+    dirty_rows = (
+        tokenized.join(deletes, "doc_id", "leftsemi")
+        .select("segment_id", "seg_group")
         .distinct()
         .collect()
-    ]
+    )
+    dirty = sorted({int(r["segment_id"]) for r in dirty_rows})
+    dirty_groups = sorted({int(r["seg_group"]) for r in dirty_rows})
 
     # rewrite dirty segments of the partitioned tokenized table; spans
     # and doc_stats are unpartitioned -> whole-table anti-join rewrite
@@ -248,14 +254,14 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         keep.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path)
         os.rename(tmp, path)
-    for seg in dirty:
-        seg_dir = os.path.join(tok_path, f"segment_id={seg}")
-        part = spark.read.parquet(seg_dir)
+    for grp in dirty_groups:
+        grp_dir = os.path.join(tok_path, f"seg_group={grp}")
+        part = spark.read.parquet(grp_dir)
         keep = part.join(deletes, "doc_id", "leftanti")
-        tmp = seg_dir + ".tmp"
+        tmp = grp_dir + ".tmp"
         keep.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(seg_dir)
-        os.rename(tmp, seg_dir)
+        shutil.rmtree(grp_dir)
+        os.rename(tmp, grp_dir)
 
     tokenized = spark.read.parquet(tok_path)
     stats = spark.read.parquet(_stage_dir(index_dir, "doc_stats"))
@@ -268,16 +274,28 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     # re-encode dirty segments, then refresh terms stats FROM the
     # blocks (stable term_ids; vanished terms drop out)
     post_path = _stage_dir(index_dir, "postings")
+    tokenized = spark.read.parquet(tok_path)  # re-read: dirty groups rewritten
+    # rewrite each dirty GROUP dir: clean segments' block rows carry
+    # over unchanged; dirty segments are re-encoded from the forward
+    # index (which no longer contains the deleted docs)
     dirty_tok = tokenized.filter(F.col("segment_id").isin(dirty))
-    new_posts = encode_postings(dirty_tok, cfg, avgdl)
+    new_posts = encode_postings(dirty_tok, cfg, avgdl).withColumn(
+        "seg_group", F.expr(f"segment_id DIV {cfg.segments_per_dir}")
+    )
     tmp = post_path + ".rewrite"
-    new_posts.write.mode("overwrite").partitionBy("segment_id").parquet(tmp)
-    for seg in dirty:
-        seg_dir = os.path.join(post_path, f"segment_id={seg}")
-        shutil.rmtree(seg_dir, ignore_errors=True)
-        src = os.path.join(tmp, f"segment_id={seg}")
+    old_posts = spark.read.parquet(post_path)
+    carry = old_posts.filter(
+        F.col("seg_group").isin(dirty_groups) & ~F.col("segment_id").isin(dirty)
+    )
+    carry.unionByName(new_posts.select(*carry.columns)).write.mode(
+        "overwrite"
+    ).partitionBy("seg_group").parquet(tmp)
+    for grp in dirty_groups:
+        grp_dir = os.path.join(post_path, f"seg_group={grp}")
+        shutil.rmtree(grp_dir, ignore_errors=True)
+        src = os.path.join(tmp, f"seg_group={grp}")
         if os.path.exists(src):
-            os.rename(src, seg_dir)
+            os.rename(src, grp_dir)
     shutil.rmtree(tmp, ignore_errors=True)
 
     terms_path = _stage_dir(index_dir, "terms")

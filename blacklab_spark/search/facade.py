@@ -1,0 +1,135 @@
+"""BlackLab-Server parameter-algebra facade.
+
+One entry point mirroring the BLS request surface (reference
+server/.../requesthandlers/RequestHandler.java:54-73 endpoints and
+wslib/.../lib/PlainWebserviceParams.java:19-110 parameters):
+
+    search(corpus,
+           patt=..., pattlang="bcql"|"contextql",
+           filter=..., filterlang="luceneql"|"sql",
+           sort=..., group=..., viewgroup=...,
+           sample=..., samplenum=..., sampleseed=...,
+           first=..., number=..., wordsaroundhit=...,
+           calc=...)
+
+Returns a DataFrame shaped by the terminal operation, exactly like the
+BLS response kinds: hits (KWIC rows), hits-grouped, docs, docs-grouped,
+or collocations (`calc="colloc"`). No HTTP layer — the parameter
+algebra IS the capability being grafted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from blacklab_spark.search.results import Hits
+
+
+def search(
+    corpus,
+    patt: str | None = None,
+    pattlang: str = "bcql",
+    filter: str | None = None,  # noqa: A002 - BLS parameter name
+    filterlang: str = "luceneql",
+    sort: str | None = None,
+    group: str | None = None,
+    viewgroup: str | None = None,
+    sample: float | None = None,
+    samplenum: int | None = None,
+    sampleseed: int = 42,
+    first: int = 0,
+    number: int | None = None,
+    wordsaroundhit: int | None = None,
+    calc: str | None = None,
+) -> DataFrame:
+    """Run one BLS-style request against the corpus."""
+    from pyspark.sql import functions as F
+
+    # ---- filter → SQL expression -----------------------------------
+    filter_sql = None
+    if filter:
+        if filterlang == "luceneql":
+            from blacklab_spark.cql.luceneql import parse_luceneql
+
+            filter_sql = parse_luceneql(filter)
+        elif filterlang == "sql":
+            filter_sql = filter
+        else:
+            raise ValueError(f"unknown filterlang: {filterlang}")
+
+    # ---- pattern → Hits --------------------------------------------
+    if patt is None:
+        # docs-only request (reference DocResults.java:86-88)
+        docs = corpus.doc_stats
+        if filter_sql:
+            docs = docs.filter(filter_sql)
+        if group:
+            return docs.groupBy(group).agg(F.count(F.lit(1)).alias("n_docs")).orderBy(
+                F.desc("n_docs"), group
+            )
+        return docs
+
+    if pattlang == "bcql":
+        hits = corpus.find(patt)
+    elif pattlang == "contextql":
+        res = corpus.find_contextql(patt)
+        if isinstance(res, DataFrame):  # metadata-only ContextQL
+            return res
+        hits = res
+    else:
+        raise ValueError(f"unknown pattlang: {pattlang}")
+
+    if filter_sql:
+        hits = hits.filter_docs(filter_sql)
+
+    # ---- sample (before sort/group, like BLS) ----------------------
+    if sample is not None or samplenum is not None:
+        hits = hits.sample(n=samplenum, fraction=sample, seed=sampleseed)
+
+    # ---- grouping requests -----------------------------------------
+    if group and viewgroup is None:
+        if group.startswith("field:"):
+            return hits.group_by_metadata(group.split(":", 1)[1])
+        if group.startswith("hit:") or group == "hit":
+            ann = group.split(":", 1)[1] if ":" in group else "word"
+            return hits.group_by_hit_text(ann or "word")
+        raise ValueError(f"unknown group criterion: {group}")
+
+    if viewgroup is not None:
+        # hits of one group (reference RequestHandler viewgroup param)
+        if not group:
+            raise ValueError("viewgroup requires group")
+        ann = group.split(":", 1)[1] if ":" in group else "word"
+        ctx = hits.with_context(0, ann or "word")
+        h = ctx.withColumn("_grp", F.array_join("match", " ")).filter(
+            F.col("_grp") == viewgroup
+        )
+        hits = Hits(corpus, h.select(*[c for c in hits.df.columns]))
+
+    # ---- sort -------------------------------------------------------
+    if sort:
+        if sort.startswith("field:"):
+            col = sort.split(":", 1)[1]
+            j = hits.df.join(
+                corpus.doc_stats.select("doc_id", col), "doc_id"
+            ).orderBy(col, "doc_id", "start", "end").drop(col)
+            hits = Hits(corpus, j)
+        elif sort in ("left", "right"):
+            hits = hits.sort_by_context(sort)
+        elif sort.startswith("hit"):
+            hits = hits.sort_by_hit_text(
+                sort.split(":", 1)[1] if ":" in sort else "word"
+            )
+        else:
+            raise ValueError(f"unknown sort criterion: {sort}")
+
+    # ---- collocations ----------------------------------------------
+    if calc == "colloc":
+        return hits.collocations(wordsaroundhit)
+
+    # ---- window + KWIC ----------------------------------------------
+    if number is not None:
+        hits = hits.window(first, number)
+    if wordsaroundhit is not None:
+        return hits.kwic(wordsaroundhit)
+    return hits.df

@@ -51,17 +51,20 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
         )
-        # shuffle/spill scratch: prefer tmpfs when present — on this
-        # single-node sandbox the OS disk is a virtio device that
-        # serializes under many-way concurrent shuffle I/O (a real
-        # cluster would use fast local SSDs per executor instead)
+        # shuffle/spill scratch on the OS disk: an earlier revision used
+        # /dev/shm, but measured tmpfs write concurrency is erratic at
+        # high core counts (shmem page-allocation contention) while
+        # page-cache-backed disk writes stay fast and stable
         .config(
             "spark.local.dir",
-            os.environ.get(
-                "SPARK_LOCAL_DIRS",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
+            os.environ.get("SPARK_LOCAL_DIRS", "/tmp/spark-local"),
         )
+        # parallel task-side output commit (v1 renames every output
+        # file serially on the driver — anti-scales with file count)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # write dynamic partitions concurrently instead of sorting each
+        # task's rows by partition key first
+        .config("spark.sql.maxConcurrentOutputFileWriters", "32")
         .config("spark.sql.session.timeZone", "UTC")
         # zstd writes fewer bytes for slightly more (parallelizable)
         # CPU: on many-core nodes the byte stream, not the codec, is

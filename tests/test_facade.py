@@ -1,0 +1,91 @@
+"""LuceneQL filter compiler + BLS parameter-algebra facade tests
+(reference BlsUtils.java:44-106 and PlainWebserviceParams.java:19-110)."""
+
+import pytest
+
+from blacklab_spark.config import EngineConfig
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.cql.luceneql import parse_luceneql
+
+from micro_corpus import spans_pdf, transcripts_pdf
+
+
+# ---- pure parser tests (no Spark) ----------------------------------------
+
+def test_luceneql_equality_and_bool():
+    assert parse_luceneql("role:user") == "(role = 'user')"
+    assert (
+        parse_luceneql("role:user AND tool:db")
+        == "((role = 'user') AND (tool = 'db'))"
+    )
+    # juxtaposition = AND; +/- signs
+    assert parse_luceneql("+role:user -tool:db") == (
+        "((role = 'user') AND (NOT (tool = 'db')))"
+    )
+
+
+def test_luceneql_wildcard_and_range():
+    assert parse_luceneql("conv_id:c00*") == "(conv_id LIKE 'c00%')"
+    assert parse_luceneql("turn_idx:[2 TO 5]") == "(turn_idx >= 2 AND turn_idx <= 5)"
+    assert parse_luceneql("turn_idx:{2 TO 5}") == "(turn_idx > 2 AND turn_idx < 5)"
+    assert parse_luceneql("turn_idx:[* TO 9]") == "(turn_idx <= 9)"
+
+
+# ---- facade over the 4-doc corpus ----------------------------------------
+
+@pytest.fixture(scope="module")
+def micro(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("microfac") / "idx")
+    return Corpus.build(
+        spark,
+        spark.createDataFrame(transcripts_pdf()),
+        d,
+        EngineConfig(segment_size=2, block_size=4),
+        extra_spans=spark.createDataFrame(
+            spans_pdf(),
+            schema="conv_id string, turn_idx long, tag string, "
+            "start int, end int, attrs map<string,string>",
+        ),
+    )
+
+
+def test_search_hits_with_filter(micro):
+    out = micro.search(patt='"the"', filter="conv_id:doc0", filterlang="luceneql")
+    got = sorted((r["doc_id"], r["start"]) for r in out.collect())
+    assert got == [(0, 0), (0, 6)]
+
+
+def test_search_kwic_window(micro):
+    out = micro.search(patt='"the"', first=0, number=2, wordsaroundhit=1)
+    rows = out.orderBy("doc_id", "start").collect()
+    assert len(rows) == 2
+    assert rows[0]["match"] == "the" and rows[0]["right"] == "quick"
+
+
+def test_search_grouped_by_field(micro):
+    out = micro.search(patt='"the"', group="field:conv_id")
+    m = {r["conv_id"]: r["n_hits"] for r in out.collect()}
+    assert m == {"doc0": 2, "doc2": 1, "doc3": 1}
+
+
+def test_search_viewgroup(micro):
+    out = micro.search(patt='"qu.*"', group="hit:word", viewgroup="quick")
+    got = sorted((r["doc_id"], r["start"]) for r in out.collect())
+    assert got == [(0, 1)]
+
+
+def test_search_docs_only(micro):
+    out = micro.search(filter="conv_id:doc*", group="role")
+    rows = out.collect()
+    assert rows[0]["role"] == "user" and rows[0]["n_docs"] == 4
+
+
+def test_search_colloc(micro):
+    out = micro.search(patt='"fox"', calc="colloc", wordsaroundhit=1)
+    m = {r["term"]: r["freq"] for r in out.collect()}
+    assert m == {"brown": 1, "jumps": 1}
+
+
+def test_search_contextql_pattlang(micro):
+    out = micro.search(patt='pos = "nou"', pattlang="contextql")
+    assert out.count() == 4

@@ -17,14 +17,22 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def run(cpus: int, n_turns: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_run.py"), str(cpus), str(n_turns)],
-        capture_output=True,
-        text=True,
-        timeout=1800,
-    )
+    # pin the process to exactly `cpus` CPUs: this is the honest
+    # N-core-cluster emulation — an unpinned local[8] JVM still runs
+    # 32 GC/IO threads and enjoys higher turbo headroom, overstating
+    # small-cluster throughput (and understating scaling efficiency)
+    cmd = [sys.executable, os.path.join(HERE, "scaling_run.py"), str(cpus), str(n_turns)]
+    if shutil_which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
+
+
+def shutil_which(name: str):
+    import shutil
+
+    return shutil.which(name)
 
 
 def main() -> None:

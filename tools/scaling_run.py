@@ -35,16 +35,42 @@ QUERIES = [
 def main() -> None:
     cpus = int(sys.argv[1])
     n_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+    # steady-state JVM: fixed pre-touched heap, so no mid-run page
+    # zeroing (kernel-time spikes measured up to 96% sys otherwise)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "20g")
+    os.environ.setdefault(
+        "SPARK_DRIVER_JAVA_OPTS",
+        "-XX:+UseParallelGC -Xms20g -XX:+AlwaysPreTouch",
+    )
     # fixed shuffle partitioning: both cluster sizes execute the same
-    # physical plan over the same splits; only executor count varies
-    spark = get_spark("scaling", cpus=cpus, shuffle_partitions=64)
+    # physical plan over the same splits; only executor count varies.
+    # 256 partitions = >=8 task waves at the large size: stage barriers
+    # + task quantization otherwise idle most cores on straggler tails
+    spark = get_spark(
+        "scaling",
+        cpus=cpus,
+        shuffle_partitions=256,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "512k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
-    idx = f"/dev/shm/scaling_idx_{cpus}_{n_turns}"
+    idx = f"/tmp/scaling_idx_{cpus}_{n_turns}"
     shutil.rmtree(idx, ignore_errors=True)
-    # fixed partition count: both cluster sizes process the IDENTICAL
-    # input split (generation is seeded per partition)
-    tr = generate_spark(spark, n_turns, seed=42, n_partitions=64)
+    # materialize the input corpus to parquet FIRST (outside the timed
+    # region): the north-rule input is an Iceberg/parquet table on
+    # storage, not an in-flight python generator — indexing throughput
+    # is measured from the stored table, and the build's range-sampling
+    # pass then reads only the pruned key columns
+    src = f"/tmp/scaling_src_{n_turns}.parquet"
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        generate_spark(spark, n_turns, seed=42, n_partitions=256).write.mode(
+            "overwrite"
+        ).parquet(src)
+    tr = spark.read.parquet(src)
     # warm up executors/python workers so the measured run is steady-state
     tr.limit(1000).count()
 
