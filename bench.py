@@ -148,6 +148,13 @@ def main() -> None:
         "indexing_turns_per_sec": round(turns_per_sec, 1),
         "bm25_p95_sec": round(p95, 3),
     }
+    # latest two-cluster-size scaling evidence (tools/scaling_bench.py,
+    # pinned local[8] vs local[32], min-of-N over interleaved reps)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)
     print(json.dumps(out))
 
 

@@ -55,3 +55,12 @@ class EngineConfig:
     # are per (segment, term), so this is partition-safe) and a Zipf
     # head term is confined to one bounded task.
     encode_buckets: int = 8
+
+    # Cost-based forward-index matching (the analogue of the
+    # reference's reverse-vs-NFA choice, ClauseCombinerNfa.java:66,74
+    # nfaFactor=900 / TERM_FREQ_DIVIDER=500): in a sequence, when a
+    # neighbor term's df is at least this many times the anchor side's
+    # df estimate, the planner probes the neighbor over the token
+    # arrays (element_at after one doc_id join) instead of joining the
+    # neighbor's full position list.
+    fi_probe_ratio: float = 16.0

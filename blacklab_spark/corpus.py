@@ -62,7 +62,14 @@ class Corpus:
         liveDocs per segment) whenever deletes exist."""
         cache = self.__dict__.setdefault("_tables", {})
         if name not in cache:
-            cache[name] = self.spark.read.parquet(os.path.join(self.index_dir, name))
+            df = self.spark.read.parquet(os.path.join(self.index_dir, name))
+            if name == "tokenized" and "tokens_i" not in df.columns:
+                # the insensitive annotation is derived, not stored:
+                # lower() in whole-stage codegen costs ~3s per full
+                # corpus scan while storing it doubled the forward
+                # index's token bytes (write AND every scan)
+                df = df.withColumn("tokens_i", F.expr("transform(tokens, t -> lower(t))"))
+            cache[name] = df
         df = cache[name]
         if name in ("tokenized", "doc_stats", "spans"):
             dels = self.deletes

@@ -189,13 +189,54 @@ def _sequence(corpus, parts: list) -> DataFrame:
     return out
 
 
+def _plain_term(part) -> str | None:
+    """The insensitive plain-term value of a part, or None."""
+    if (
+        isinstance(part, P.TermNode)
+        and not part.negate
+        and not part.sensitive
+        and part.annotation in ("word", "")
+        and P.is_plain_term(part.value)
+    ):
+        return part.value.lower()
+    return None
+
+
+def _seq_term_dfs(corpus, parts: list) -> dict[str, int]:
+    """Driver-side df lookup for the sequence's plain terms (one tiny
+    filtered scan of the terms dict) — the planner's cost model input,
+    like the reference's term-frequency cost source
+    (BLSpanQuery.reverseMatchingCost via ClauseCombinerNfa.java:144-282)."""
+    terms = {t for t in (_plain_term(p) for p in parts) if t is not None}
+    if not terms:
+        return {}
+    rows = (
+        corpus.terms.filter(F.col("term").isin(list(terms)))
+        .select("term", "df")
+        .collect()
+    )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
 def _sequence_one(corpus, parts: list) -> DataFrame:
     """One alternative with no empty-matching parts: left-to-right
-    adjacency joins, folding [] fillers into expansions."""
+    adjacency joins, folding [] fillers into expansions.
+
+    Cost-based forward-index strategy (reference ClauseCombinerNfa):
+    an adjacent plain term whose df dwarfs the running df estimate is
+    matched by probing the token arrays from the anchor hits
+    (S.probe_neighbor) instead of joining its position list; a frequent
+    LEADING term is deferred so the rare right neighbor anchors a
+    backward probe."""
+    ratio = corpus.cfg.fi_probe_ratio
+    dfs = _seq_term_dfs(corpus, parts) if ratio else {}
+
     current: DataFrame | None = None
+    cur_df: int | None = None  # df estimate (min term df so far)
+    pending_left_probe: str | None = None  # frequent leading term deferred
     pending_gap: tuple[int, int] | None = None  # leading/infix [] bounds
 
-    for part in parts:
+    for i, part in enumerate(parts):
         at = _anytoken_bounds(part)
         if at is not None:
             pending_gap = (
@@ -204,18 +245,59 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
                 else (pending_gap[0] + at[0], pending_gap[1] + at[1])
             )
             continue
-        t = translate(corpus, part)
+        term = _plain_term(part)
+        df_t = dfs.get(term) if term is not None else None
+
         if current is None:
+            # frequent leading term directly followed by a rarer plain
+            # term: defer it and probe backward from the rare anchor
+            if (
+                term is not None
+                and df_t is not None
+                and pending_gap is None
+                and pending_left_probe is None
+                and i + 1 < len(parts)
+            ):
+                nxt = _plain_term(parts[i + 1])
+                df_n = dfs.get(nxt) if nxt is not None else None
+                if df_n is not None and df_t >= ratio * max(df_n, 1):
+                    pending_left_probe = term
+                    continue
+            t = translate(corpus, part)
             if pending_gap is not None:
                 # leading []s: expand first clause left
                 t = S.expand(t, corpus, "left", pending_gap[0], pending_gap[1])
             current = t
+            cur_df = df_t
+            if pending_left_probe is not None:
+                current = S.probe_neighbor(
+                    corpus, current, pending_left_probe, "left"
+                )
+                pending_left_probe = None
         elif pending_gap is not None:
             gmin, gmax = pending_gap
-            current = S.sequence_with_gap(current, t, gmin, gmax)
+            current = S.sequence_with_gap(current, translate(corpus, part), gmin, gmax)
+            cur_df = None
+        elif (
+            term is not None
+            and df_t is not None
+            and cur_df is not None
+            and df_t >= ratio * max(cur_df, 1)
+        ):
+            current = S.probe_neighbor(corpus, current, term, "right")
         else:
-            current = S.sequence(current, t)
+            current = S.sequence(current, translate(corpus, part))
+            if df_t is not None:
+                cur_df = df_t if cur_df is None else min(cur_df, df_t)
         pending_gap = None
+
+    if pending_left_probe is not None:
+        # the deferred frequent term turned out to be the only part
+        current = translate(
+            corpus, P.TermNode("word", pending_left_probe)
+        ) if current is None else S.probe_neighbor(
+            corpus, current, pending_left_probe, "left"
+        )
 
     if current is None:
         # pure any-token sequence: [] []{1,2} -> n-grams

@@ -110,16 +110,16 @@ def tokenize(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Vectorized tokenization, entirely JVM-side (regexp_extract_all in
     whole-stage codegen — the analogue of the reference's
     BLStandardAnalyzer, analysis/BLStandardAnalyzer.java). `tokens`
-    keeps original case (the 'sensitive' annotation); `tokens_i` is the
-    insensitive variant the postings are built over
-    (cf. MatchSensitivity.java:14-17). Both come from ONE extraction so
-    positions are identical by construction."""
+    keeps original case (the 'sensitive' annotation). The insensitive
+    variant `tokens_i` (cf. MatchSensitivity.java:14-17) is NOT stored:
+    it is always `lower(tokens)` position-for-position, so it is
+    derived where needed (encode input projection, Corpus.tokenized) —
+    storing it doubled the forward index's token bytes for a ~3s/scan
+    recompute."""
     pat = _case_expanded(cfg.token_pattern)
     return df.withColumn(
         "tokens", F.expr(f"regexp_extract_all(text, '{pat}', 0)")
-    ).withColumn("tokens_i", F.expr("transform(tokens, t -> lower(t))")).withColumn(
-        "num_tokens", F.size("tokens")
-    )
+    ).withColumn("num_tokens", F.size("tokens"))
 
 
 def make_encoder(cfg: EngineConfig, avgdl: float):
@@ -229,7 +229,10 @@ def encode_postings(
     exists anywhere: queries filter blocks on the term string with the
     same parquet predicate pushdown, and the terms dictionary is
     aggregated FROM these blocks."""
-    rows = tokenized.select("segment_id", "doc_id", "num_tokens", "tokens_i")
+    src = tokenized
+    if "tokens_i" not in src.columns:
+        src = src.withColumn("tokens_i", F.expr("transform(tokens, t -> lower(t))"))
+    rows = src.select("segment_id", "doc_id", "num_tokens", "tokens_i")
     return rows.groupBy("segment_id").applyInPandas(
         make_encoder(cfg, avgdl), schema=POSTINGS_SCHEMA
     )

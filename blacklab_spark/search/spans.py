@@ -142,6 +142,39 @@ def sequence(a: DataFrame, b: DataFrame) -> DataFrame:
     return L.join(R, cond).select(*out_cols)
 
 
+def probe_neighbor(
+    corpus,
+    hits: DataFrame,
+    term: str,
+    direction: str = "right",
+    annotation: str = "word",
+) -> DataFrame:
+    """Forward-index neighbor match: extend each anchor hit by checking
+    the adjacent token in the doc's token array instead of joining
+    against the neighbor term's full position list.
+
+    The reference's cost-based NFA strategy (ClauseCombinerNfa.java:144-282,
+    SpanQueryFiSeq.java:20-24): resolve the RARE clause from the
+    reverse index, walk the FREQUENT neighbor over the forward index.
+    Here the walk is one vectorized `element_at` check after a doc_id
+    equi-join with the tokenized table — the frequent term's positions
+    (potentially a large fraction of the corpus) are never materialized
+    or shuffled."""
+    col = _annotation_col(annotation, sensitive=False)
+    tk = corpus.tokenized.select("doc_id", F.col(col).alias("_toks"))
+    j = hits.join(tk, "doc_id")
+    if direction == "right":
+        # token at 0-based position `end` (element_at is 1-based)
+        match = F.lower(F.try_element_at("_toks", F.col("end") + 1)) == term.lower()
+        return j.filter(match).select(
+            "doc_id", "start", (F.col("end") + 1).alias("end"), *_caps(hits)
+        )
+    match = F.lower(F.try_element_at("_toks", F.col("start"))) == term.lower()
+    return j.filter(match).select(
+        "doc_id", (F.col("start") - 1).alias("start"), "end", *_caps(hits)
+    ).filter(F.col("start") >= 0)
+
+
 def sequence_with_gap(a: DataFrame, b: DataFrame, gmin: int, gmax: int) -> DataFrame:
     """A, then a gap of [gmin,gmax] tokens, then B
     (reference SpansSequenceWithGap.java:10-20)."""

@@ -1,0 +1,65 @@
+"""Cost-based forward-index probe (reference ClauseCombinerNfa.java:
+rare clause anchors, frequent neighbor matched over the forward
+index). The probe plan must return EXACTLY the same hits as the
+posting-join plan, for both directions."""
+
+import dataclasses
+
+import pytest
+
+from blacklab_spark.search import spans as S
+
+
+def hits(df):
+    return sorted(
+        (r["doc_id"], r["start"], r["end"])
+        for r in df.select("doc_id", "start", "end").collect()
+    )
+
+
+@pytest.fixture()
+def probing_corpus(small_corpus):
+    corpus, _ = small_corpus
+    # force the probe for any df imbalance >= 1.01x
+    orig = corpus.cfg
+    corpus.cfg = dataclasses.replace(orig, fi_probe_ratio=1.01)
+    yield corpus
+    corpus.cfg = orig
+
+
+def _df_ratio_pair(corpus):
+    """(rare, frequent) plain-term pair that actually coexists adjacently:
+    synth corpus is Zipfian, word00001 is frequent, high ids are rare."""
+    return "word00001"
+
+
+def test_probe_right_equals_join(small_corpus, probing_corpus):
+    corpus, _ = small_corpus
+    # rare-then-frequent: right neighbor probed
+    q = '"word00123" "word00001"'
+    with_probe = hits(probing_corpus.find(q).df)
+    no_probe_corpus = probing_corpus
+    no_probe_corpus.cfg = dataclasses.replace(corpus.cfg, fi_probe_ratio=0.0)
+    without = hits(no_probe_corpus.find(q).df)
+    assert with_probe == without
+
+
+def test_probe_left_equals_join(small_corpus, probing_corpus):
+    corpus, _ = small_corpus
+    # frequent-then-rare: leading term deferred, backward probe
+    q = '"word00001" "word00123"'
+    with_probe = hits(probing_corpus.find(q).df)
+    probing_corpus.cfg = dataclasses.replace(corpus.cfg, fi_probe_ratio=0.0)
+    without = hits(probing_corpus.find(q).df)
+    assert with_probe == without
+
+
+def test_probe_neighbor_unit(small_corpus):
+    corpus, _ = small_corpus
+    anchor = S.term_hits(corpus, "word00050")
+    probed = S.probe_neighbor(corpus, anchor, "word00001", "right")
+    joined = S.sequence(anchor, S.term_hits(corpus, "word00001"))
+    assert hits(probed) == hits(joined)
+    probed_l = S.probe_neighbor(corpus, anchor, "word00001", "left")
+    joined_l = S.sequence(S.term_hits(corpus, "word00001"), anchor)
+    assert hits(probed_l) == hits(joined_l)

@@ -61,25 +61,30 @@ def main() -> None:
     eff_query = (
         bestq[n_large]["queries_per_sec"] / (factor * bestq[n_small]["queries_per_sec"])
     )
-    print(
-        json.dumps(
-            {
-                "pair": f"local[{n_small}] -> local[{n_large}]",
-                "n_turns": n_turns,
-                "reps": reps,
-                "best_small": best[n_small],
-                "best_large": best[n_large],
-                "build_eff": round(eff_build, 3),
-                "query_eff": round(eff_query, 3),
-                "build_speedup": round(
-                    best[n_large]["build_turns_per_sec"]
-                    / best[n_small]["build_turns_per_sec"],
-                    2,
-                ),
-            }
+    summary = {
+        "pair": f"local[{n_small}] -> local[{n_large}]",
+        "n_turns": n_turns,
+        "reps": reps,
+        "best_small": best[n_small],
+        "best_large": best[n_large],
+        "best_small_query": bestq[n_small],
+        "best_large_query": bestq[n_large],
+        "build_eff": round(eff_build, 3),
+        "query_eff": round(eff_query, 3),
+        "build_speedup": round(
+            best[n_large]["build_turns_per_sec"]
+            / best[n_small]["build_turns_per_sec"],
+            2,
         ),
-        flush=True,
-    )
+        "query_speedup": round(
+            bestq[n_large]["queries_per_sec"] / bestq[n_small]["queries_per_sec"], 2
+        ),
+    }
+    print(json.dumps(summary), flush=True)
+    # persist for bench.py / BASELINE.md (the driver's BENCH record
+    # carries the latest two-cluster-size evidence)
+    with open(os.path.join(os.path.dirname(HERE), "SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":
