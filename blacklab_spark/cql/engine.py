@@ -105,6 +105,8 @@ def translate(corpus, node) -> DataFrame:
         return _term(corpus, node)
     if isinstance(node, P.AnyToken):
         return S.any_token(corpus, 1, 1)
+    if isinstance(node, P.FISeq):
+        return _fi_seq(corpus, node)
     if isinstance(node, P.TokenAnd):
         return _token_and(corpus, node)
     if isinstance(node, P.TokenOr):
@@ -200,6 +202,40 @@ def _plain_term(part) -> str | None:
     ):
         return part.value.lower()
     return None
+
+
+def _probe_target(part) -> tuple[str, str] | None:
+    """(annotation, value) when the part can be matched by a
+    forward-index neighbor probe (any single-valued plain-term clause,
+    word or sidecar annotation)."""
+    if (
+        isinstance(part, P.TermNode)
+        and not part.negate
+        and not part.sensitive
+        and P.is_plain_term(part.value)
+    ):
+        return (part.annotation or "word", part.value.lower())
+    return None
+
+
+def _fi_seq(corpus, node: P.FISeq) -> DataFrame:
+    """Forced forward-index strategy (reference
+    TextPatternQueryFunction.java:38-61 → SpanQueryFiSeq): _FI1 anchors
+    on the RIGHT clause and probes the left backward over the token
+    arrays; _FI2 anchors LEFT and probes right. Falls back to the
+    adjacency join when the FI clause is not a plain term (our probe
+    is single-token; the reference walks an NFA)."""
+    if node.fi_clause == 1:
+        tgt = _probe_target(node.left)
+        if tgt is not None:
+            anchor = translate(corpus, node.right)
+            return S.probe_neighbor(corpus, anchor, tgt[1], "left", annotation=tgt[0])
+    else:
+        tgt = _probe_target(node.right)
+        if tgt is not None:
+            anchor = translate(corpus, node.left)
+            return S.probe_neighbor(corpus, anchor, tgt[1], "right", annotation=tgt[0])
+    return _sequence(corpus, [node.left, node.right])
 
 
 def _seq_term_dfs(corpus, parts: list) -> dict[str, int]:

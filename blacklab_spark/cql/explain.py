@@ -63,6 +63,12 @@ def _render(node, indent: int = 0) -> list[str]:
         out = [f"{pad}CONSTRAINED ::"] + _render(node.clause, indent + 1)
         out.append(f"{'  ' * (indent + 1)}constraint: {node.constraint}")
         return out
+    if isinstance(node, P.FISeq):
+        direction = "left (FI=1st clause)" if node.fi_clause == 1 else "right (FI=2nd clause)"
+        out = [f"{pad}FISEQ probe {direction}"]
+        out += _render(node.left, indent + 1)
+        out += _render(node.right, indent + 1)
+        return out
     return [f"{pad}{t}"]
 
 

@@ -107,6 +107,18 @@ class Constrained(Node):
     constraint: "CExpr" = None
 
 
+@dataclass
+class FISeq(Node):
+    """Forced forward-index sequence strategy: `_FI1(a, b)` matches `a`
+    via the forward index from `b`'s start (backward), `_FI2(a, b)`
+    matches `b` via the forward index from `a`'s end (forward)
+    (reference cql.jj queryFunctionCall,
+    TextPatternQueryFunction.java:38-61)."""
+    left: Node = None
+    right: Node = None
+    fi_clause: int = 2  # which arg runs on the forward index (1 or 2)
+
+
 # constraint expression tree (reference search/matchfilter/MatchFilter*.java)
 @dataclass
 class CExpr:
@@ -237,7 +249,7 @@ class _Parser:
         parts = []
         while True:
             kind, v = self.peek()
-            if kind == "eof" or v in ("|", ")", "within", "containing") or kind in (
+            if kind == "eof" or v in ("|", ")", ",", "within", "containing") or kind in (
                 "dcolon",
             ):
                 break
@@ -278,6 +290,23 @@ class _Parser:
 
     def parse_atom(self) -> Node:
         kind, v = self.peek()
+        # query function: _NAME(q, q) (reference cql.jj queryFunctionCall;
+        # names must start with '_')
+        if kind == "name" and v.startswith("_") and self.peek(1)[1] == "(":
+            fname = self.next()[1]
+            self.expect("(")
+            args = [self.parse_within()]
+            while self.at(","):
+                self.next()
+                args.append(self.parse_within())
+            self.expect(")")
+            if fname not in ("_FI1", "_FI2"):
+                raise ValueError(f"Supported query functions: _FI1, _FI2 (got {fname})")
+            if len(args) != 2:
+                raise ValueError("Query function must get two arguments!")
+            return FISeq(
+                left=args[0], right=args[1], fi_clause=1 if fname == "_FI1" else 2
+            )
         # capture label: name ':' atom
         if kind == "name" and self.peek(1)[1] == ":" and v not in (
             "within",

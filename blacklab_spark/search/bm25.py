@@ -10,8 +10,11 @@ reference search/BlackLabIndexAbstract.java:496,619). Our execution:
    pushdown means only those blocks' bytes are read,
 3. one vectorized numpy kernel per *segment* (Spark's analogue of
    Lucene's one-SpansReader-per-segment parallelism,
-   HitsFromQuery.java:109-194): decode blocks, score, block-max prune,
-   per-segment top-k heap,
+   HitsFromQuery.java:109-194): MaxScore-style term-at-a-time scoring
+   with block-max skipping — terms in desc max-contribution order, θ =
+   running k-th best, blocks skipped when their stored max impact
+   cannot reach/tie θ or when their [min_doc,max_doc] range holds no
+   remaining candidate — then a per-segment exact top-k,
 4. global top-k merge: orderBy(desc(score), doc_id).limit(k) over the
    tiny union of per-segment candidates (TakeOrderedAndProject).
 
@@ -70,7 +73,10 @@ def topk_bm25(
 
     posts = corpus.postings.filter(
         F.col("term").isin(list(idf_by_term))
-    ).select("segment_id", "term", "doc_ids", "freqs", "dls", "block_max_wtf_raw")
+    ).select(
+        "segment_id", "term", "min_doc", "max_doc",
+        "doc_ids", "freqs", "dls", "block_max_wtf_raw",
+    )
 
     allowed = None
     if filter_expr:
@@ -107,27 +113,74 @@ def topk_bm25(
         seg = int(pdf["segment_id"].iloc[0])
         base = seg * seg_size
         scores = np.zeros(seg_size, dtype=np.float64)
-        # block-max pruning: a block whose idf*max_wtf can't beat the
-        # k-th best *single-term* bound is skippable only with a θ;
-        # compute θ progressively by processing terms in desc idf order.
         allow_arr = (
             np.fromiter(allow, dtype=np.int64, count=len(allow))
             if allow is not None
             else None
         )
-        pdf = pdf.assign(qidf=pdf["term"].map(idf)).sort_values(
-            "qidf", ascending=False, kind="stable"
+        # ---- MaxScore / block-max skipping (the analogue of Lucene's
+        # block-max WAND over impact-sorted postings) -----------------
+        # Terms are processed in desc order of their max possible
+        # contribution U_t = idf_t * max(block_max_wtf). After each
+        # term, θ = current k-th best segment score. For term t with
+        # R = Σ U of the remaining terms:
+        #  * if U_t + R <= θ, no unseen doc can reach the top-k, so
+        #    only docs with score > θ - (U_t + R) (candidates) matter —
+        #    blocks whose [min_doc, max_doc] range holds no candidate
+        #    are skipped without decoding;
+        #  * any block with idf_t*bmax + M + R <= θ (M = current max
+        #    segment score) cannot change the top-k and is skipped.
+        pdf = pdf.assign(qidf=pdf["term"].map(idf))
+        tmax = pdf.groupby("term")["block_max_wtf_raw"].transform("max")
+        pdf = pdf.assign(_U=pdf["qidf"] * tmax).sort_values(
+            ["_U", "term"], ascending=[False, True], kind="stable"
         )
-        for r in pdf.itertuples(index=False):
-            dids = codec.decode_doc_ids(r.doc_ids)
-            tf = codec.decode_freqs(r.freqs)
-            dl = codec.decode_freqs(r.dls)
-            w = r.qidf * tf / (tf + k1 * (1.0 - b_ + b_ * dl / avgdl))
-            local = dids - base
-            if allow_arr is not None:
-                keep = np.isin(dids, allow_arr)
-                local, w = local[keep], w[keep]
-            np.add.at(scores, local, w)
+        term_u = pdf.groupby("term", sort=False)["_U"].first()
+        suffix_r = np.concatenate([np.cumsum(term_u.to_numpy()[::-1])[::-1][1:], [0.0]])
+        r_after = dict(zip(term_u.index, suffix_r))
+        # tombstoned docs must never contribute to θ (they'd cause
+        # over-pruning of live candidates); zero them as we go
+        seg_dead_arr = np.asarray(
+            [d - base for d in b_dead.value if base <= d < base + seg_size],
+            dtype=np.int64,
+        )
+        theta = 0.0
+        for term, grp in pdf.groupby("term", sort=False):
+            qidf = float(grp["qidf"].iloc[0])
+            u_t = float(grp["_U"].iloc[0])
+            rem = r_after[term]
+            cand_cum = None
+            # strict comparisons everywhere: a doc that can still TIE
+            # the k-th score may win on the ascending-doc_id tie-break
+            if theta > 0.0 and u_t + rem < theta:
+                cand = scores >= (theta - (u_t + rem))
+                if not cand.any():
+                    continue
+                cand_cum = np.concatenate([[0], np.cumsum(cand)])
+            m_cur = float(scores.max()) if theta > 0.0 else np.inf
+            for r in grp.itertuples(index=False):
+                if qidf * r.block_max_wtf_raw + m_cur + rem < theta:
+                    continue  # block-max skip: can't reach or tie top-k
+                if cand_cum is not None:
+                    lo = max(int(r.min_doc) - base, 0)
+                    hi = min(int(r.max_doc) - base + 1, seg_size)
+                    if cand_cum[hi] - cand_cum[lo] == 0:
+                        continue  # no candidate doc in this block's range
+                dids = codec.decode_doc_ids(r.doc_ids)
+                tf = codec.decode_freqs(r.freqs)
+                dl = codec.decode_freqs(r.dls)
+                w = qidf * tf / (tf + k1 * (1.0 - b_ + b_ * dl / avgdl))
+                local = dids - base
+                if allow_arr is not None:
+                    keep = np.isin(dids, allow_arr)
+                    local, w = local[keep], w[keep]
+                np.add.at(scores, local, w)
+            if seg_dead_arr.size:
+                scores[seg_dead_arr] = 0.0
+            nz_now = np.flatnonzero(scores)
+            if nz_now.size >= k:
+                s = scores[nz_now]
+                theta = float(np.partition(s, nz_now.size - k)[nz_now.size - k])
         seg_dead = [d - base for d in b_dead.value if base <= d < base + seg_size]
         if seg_dead:
             scores[np.asarray(seg_dead, dtype=np.int64)] = 0.0

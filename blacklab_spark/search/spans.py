@@ -23,7 +23,10 @@ Semantics notes (matched against the reference, see tests):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
+
+from blacklab_spark.index import codec
 
 HIT_COLS = ("doc_id", "start", "end")
 
@@ -57,10 +60,59 @@ def token_positions(
     )
 
 
+# terms-dict expansions larger than this fall back to the token scan
+# (an isin() of this many strings still pushes down; beyond it the
+# reverse index stops being selective anyway)
+_MAX_TERM_EXPANSION = 50_000
+
+
+def postings_hits(corpus, terms: list[str]) -> DataFrame:
+    """(doc_id, start, end) for every occurrence of the given
+    insensitive word terms, decoded FROM THE POSTINGS — the reverse
+    index is the leaf scan (reference BLSpanTermQuery.java reads Lucene
+    postings), so only the query terms' blocks are read (parquet
+    predicate pushdown on the term column); the token table is never
+    scanned. Decode is a vectorized numpy pass per Arrow batch."""
+    import pandas as pd
+
+    posts = corpus.postings.filter(F.col("term").isin(list(terms))).select(
+        "doc_ids", "freqs", "positions"
+    )
+
+    def decode(it):
+        for pdf in it:
+            outs_d, outs_p = [], []
+            for r in pdf.itertuples(index=False):
+                dids = codec.decode_doc_ids(r.doc_ids)
+                tf = codec.decode_freqs(r.freqs)
+                pos = codec.decode_positions(r.positions, tf)
+                outs_d.append(np.repeat(dids, tf))
+                outs_p.append(pos)
+            if outs_d:
+                d = np.concatenate(outs_d)
+                p = np.concatenate(outs_p)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": d.astype(np.int64),
+                        "start": p.astype(np.int32),
+                        "end": (p + 1).astype(np.int32),
+                    }
+                )
+
+    out = posts.mapInPandas(decode, schema="doc_id long, start int, end int")
+    dels = corpus.deletes
+    if dels is not None:
+        out = out.join(dels, "doc_id", "leftanti")
+    return out
+
+
 def term_hits(
     corpus, term: str, annotation: str = "word", sensitive: bool = False
 ) -> DataFrame:
     """All positions of one term (reference BLSpanTermQuery.java)."""
+    if annotation in ("word", "") and not sensitive:
+        return postings_hits(corpus, [term.lower()])
+    # sensitive / sidecar annotations are not in the postings: token scan
     tp = token_positions(corpus, annotation, sensitive)
     value_col = F.col("term") if sensitive else F.lower(F.col("term"))
     value = term if sensitive else term.lower()
@@ -74,12 +126,24 @@ def regex_hits(
 ) -> DataFrame:
     """Term-set scan via the terms dict (reference
     BLSpanMultiTermQueryWrapper.java rewrites regex to an OR over dict
-    matches — the dict is small, the join is broadcast)."""
+    matches), then postings decode for the matching set."""
     anchored = f"^(?:{pattern})$"
     if annotation in ("word", "") and not sensitive:
-        matching = corpus.terms.filter(F.col("term").rlike(anchored)).select("term")
+        matching = [
+            r["term"]
+            for r in corpus.terms.filter(F.col("term").rlike(anchored.lower()))
+            .select("term")
+            .limit(_MAX_TERM_EXPANSION + 1)
+            .collect()
+        ]
+        if len(matching) <= _MAX_TERM_EXPANSION:
+            return postings_hits(corpus, matching)
+        # huge expansion: the reverse index is no longer selective
+        matching_df = corpus.terms.filter(
+            F.col("term").rlike(anchored.lower())
+        ).select("term")
         tp = token_positions(corpus, "word", sensitive=False)
-        return tp.join(F.broadcast(matching), "term").select(
+        return tp.join(F.broadcast(matching_df), "term").select(
             "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
         )
     tp = token_positions(corpus, annotation, sensitive)
@@ -367,11 +431,18 @@ def fuzzy_hits(corpus, term: str, max_edits: int = 2,
     """Fuzzy term match via levenshtein over the terms dict
     (reference SpanFuzzyQuery.java — Lucene expands the fuzzy term to
     an OR over dictionary matches; our dict scan is a tiny broadcast)."""
-    matching = corpus.terms.filter(
-        F.levenshtein(F.col("term"), F.lit(term.lower())) <= max_edits
-    ).select("term")
+    matching = [
+        r["term"]
+        for r in corpus.terms.filter(
+            F.levenshtein(F.col("term"), F.lit(term.lower())) <= max_edits
+        )
+        .select("term")
+        .collect()
+    ]
+    if annotation in ("word", ""):
+        return postings_hits(corpus, matching)
     tp = token_positions(corpus, annotation, sensitive=False)
-    return tp.join(F.broadcast(matching), "term").select(
+    return tp.filter(F.col("term").isin(matching)).select(
         "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
     )
 

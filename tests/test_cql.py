@@ -71,6 +71,16 @@ def test_sequence_all_combinations(micro):
     assert hits(micro.find('"aap" "aap"')) == [(1, 8, 10), (1, 9, 11), (1, 10, 12)]
 
 
+def test_fi_forced_strategies(micro):
+    # reference TestSearches.java:104-114: _FI1/_FI2 force the
+    # forward-index matching direction but must return the same hits
+    expected = [(0, 2, 4), (0, 7, 9)]
+    assert hits(micro.find('_FI1([pos="adj"], [pos="nou"])')) == expected
+    assert hits(micro.find('_FI2([pos="adj"], [pos="nou"])')) == expected
+    assert hits(micro.find('_FI1("the", "quick")')) == [(0, 0, 2)]
+    assert hits(micro.find('_FI2("the", "quick")')) == [(0, 0, 2)]
+
+
 def test_optional(micro):
     # "quick"? "brown": brown alone + quick brown
     assert hits(micro.find('"quick"? "brown"')) == [(0, 1, 3), (0, 2, 3)]
