@@ -144,6 +144,44 @@ class Corpus:
 
         return _search(self, **params)
 
+    def doc_info(self, doc_id: int) -> dict | None:
+        """Per-doc metadata (reference RequestHandlerDocInfo)."""
+        rows = self.doc_stats.filter(F.col("doc_id") == doc_id).collect()
+        return rows[0].asDict() if rows else None
+
+    def doc_contents(self, doc_id: int) -> str | None:
+        """Original document text from the content store — the `text`
+        column (reference RequestHandlerDocContents; content store =
+        ContentStoreIntegrated.java, ours is the stored text column)."""
+        rows = (
+            self.tokenized.filter(F.col("doc_id") == doc_id)
+            .select("text")
+            .collect()
+        )
+        return rows[0]["text"] if rows else None
+
+    def fields(self) -> dict:
+        """Index schema registry (reference RequestHandlerFieldInfo /
+        IndexMetadataIntegrated.java:105): annotated-field annotations,
+        metadata fields, and corpus-level counts."""
+        return {
+            "annotated_field": {
+                "name": "contents",
+                "main_annotation": "word",
+                "annotations": ["word"]
+                + sorted(
+                    c[len("ann_"):]
+                    for c in self.tokenized.columns
+                    if c.startswith("ann_")
+                ),
+                "sensitivities": ["sensitive", "insensitive"],
+            },
+            "metadata_fields": ["conv_id", "turn_idx", "role", "tool"],
+            "n_docs": self.meta["n_docs"],
+            "total_tokens": self.meta["total_tokens"],
+            "n_terms": self.meta.get("n_terms"),
+        }
+
     def find_contextql(self, query: str):
         """Run a ContextQL (SRU CQL) query (reference
         queryParser/contextql/ContextualQueryLanguageParser.java).

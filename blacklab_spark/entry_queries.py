@@ -27,7 +27,7 @@ from blacklab_spark.pipeline import similarity as SIM
 from blacklab_spark.pipeline import text as T
 from blacklab_spark.search.results import autocomplete, term_frequencies
 
-INDEX_VERSION = "v3"  # bump when the on-disk index layout changes
+INDEX_VERSION = "v4"  # bump when the on-disk index layout changes
 
 # shared tokenizer expressions
 _SPARK_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"

@@ -322,7 +322,8 @@ def build_index(
     stats_path = _stage_dir(index_dir, "doc_stats")
     if not (resume and _stage_done(index_dir, "doc_stats")):
         doc_stats = tokenized.select(
-            "doc_id", "segment_id", "conv_id", "turn_idx", "role", "tool", "num_tokens"
+            "doc_id", "segment_id", "conv_id", "turn_idx", "role", "tool", "ts",
+            "num_tokens",
         )
         doc_stats.write.mode("overwrite").parquet(stats_path)
         _mark_done(index_dir, "doc_stats")
@@ -343,7 +344,12 @@ def build_index(
             "seg_group", F.expr(f"segment_id DIV {cfg.segments_per_dir}")
         )
         (
-            postings.write.mode("overwrite")
+            # term-sorted within each file: tight parquet row-group
+            # min/max stats on `term`, so term-filtered query scans
+            # skip most row groups (the pushdown's skipping actually
+            # bites instead of reading hash-ordered rows)
+            postings.sortWithinPartitions("segment_id", "term")
+            .write.mode("overwrite")
             .partitionBy("seg_group")
             .parquet(post_path)
         )

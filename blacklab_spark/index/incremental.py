@@ -116,7 +116,8 @@ def add_documents(
     )
 
     new_stats = delta.select(
-        "doc_id", "segment_id", "conv_id", "turn_idx", "role", "tool", "num_tokens"
+        "doc_id", "segment_id", "conv_id", "turn_idx", "role", "tool", "ts",
+        "num_tokens",
     )
     new_stats.write.mode("append").parquet(_stage_dir(index_dir, "doc_stats"))
 
@@ -130,7 +131,8 @@ def add_documents(
         "seg_group", F.expr(f"segment_id DIV {cfg.segments_per_dir}")
     )
     (
-        postings.write.mode("append")
+        postings.sortWithinPartitions("segment_id", "term")
+        .write.mode("append")
         .partitionBy("seg_group")
         .parquet(_stage_dir(index_dir, "postings"))
     )
@@ -287,9 +289,9 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     carry = old_posts.filter(
         F.col("seg_group").isin(dirty_groups) & ~F.col("segment_id").isin(dirty)
     )
-    carry.unionByName(new_posts.select(*carry.columns)).write.mode(
-        "overwrite"
-    ).partitionBy("seg_group").parquet(tmp)
+    carry.unionByName(new_posts.select(*carry.columns)).sortWithinPartitions(
+        "segment_id", "term"
+    ).write.mode("overwrite").partitionBy("seg_group").parquet(tmp)
     for grp in dirty_groups:
         grp_dir = os.path.join(post_path, f"seg_group={grp}")
         shutil.rmtree(grp_dir, ignore_errors=True)

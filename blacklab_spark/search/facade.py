@@ -88,6 +88,8 @@ def search(
 
     # ---- grouping requests -----------------------------------------
     if group and viewgroup is None:
+        if group == "decade":
+            return hits.group_by_decade()
         if group.startswith("field:"):
             return hits.group_by_metadata(group.split(":", 1)[1])
         if group.startswith("hit:") or group == "hit":

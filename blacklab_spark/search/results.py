@@ -170,6 +170,21 @@ class Hits:
             .orderBy(F.desc("n_hits"), *cols)
         )
 
+    def group_by_decade(self) -> DataFrame:
+        """Group matched docs by decade of their timestamp (reference
+        resultproperty/DocPropertyDecade.java — date metadata bucketed
+        into decades)."""
+        docs = self.df.select("doc_id").distinct().join(
+            self.corpus.doc_stats.select("doc_id", "ts"), "doc_id"
+        )
+        decade = (F.year("ts") - F.year("ts") % 10).alias("decade")
+        return (
+            docs.select(decade)
+            .groupBy("decade")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("decade")
+        )
+
     # -- doc view ---------------------------------------------------------------
     def per_doc(self) -> DataFrame:
         """DocResults (reference DocResults.java:40-110)."""

@@ -89,3 +89,19 @@ def test_search_colloc(micro):
 def test_search_contextql_pattlang(micro):
     out = micro.search(patt='pos = "nou"', pattlang="contextql")
     assert out.count() == 4
+
+
+def test_group_by_decade(micro):
+    out = micro.search(patt='"the"', group="decade")
+    rows = out.collect()
+    assert [(r["decade"], r["n_docs"]) for r in rows] == [(2020, 3)]
+
+
+def test_doc_info_contents_fields(micro):
+    info = micro.doc_info(2)
+    assert info["conv_id"] == "doc2" and info["num_tokens"] == 6
+    assert micro.doc_contents(2) == "May the Force be with you"
+    assert micro.doc_info(99) is None and micro.doc_contents(99) is None
+    f = micro.fields()
+    assert "lemma" in f["annotated_field"]["annotations"]
+    assert f["n_docs"] == 4
