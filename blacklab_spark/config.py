@@ -46,15 +46,10 @@ class EngineConfig:
     # Default KWIC / collocation context size (reference BlackLabIndex.java:74).
     context_size: int = 5
 
-    # Salting for skewed global term-stat merges: head terms (df above
-    # threshold) are pre-aggregated over `n_salts` sub-keys first.
-    n_salts: int = 16
-
-    # Posting-encode parallelism: terms are hash-bucketed within each
-    # segment so the encode stage runs segments x buckets tasks (blocks
-    # are per (segment, term), so this is partition-safe) and a Zipf
-    # head term is confined to one bounded task.
-    encode_buckets: int = 8
+    # NOTE on skew/salting: the index build needs NO salting knob — its
+    # shuffle is keyed by uniformly-sized segment ranges, so Zipf head
+    # terms cannot skew it (see index/build.py header); query-side hit
+    # joins rely on AQE skew-join handling (session defaults).
 
     # Cost-based forward-index matching (the analogue of the
     # reference's reverse-vs-NFA choice, ClauseCombinerNfa.java:66,74

@@ -422,6 +422,44 @@ WHERE a.t = 'key' AND b.t = 'value'
 """
 
 
+def q_contextql_hits(spark, sf_dir):
+    """ContextQL (SRU CQL) surface: contents clause AND metadata clause
+    (reference queryParser/contextql/ContextualQueryLanguageParser.java).
+    `role` carries documents.lang in this corpus."""
+    c = _corpus(spark, sf_dir)
+    h = c.find_contextql('word = "spark" and role = "en"').df.select(
+        "doc_id", "start", "end"
+    )
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_CONTEXTQL_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT t.doc_id, t.pos AS start, t.pos + 1 AS "end"
+FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+WHERE t.t = 'spark' AND d.lang = 'en'
+"""
+
+
+def q_luceneql_filtered_hits(spark, sf_dir):
+    """LuceneQL metadata filter through the BLS search() facade
+    (reference BlsUtils.java:44-106 filter parsing; the compiled SQL
+    predicate pushes into the doc-stats scan)."""
+    c = _corpus(spark, sf_dir)
+    h = c.search(
+        patt='"value"', filter="role:en OR role:de", filterlang="luceneql"
+    ).select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_LUCENEQL_FILTERED_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT t.doc_id, t.pos AS start, t.pos + 1 AS "end"
+FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+WHERE t.t = 'value' AND d.lang IN ('en', 'de')
+"""
+
+
 def q_fuzzy_term_hits(spark, sf_dir):
     """Fuzzy term positions (reference SpanFuzzyQuery.java; Lucene
     expands over the dictionary — ours is a broadcast dict scan)."""
@@ -714,6 +752,8 @@ QUERIES = {
     "facet_role": q_facet_role,
     "right_context_word": q_right_context_word,
     "capture_hits": q_capture_hits,
+    "contextql_hits": q_contextql_hits,
+    "luceneql_filtered_hits": q_luceneql_filtered_hits,
     "fuzzy_term_hits": q_fuzzy_term_hits,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
@@ -752,6 +792,8 @@ ORACLES = {
     "facet_role": O_FACET_ROLE,
     "right_context_word": O_RIGHT_CONTEXT_WORD,
     "capture_hits": O_CAPTURE_HITS,
+    "contextql_hits": O_CONTEXTQL_HITS,
+    "luceneql_filtered_hits": O_LUCENEQL_FILTERED_HITS,
     "fuzzy_term_hits": O_FUZZY_TERM_HITS,
     "exact_dedup": O_EXACT_DEDUP,
     "minhash_signature": O_MINHASH_SIGNATURE,

@@ -8,25 +8,30 @@ doc/index-formats/integrated.md:17-103). Our analogue:
   transcripts ──dense doc_id──> tokenized (forward index, parquet)
        │                            │
        │                            ├─> doc_stats + global meta (N, avgdl)
-       │                            ├─> terms dict (salted two-phase agg,
-       │                            │   dense alphabetical term_id)
-       │                            └─> explode -> join term_id
-       │                                 -> shuffle by segment_id
+       │                            ├─> terms dict (two-phase agg over
+       │                            │   block rows, dense term_id)
+       │                            └─> shuffle by segment_id
        │                                 -> vectorized numpy block encode
-       │                                 -> postings parquet, partitioned
-       │                                    by segment_id
+       │                                 -> postings parquet, term-sorted,
+       │                                    partitioned by seg_group
        └─> spans table (one 'turn' span per doc; analogue of the
            reference's starttag annotation, SpansTags.java:81-102)
 
 Scale design notes (the 100-TB story):
-- *Segments are doc ranges*, like Lucene's. The posting-build shuffle
-  key is segment_id — uniformly sized by construction, so Zipf head
-  terms can NOT skew the build shuffle; a head term costs memory only
-  within one bounded segment task (segment_size docs max).
-- The terms dict is the only global, term-keyed aggregation. Partial
-  (map-side) aggregation already defuses count skew; the dense
-  term_id assignment reuses the two-pass range-partitioned rank (no
-  global window).
+- **Head-term (Zipf) skew is defused structurally, not by salting.**
+  The posting-build shuffle key is segment_id — uniformly sized doc
+  ranges by construction — so a head term's postings are split across
+  every segment task and can never pile into one reducer (the failure
+  mode the north rule's "salted repartitioning" guards against in a
+  term-keyed build). A head term costs memory only within one bounded
+  segment task (segment_size docs max).
+- The terms dict is the only term-keyed aggregation, and it runs over
+  block rows (already reduced by ~block_size per (segment,term)), with
+  Catalyst's partial (map-side) aggregation as the two-phase combine —
+  the same effect explicit salting would buy for these algebraic sums.
+  The dense term_id assignment reuses the range-partitioned two-pass
+  rank (no global window). Skew in query-side hit joins is left to AQE
+  skew-join handling (enabled in session defaults).
 - Every stage writes to its own directory with a _STAGE_DONE marker +
   per-partition lineage rows in segments_meta -> resumable builds
   (north rule): `build_index(..., resume=True)` skips finished stages.
