@@ -35,13 +35,20 @@ class Hits:
 
     def window(self, first: int, number: int) -> "Hits":
         """Stable pagination (reference HitsAbstract.java:154-196).
-        Deterministic order: (doc_id, start, end)."""
-        w = Window.orderBy("doc_id", "start", "end")
-        out = (
-            self.df.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") > first) & (F.col("_rn") <= first + number))
-            .drop("_rn")
+        Deterministic order: (doc_id, start, end).
+
+        Scale note: a global row_number() would funnel every hit
+        through one partition. Instead the page is fetched as a
+        top-(first+number) (TakeOrderedAndProject — per-partition
+        heaps + tiny merge) and the offset is dropped driver-side;
+        `first+number` is page-sized by contract, exactly like the
+        reference's incremental window fetch."""
+        rows = (
+            self.df.orderBy("doc_id", "start", "end")
+            .limit(first + number)
+            .collect()[first:]
         )
+        out = self.corpus.spark.createDataFrame(rows, self.df.schema)
         return Hits(self.corpus, out)
 
     def sample(self, n: int | None = None, fraction: float | None = None,

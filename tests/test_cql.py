@@ -94,6 +94,23 @@ def test_optional(micro):
     ]
 
 
+def test_both_optional_sequence(micro):
+    # 'with|find'? [pos='pro']? — alternatives {A, B, AB}, empty match
+    # excluded (reference TestSearches.java:154-162)
+    got = hits(micro.find("\"with|find\"? [pos='pro']?"))
+    assert got == [
+        (2, 4, 5), (2, 4, 6), (2, 5, 6),
+        (3, 1, 2), (3, 5, 6), (3, 5, 7), (3, 6, 7),
+    ]
+
+
+def test_open_repetition(micro):
+    # [pos='adj']{1,} — every consecutive-run subsequence
+    # (reference TestSearches.java:171-176)
+    got = hits(micro.find("[pos='adj']{1,}"))
+    assert got == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (0, 7, 8)]
+
+
 def test_gap(micro):
     # 'the' []{0,1} fox|force: the force is at gap1 in doc2; 'the ... fox' none
     assert hits(micro.find('"the" []{0,1} "fox|force"')) == [(2, 1, 3)]
