@@ -16,7 +16,9 @@ Supported subset (the BLS-documented surface):
   field:[a TO b]     inclusive range (numeric if both bounds numeric)
   field:{a TO b}     exclusive range
   +clause -clause    required / prohibited
-  AND OR NOT ( )     boolean algebra (AND binds tighter than OR)
+  AND OR NOT ( )     boolean clause list — juxtaposition is SHOULD (the
+                     stock QueryParser default operator, OR), explicit
+                     AND promotes its chain to MUST
 A bare term with no field applies to the default field.
 """
 
@@ -88,33 +90,63 @@ class _Parser:
         return t
 
     def parse(self) -> str:
-        e = self.parse_or()
+        e = self.parse_clause_list()
         if self.peek()[0] is not None:
             raise LuceneQLError(f"trailing input: {self.peek()[1]!r}")
         return e
 
-    def parse_or(self) -> str:
-        parts = [self.parse_and()]
-        while self.peek() == ("op", "OR"):
-            self.next()
-            parts.append(self.parse_and())
-        return parts[0] if len(parts) == 1 else "(" + " OR ".join(parts) + ")"
-
-    def parse_and(self) -> str:
-        parts = [self.parse_unary()]
+    def parse_clause_list(self) -> str:
+        """Lucene BooleanQuery clause list. The reference's
+        BlsUtils.parseFilter uses the stock QueryParser with the
+        DEFAULT operator — OR (no setDefaultOperator call) — so
+        juxtaposed clauses are SHOULD, `+x`/`-x`/`NOT x` are
+        MUST/MUST_NOT, and an explicit AND promotes the connected
+        chain to MUST. As a filter: MUSTs AND together and silence
+        SHOULDs (they only affect scoring); with no MUSTs the SHOULDs
+        OR together; MUST_NOTs always subtract."""
+        must: list[str] = []
+        must_not: list[str] = []
+        should: list[str] = []
         while True:
             kind, val = self.peek()
-            if (kind, val) == ("op", "AND"):
-                self.next()
-                parts.append(self.parse_unary())
-            elif kind in ("lparen", "sign", "quoted", "term") or (
-                kind == "op" and val == "NOT"
-            ):
-                # juxtaposition = AND (Lucene default operator in BLS)
-                parts.append(self.parse_unary())
-            else:
+            if kind is None or kind == "rparen":
                 break
-        return parts[0] if len(parts) == 1 else "(" + " AND ".join(parts) + ")"
+            if (kind, val) == ("op", "OR"):
+                self.next()  # explicit OR: same as juxtaposition here
+                continue
+            occur = None
+            if kind == "sign":
+                self.next()
+                occur = val
+            elif (kind, val) == ("op", "NOT"):
+                self.next()
+                occur = "-"
+            expr = self.parse_unary()
+            is_and_chain = False
+            while self.peek() == ("op", "AND"):
+                self.next()
+                expr = f"({expr} AND {self.parse_unary()})"
+                is_and_chain = True
+            if occur is None and is_and_chain:
+                occur = "+"
+            (must if occur == "+" else must_not if occur == "-" else should).append(
+                expr
+            )
+        pos = None
+        if must:
+            pos = must[0] if len(must) == 1 else "(" + " AND ".join(must) + ")"
+        elif should:
+            pos = should[0] if len(should) == 1 else "(" + " OR ".join(should) + ")"
+        if must_not:
+            neg = (
+                must_not[0]
+                if len(must_not) == 1
+                else "(" + " OR ".join(must_not) + ")"
+            )
+            return f"(NOT {neg})" if pos is None else f"({pos} AND (NOT {neg}))"
+        if pos is None:
+            raise LuceneQLError("empty filter clause")
+        return pos
 
     def parse_unary(self) -> str:
         kind, val = self.peek()
@@ -130,7 +162,7 @@ class _Parser:
     def parse_atom(self) -> str:
         kind, val = self.next()
         if kind == "lparen":
-            e = self.parse_or()
+            e = self.parse_clause_list()
             if self.next()[0] != "rparen":
                 raise LuceneQLError("expected ')'")
             return e

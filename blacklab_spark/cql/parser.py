@@ -181,8 +181,11 @@ def _lex(s: str) -> list[tuple[str, str]]:
 
 
 def _unquote(q: str) -> str:
+    """Unescape ONLY quote/backslash escapes; regex escapes like \\d or
+    \\. pass through to the regex engine (the reference hands the quoted
+    value to Lucene RegExp with its escapes intact)."""
     body = q[1:-1]
-    return re.sub(r"\\(.)", r"\1", body)
+    return re.sub(r"\\([\"'\\])", r"\1", body)
 
 
 # ---------------------------------------------------------------------------

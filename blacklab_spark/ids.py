@@ -55,7 +55,19 @@ def _partition_key_stats(df: DataFrame, order_cols: tuple[str, ...]):
         )
         .collect()
     )
-    return sorted(rows, key=lambda r: r["kmin"])
+    return rows
+
+
+def _keys_clean(stats) -> bool:
+    """False when any partition key bound is NULL (or holds a NULL
+    field) — Row comparison would raise, and NULL ordering is
+    ill-defined here; such inputs take the generic range-shuffle path
+    (repartitionByRange has well-defined null ordering)."""
+    for r in stats:
+        for bound in (r["kmin"], r["kmax"]):
+            if bound is None or any(v is None for v in bound):
+                return False
+    return True
 
 
 def _disjoint_ranges(stats) -> bool:
@@ -113,14 +125,20 @@ def with_dense_id(
 
     if _stable_partitioning(df):
         stats = _partition_key_stats(df, order_cols)
-        if stats and _disjoint_ranges(stats):
-            offsets, acc = [], 0
-            for r in stats:
-                offsets.append((r["_pid"], acc))
-                acc += r["cnt"]
-            return _stamp(df, order_cols, id_col, offsets)
+        if stats and _keys_clean(stats):
+            stats = sorted(stats, key=lambda r: r["kmin"])
+            if _disjoint_ranges(stats):
+                offsets, acc = [], 0
+                for r in stats:
+                    offsets.append((r["_pid"], acc))
+                    acc += r["cnt"]
+                return _stamp(df, order_cols, id_col, offsets)
 
-    # generic path: one range shuffle, then the same local stamp
+    # generic path: one range shuffle, then the same local stamp.
+    # The persist pins the (sampled, hence nondeterministic) range
+    # partitioning so the counted offsets stay valid; callers must
+    # release it once the stamped output is materialized — the handle
+    # is exposed as `_blspark_persisted` (see release_dense_id_cache).
     n = num_partitions or spark.sparkContext.defaultParallelism
     d = df.repartitionByRange(n, *order_cols).persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
@@ -137,4 +155,16 @@ def with_dense_id(
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    return _stamp(d, order_cols, id_col, offsets)
+    out = _stamp(d, order_cols, id_col, offsets)
+    out._blspark_persisted = d
+    return out
+
+
+def release_dense_id_cache(df: DataFrame) -> None:
+    """Unpersist the intermediate the generic with_dense_id path pinned
+    (no-op for the zero-shuffle fast path). Call after the stamped
+    output has been materialized (written/collected) — otherwise the
+    executor-memory pin leaks across repeated builds in one session."""
+    d = getattr(df, "_blspark_persisted", None)
+    if d is not None:
+        d.unpersist()

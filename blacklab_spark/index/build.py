@@ -53,7 +53,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from blacklab_spark.config import EngineConfig
-from blacklab_spark.ids import with_dense_id
+from blacklab_spark.ids import release_dense_id_cache, with_dense_id
 from blacklab_spark.index import codec
 
 POSTINGS_SCHEMA = (
@@ -251,9 +251,12 @@ def terms_from_postings(postings: DataFrame) -> DataFrame:
         F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
     )
     t = with_dense_id(stats, ("term",), "term_id")
-    return t.withColumn("sort_pos_s", F.col("term_id")).withColumn(
+    out = t.withColumn("sort_pos_s", F.col("term_id")).withColumn(
         "sort_pos_i", F.col("term_id")
     )
+    if hasattr(t, "_blspark_persisted"):
+        out._blspark_persisted = t._blspark_persisted
+    return out
 
 
 def turn_spans(tokenized: DataFrame) -> DataFrame:
@@ -319,6 +322,7 @@ def build_index(
             .partitionBy("seg_group")
             .parquet(tok_path)
         )
+        release_dense_id_cache(with_ids)
         _mark_done(index_dir, "tokenized")
     timer.mark("tokenized")
     tokenized = spark.read.parquet(tok_path)
@@ -371,6 +375,7 @@ def build_index(
     if not (resume and _stage_done(index_dir, "terms")):
         terms = terms_from_postings(postings)
         terms.write.mode("overwrite").parquet(terms_path)
+        release_dense_id_cache(terms)
         _mark_done(index_dir, "terms")
     timer.mark("terms")
     terms = spark.read.parquet(terms_path)

@@ -34,7 +34,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from blacklab_spark.config import EngineConfig
-from blacklab_spark.ids import with_dense_id
+from blacklab_spark.ids import release_dense_id_cache, with_dense_id
 from blacklab_spark.index.build import (
     _stage_dir,
     encode_postings,
@@ -98,8 +98,8 @@ def add_documents(
     # are immutable (Lucene-style write-once segments)
     base = ((base + seg_size - 1) // seg_size) * seg_size
 
-    with_ids = with_dense_id(new_transcripts, ("conv_id", "turn_idx"), "doc_id")
-    with_ids = with_ids.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+    stamped = with_dense_id(new_transcripts, ("conv_id", "turn_idx"), "doc_id")
+    with_ids = stamped.withColumn("doc_id", F.col("doc_id") + F.lit(base))
     tokenized = tokenize(with_ids, cfg).withColumn(
         "segment_id", F.expr(f"doc_id DIV {seg_size}")
     ).withColumn("seg_group", F.expr(f"doc_id DIV {group_docs}"))
@@ -110,6 +110,7 @@ def add_documents(
         .partitionBy("seg_group")
         .parquet(_stage_dir(index_dir, "tokenized"))
     )
+    release_dense_id_cache(stamped)
     # re-read the delta (stable lineage for the remaining stages)
     delta = spark.read.parquet(_stage_dir(index_dir, "tokenized")).filter(
         F.col("doc_id") >= base
@@ -159,7 +160,8 @@ def add_documents(
     unseen = joined.filter(F.col("term_id").isNull()).select(
         "term", F.col("df_new").alias("df"), F.col("cf_new").alias("cf")
     )
-    unseen = with_dense_id(unseen, ("term",), "term_id").withColumn(
+    unseen_stamped = with_dense_id(unseen, ("term",), "term_id")
+    unseen = unseen_stamped.withColumn(
         "term_id", F.col("term_id") + F.lit(max_tid + 1)
     )
     unseen = unseen.withColumn("sort_pos_s", F.col("term_id")).withColumn(
@@ -168,6 +170,7 @@ def add_documents(
     merged = existing.unionByName(unseen.select(*existing.columns))
     tmp = terms_path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
+    release_dense_id_cache(unseen_stamped)
     shutil.rmtree(terms_path)
     os.rename(tmp, terms_path)
     terms = spark.read.parquet(terms_path)

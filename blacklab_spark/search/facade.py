@@ -101,12 +101,23 @@ def search(
         # hits of one group (reference RequestHandler viewgroup param)
         if not group:
             raise ValueError("viewgroup requires group")
-        ann = group.split(":", 1)[1] if ":" in group else "word"
-        ctx = hits.with_context(0, ann or "word")
-        h = ctx.withColumn("_grp", F.array_join("match", " ")).filter(
-            F.col("_grp") == viewgroup
-        )
-        hits = Hits(corpus, h.select(*[c for c in hits.df.columns]))
+        if group == "decade":
+            decade = (F.year("ts") - F.year("ts") % 10)
+            docs = corpus.doc_stats.filter(decade == int(viewgroup)).select("doc_id")
+            hits = Hits(corpus, hits.df.join(docs, "doc_id", "leftsemi"))
+        elif group.startswith("field:"):
+            col = group.split(":", 1)[1]
+            docs = corpus.doc_stats.filter(F.col(col) == viewgroup).select("doc_id")
+            hits = Hits(corpus, hits.df.join(docs, "doc_id", "leftsemi"))
+        elif group == "hit" or group.startswith("hit:"):
+            ann = group.split(":", 1)[1] if ":" in group else "word"
+            ctx = hits.with_context(0, ann or "word")
+            h = ctx.withColumn("_grp", F.array_join("match", " ")).filter(
+                F.col("_grp") == viewgroup
+            )
+            hits = Hits(corpus, h.select(*[c for c in hits.df.columns]))
+        else:
+            raise ValueError(f"unsupported viewgroup criterion: {group!r}")
 
     # ---- sort -------------------------------------------------------
     if sort:

@@ -38,17 +38,12 @@ class Hits:
         Deterministic order: (doc_id, start, end).
 
         Scale note: a global row_number() would funnel every hit
-        through one partition. Instead the page is fetched as a
-        top-(first+number) (TakeOrderedAndProject — per-partition
-        heaps + tiny merge) and the offset is dropped driver-side;
-        `first+number` is page-sized by contract, exactly like the
-        reference's incremental window fetch."""
-        rows = (
-            self.df.orderBy("doc_id", "start", "end")
-            .limit(first + number)
-            .collect()[first:]
-        )
-        out = self.corpus.spark.createDataFrame(rows, self.df.schema)
+        through one partition. orderBy + offset + limit plans as a
+        TakeOrderedAndProject with offset (per-partition top-
+        (first+number) heaps + tiny merge) and STAYS LAZY — deep pages
+        never pull preceding hits into driver memory, and downstream
+        transforms keep a distributed plan."""
+        out = self.df.orderBy("doc_id", "start", "end").offset(first).limit(number)
         return Hits(self.corpus, out)
 
     def sample(self, n: int | None = None, fraction: float | None = None,

@@ -60,24 +60,10 @@ def token_positions(
     )
 
 
-# terms-dict expansions larger than this fall back to the token scan
-# (an isin() of this many strings still pushes down; beyond it the
-# reverse index stops being selective anyway)
-_MAX_TERM_EXPANSION = 50_000
-
-
-def postings_hits(corpus, terms: list[str]) -> DataFrame:
-    """(doc_id, start, end) for every occurrence of the given
-    insensitive word terms, decoded FROM THE POSTINGS — the reverse
-    index is the leaf scan (reference BLSpanTermQuery.java reads Lucene
-    postings), so only the query terms' blocks are read (parquet
-    predicate pushdown on the term column); the token table is never
-    scanned. Decode is a vectorized numpy pass per Arrow batch."""
+def _decode_posting_positions(corpus, posts: DataFrame) -> DataFrame:
+    """Posting blocks -> (doc_id, start, end) rows. Vectorized numpy
+    decode per Arrow batch; tombstoned docs anti-joined out."""
     import pandas as pd
-
-    posts = corpus.postings.filter(F.col("term").isin(list(terms))).select(
-        "doc_ids", "freqs", "positions"
-    )
 
     def decode(it):
         for pdf in it:
@@ -99,11 +85,39 @@ def postings_hits(corpus, terms: list[str]) -> DataFrame:
                     }
                 )
 
-    out = posts.mapInPandas(decode, schema="doc_id long, start int, end int")
+    out = posts.select("doc_ids", "freqs", "positions").mapInPandas(
+        decode, schema="doc_id long, start int, end int"
+    )
     dels = corpus.deletes
     if dels is not None:
         out = out.join(dels, "doc_id", "leftanti")
     return out
+
+
+def postings_hits(corpus, terms: list[str]) -> DataFrame:
+    """(doc_id, start, end) for every occurrence of the given
+    insensitive word terms, decoded FROM THE POSTINGS — the reverse
+    index is the leaf scan (reference BLSpanTermQuery.java reads Lucene
+    postings), so only the query terms' blocks are read (parquet
+    predicate pushdown on the term column); the token table is never
+    scanned. For EXPLICIT small term lists only (query terms, phrase
+    parts) — dictionary expansions (regex/fuzzy) must stay distributed,
+    use postings_hits_for_terms."""
+    posts = corpus.postings.filter(F.col("term").isin(list(terms)))
+    return _decode_posting_positions(corpus, posts)
+
+
+def postings_hits_for_terms(corpus, terms_df: DataFrame) -> DataFrame:
+    """postings_hits with the term set as a DataFrame: broadcast
+    semi-join into the postings scan. The matched-terms set never
+    visits the driver (reference BLSpanMultiTermQueryWrapper rewrites
+    to an OR over dict matches segment-side, never driver-global) —
+    the terms dict is tiny relative to the corpus, so broadcasting the
+    matched subset is always cheap."""
+    posts = corpus.postings.join(
+        F.broadcast(terms_df.select("term")), "term", "leftsemi"
+    )
+    return _decode_posting_positions(corpus, posts)
 
 
 def term_hits(
@@ -128,29 +142,23 @@ def regex_hits(
     BLSpanMultiTermQueryWrapper.java rewrites regex to an OR over dict
     matches), then postings decode for the matching set."""
     anchored = f"^(?:{pattern})$"
+    # insensitive matching uses the (?i) flag, NOT pattern.lower():
+    # lowercasing inverts escape classes (\W -> \w, \S -> \s, ...)
+    anchored_i = f"(?i){anchored}"
     if annotation in ("word", "") and not sensitive:
-        matching = [
-            r["term"]
-            for r in corpus.terms.filter(F.col("term").rlike(anchored.lower()))
-            .select("term")
-            .limit(_MAX_TERM_EXPANSION + 1)
-            .collect()
-        ]
-        if len(matching) <= _MAX_TERM_EXPANSION:
-            return postings_hits(corpus, matching)
-        # huge expansion: the reverse index is no longer selective
+        # matched-terms set stays DISTRIBUTED: broadcast semi-join into
+        # the postings scan (no driver collect, no giant isin). The
+        # terms dict is tiny relative to the corpus, so the broadcast
+        # is always small even for wide regexes.
         matching_df = corpus.terms.filter(
-            F.col("term").rlike(anchored.lower())
+            F.col("term").rlike(anchored_i)
         ).select("term")
-        tp = token_positions(corpus, "word", sensitive=False)
-        return tp.join(F.broadcast(matching_df), "term").select(
-            "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
-        )
+        return postings_hits_for_terms(corpus, matching_df)
     tp = token_positions(corpus, annotation, sensitive)
-    value_col = F.col("term") if sensitive else F.lower(F.col("term"))
-    if not sensitive:
-        anchored = f"^(?:{pattern.lower()})$"
-    return tp.filter(value_col.rlike(anchored)).select(
+    value_col = F.col("term")
+    return tp.filter(
+        value_col.rlike(anchored if sensitive else anchored_i)
+    ).select(
         "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
     )
 
@@ -430,19 +438,15 @@ def fuzzy_hits(corpus, term: str, max_edits: int = 2,
                annotation: str = "word") -> DataFrame:
     """Fuzzy term match via levenshtein over the terms dict
     (reference SpanFuzzyQuery.java — Lucene expands the fuzzy term to
-    an OR over dictionary matches; our dict scan is a tiny broadcast)."""
-    matching = [
-        r["term"]
-        for r in corpus.terms.filter(
-            F.levenshtein(F.col("term"), F.lit(term.lower())) <= max_edits
-        )
-        .select("term")
-        .collect()
-    ]
+    an OR over dictionary matches; our matched set stays distributed
+    as a broadcast semi-join, never a driver roundtrip)."""
+    matching_df = corpus.terms.filter(
+        F.levenshtein(F.col("term"), F.lit(term.lower())) <= max_edits
+    ).select("term")
     if annotation in ("word", ""):
-        return postings_hits(corpus, matching)
+        return postings_hits_for_terms(corpus, matching_df)
     tp = token_positions(corpus, annotation, sensitive=False)
-    return tp.filter(F.col("term").isin(matching)).select(
+    return tp.join(F.broadcast(matching_df), "term").select(
         "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
     )
 

@@ -18,10 +18,18 @@ def test_luceneql_equality_and_bool():
         parse_luceneql("role:user AND tool:db")
         == "((role = 'user') AND (tool = 'db'))"
     )
-    # juxtaposition = AND; +/- signs
+    # +/- signs: MUST / MUST_NOT
     assert parse_luceneql("+role:user -tool:db") == (
         "((role = 'user') AND (NOT (tool = 'db')))"
     )
+    # juxtaposition = OR (stock Lucene QueryParser default operator;
+    # reference BlsUtils.parseFilter never calls setDefaultOperator)
+    assert parse_luceneql("role:en role:de") == (
+        "((role = 'en') OR (role = 'de'))"
+    )
+    # SHOULD clauses don't filter when a MUST exists
+    assert parse_luceneql("role:en +tool:db") == "(tool = 'db')"
+    assert parse_luceneql("NOT role:en") == "(NOT (role = 'en'))"
 
 
 def test_luceneql_wildcard_and_range():
