@@ -204,6 +204,21 @@ def _plain_term(part) -> str | None:
     return None
 
 
+def _invertible_neg(part) -> P.TermNode | None:
+    """A negated plain-term part eligible for NOTCONTAINING inversion
+    inside a sequence (reference ClauseCombinerNot.java:14-56;
+    BLSpanQuery.okayToInvertForOptimization:205 — cheap negations get
+    rewritten so the corpus-wide any-token complement is never built)."""
+    if (
+        isinstance(part, P.TermNode)
+        and part.negate
+        and not part.sensitive
+        and P.is_plain_term(part.value)
+    ):
+        return part
+    return None
+
+
 def _probe_target(part) -> tuple[str, str] | None:
     """(annotation, value) when the part can be matched by a
     forward-index neighbor probe (any single-valued plain-term clause,
@@ -271,6 +286,7 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
     cur_df: int | None = None  # df estimate (min term df so far)
     pending_left_probe: str | None = None  # frequent leading term deferred
     pending_gap: tuple[int, int] | None = None  # leading/infix [] bounds
+    pending_neg_lefts: list[DataFrame] = []  # leading [!x] parts deferred
 
     for i, part in enumerate(parts):
         at = _anytoken_bounds(part)
@@ -280,6 +296,17 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
                 if pending_gap is None
                 else (pending_gap[0] + at[0], pending_gap[1] + at[1])
             )
+            continue
+        neg = _invertible_neg(part)
+        if neg is not None and pending_gap is None and pending_left_probe is None:
+            # ClauseCombinerNot inversion: never materialize [!x] as an
+            # any-token anti-join inside a sequence
+            x_hits = translate(corpus, replace(neg, negate=False))
+            if current is None:
+                pending_neg_lefts.append(x_hits)
+            else:
+                current = S.not_token_right(current, corpus, x_hits)
+                cur_df = None
             continue
         term = _plain_term(part)
         df_t = dfs.get(term) if term is not None else None
@@ -310,6 +337,10 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
                     corpus, current, pending_left_probe, "left"
                 )
                 pending_left_probe = None
+            if pending_neg_lefts:
+                for x_hits in reversed(pending_neg_lefts):
+                    current = S.not_token_left(current, corpus, x_hits)
+                pending_neg_lefts = []
         elif pending_gap is not None:
             gmin, gmax = pending_gap
             current = S.sequence_with_gap(current, translate(corpus, part), gmin, gmax)
@@ -335,10 +366,18 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
             corpus, current, pending_left_probe, "left"
         )
 
-    if current is None:
+    if current is None and pending_gap is not None:
         # pure any-token sequence: [] []{1,2} -> n-grams
         gmin, gmax = pending_gap
-        return S.any_token(corpus, gmin, gmax)
+        current = S.any_token(corpus, gmin, gmax)
+        pending_gap = None
+    if pending_neg_lefts:
+        if current is None:
+            # only negated terms: ONE any-token complement for the last,
+            # the rest invert onto it
+            current = S.token_not(corpus, pending_neg_lefts.pop())
+        for x_hits in reversed(pending_neg_lefts):
+            current = S.not_token_left(current, corpus, x_hits)
     if pending_gap is not None:
         # trailing []s: expand right
         current = S.expand(current, corpus, "right", pending_gap[0], pending_gap[1])

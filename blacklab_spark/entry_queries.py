@@ -153,6 +153,31 @@ WHERE a.t = 'table' AND b.t = 'table'
 """
 
 
+def q_repetition_unbounded(spark, sf_dir):
+    """Unbounded repetition `A+`: every consecutive-run sub-sequence
+    (reference SpanQueryRepetition.java:18-25), via the single-pass
+    per-doc chain kernel — no per-length Spark actions."""
+    c = _corpus(spark, sf_dir)
+    h = c.find('"table"+').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_REPETITION_UNBOUNDED = f"""
+WITH {_DUCK_TOKPOS},
+bs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM tok WHERE t = 'table'
+),
+runs AS (SELECT doc_id, grp, min(pos) AS rs, max(pos) AS re FROM bs GROUP BY doc_id, grp)
+SELECT r.doc_id, s.s AS start, e.e + 1 AS "end"
+FROM runs r,
+     UNNEST(generate_series(r.rs, r.re)) AS s(s),
+     UNNEST(generate_series(r.rs, r.re)) AS e(e)
+WHERE e.e >= s.s
+"""
+
+
 def q_regex_group_by_hit_text(spark, sf_dir):
     c = _corpus(spark, sf_dir)
     h = c.find('"s.*"')
@@ -291,6 +316,43 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_bm25_topk_filtered(spark, sf_dir):
+    """BM25 under a metadata filter: the allowed doc-set stays
+    distributed (per-segment cogroup — reference SpansFiltered.java:17-60
+    acceptedDocs bitsets). Corpus-wide stats (idf/avgdl/N) are NOT
+    affected by the filter, matching Lucene's filtered-search scoring."""
+    c = _corpus(spark, sf_dir)
+    top = c.topk("spark join fast", k=10, filter_expr="role = 'en'").select(
+        "doc_id", "score"
+    )
+    return _orig_doc_id(top, c).select(
+        "doc_id", F.expr("cast(floor(score * 10000 + 0.5) as bigint)").alias("score_x10000")
+    )
+
+
+O_BM25_TOPK_FILTERED = f"""
+WITH {_DUCK_TOKPOS},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok
+  WHERE t IN ('spark', 'join', 'fast') GROUP BY doc_id, t
+),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, CAST(floor(s.score * 10000 + 0.5) AS BIGINT) AS score_x10000
+FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+WHERE d.lang = 'en'
+ORDER BY s.score DESC, s.doc_id LIMIT 10
+"""
+
+
 def q_or_hits(spark, sf_dir):
     """BLSpanOrQuery analogue (reference BLSpanOrQuery.java:798)."""
     c = _corpus(spark, sf_dir)
@@ -334,6 +396,23 @@ FROM tok k
 JOIN dl ON dl.doc_id = k.doc_id
 CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS e) es
 WHERE k.t = 'key' AND k.pos + 1 + e <= dl.n
+"""
+
+
+def q_negated_term_sequence(spark, sf_dir):
+    """[!x] A sequence via the ClauseCombinerNot inversion (reference
+    ClauseCombinerNot.java:14-56): anchored NOTCONTAINING filter, no
+    corpus-wide any-token complement in the plan."""
+    c = _corpus(spark, sf_dir)
+    h = c.find('[word != "the"] "table"').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_NEGATED_TERM_SEQUENCE = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE b.t = 'table' AND a.t <> 'the'
 """
 
 
@@ -736,6 +815,7 @@ QUERIES = {
     "phrase_hits": q_phrase_hits,
     "gap_sequence_hits": q_gap_sequence_hits,
     "repetition_hits": q_repetition_hits,
+    "repetition_unbounded": q_repetition_unbounded,
     "regex_group_by_hit_text": q_regex_group_by_hit_text,
     "term_frequencies": q_term_frequencies,
     "collocations": q_collocations,
@@ -744,9 +824,11 @@ QUERIES = {
     "kwic": q_kwic,
     "doc_token_counts": q_doc_token_counts,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_filtered": q_bm25_topk_filtered,
     "or_hits": q_or_hits,
     "token_not_hits": q_token_not_hits,
     "expansion_hits": q_expansion_hits,
+    "negated_term_sequence": q_negated_term_sequence,
     "hits_window": q_hits_window,
     "per_doc_hits": q_per_doc_hits,
     "facet_role": q_facet_role,
@@ -776,6 +858,7 @@ ORACLES = {
     "phrase_hits": O_PHRASE_HITS,
     "gap_sequence_hits": O_GAP_SEQUENCE_HITS,
     "repetition_hits": O_REPETITION_HITS,
+    "repetition_unbounded": O_REPETITION_UNBOUNDED,
     "regex_group_by_hit_text": O_REGEX_GROUP,
     "term_frequencies": O_TERM_FREQUENCIES,
     "collocations": O_COLLOCATIONS,
@@ -784,9 +867,11 @@ ORACLES = {
     "kwic": O_KWIC,
     "doc_token_counts": O_DOC_TOKEN_COUNTS,
     "bm25_topk": O_BM25_TOPK,
+    "bm25_topk_filtered": O_BM25_TOPK_FILTERED,
     "or_hits": O_OR_HITS,
     "token_not_hits": O_TOKEN_NOT_HITS,
     "expansion_hits": O_EXPANSION_HITS,
+    "negated_term_sequence": O_NEGATED_TERM_SEQUENCE,
     "hits_window": O_HITS_WINDOW,
     "per_doc_hits": O_PER_DOC_HITS,
     "facet_role": O_FACET_ROLE,

@@ -78,46 +78,40 @@ def topk_bm25(
         "doc_ids", "freqs", "dls", "block_max_wtf_raw",
     )
 
-    allowed = None
+    allowed_df = None
     if filter_expr:
-        # metadata filter -> doc id set (reference SpanQueryFiltered
-        # builds an acceptedDocs bitset per segment, SpansFiltered.java:17-60)
-        allowed_docs = corpus.doc_stats.filter(filter_expr).select("doc_id")
-        allowed = {int(r["doc_id"]) for r in allowed_docs.collect()} \
-            if allowed_docs.count() <= 5_000_000 else None
-        if allowed is None:
-            raise NotImplementedError("filter too large for broadcast set; "
-                                      "use join-based filtering")
+        # metadata filter -> DISTRIBUTED per-segment doc set (reference
+        # SpanQueryFiltered builds an acceptedDocs bitset per segment,
+        # SpansFiltered.java:17-60 — never a driver-global set). The
+        # cogroup below ships each segment's allowed doc_ids straight
+        # into that segment's scoring task; the filter never visits the
+        # driver, so there is no size cliff. doc_stats already excludes
+        # tombstoned docs, so deletes need no separate handling here.
+        allowed_df = corpus.doc_stats.filter(filter_expr).select(
+            "segment_id", "doc_id"
+        )
 
     # tombstones (liveDocs analogue): excluded before per-segment top-k
     # selection so tombstoned docs can't crowd out live candidates.
     # Deletes between compactions are assumed modest (Lucene parity).
     dels = corpus.deletes
     dead: set[int] = (
-        {int(r["doc_id"]) for r in dels.collect()} if dels is not None else set()
+        {int(r["doc_id"]) for r in dels.collect()}
+        if (dels is not None and allowed_df is None)
+        else set()
     )
-    if allowed is not None and dead:
-        allowed -= dead
-        dead = set()
 
     k1, b_ = meta["k1"], meta["b"]
     avgdl = meta["avgdl"]
     seg_size = meta["segment_size"]
     b_idf = spark.sparkContext.broadcast(idf_by_term)
-    b_allowed = spark.sparkContext.broadcast(allowed)
     b_dead = spark.sparkContext.broadcast(dead)
 
-    def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score_segment(pdf: pd.DataFrame, allow_arr) -> pd.DataFrame:
         idf = b_idf.value
-        allow = b_allowed.value
         seg = int(pdf["segment_id"].iloc[0])
         base = seg * seg_size
         scores = np.zeros(seg_size, dtype=np.float64)
-        allow_arr = (
-            np.fromiter(allow, dtype=np.int64, count=len(allow))
-            if allow is not None
-            else None
-        )
         # ---- MaxScore / block-max skipping (the analogue of Lucene's
         # block-max WAND over impact-sorted postings) -----------------
         # Terms are processed in desc order of their max possible
@@ -203,9 +197,33 @@ def topk_bm25(
         return pd.DataFrame({"doc_id": (sel + base).astype(np.int64),
                              "score": scores[sel]})
 
-    per_seg = posts.groupBy("segment_id").applyInPandas(
-        score_segment, schema=out_schema
-    )
+    if allowed_df is not None:
+        _empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "score": pd.Series([], dtype=np.float64)}
+        )
+
+        def score_cogrouped(posts_pdf: pd.DataFrame,
+                            allowed_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(posts_pdf) == 0 or len(allowed_pdf) == 0:
+                return _empty
+            allow = allowed_pdf["doc_id"].to_numpy(np.int64)
+            return _score_segment(posts_pdf, allow)
+
+        per_seg = (
+            posts.groupBy("segment_id")
+            .cogroup(allowed_df.groupBy("segment_id"))
+            .applyInPandas(score_cogrouped, schema=out_schema)
+        )
+    else:
+        # single-arg wrapper: applyInPandas treats a two-arg function
+        # as (key, pdf)
+        def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_segment(pdf, None)
+
+        per_seg = posts.groupBy("segment_id").applyInPandas(
+            score_segment, schema=out_schema
+        )
     # global top-k merge (TakeOrderedAndProject over <=k rows/segment),
     # then hydrate metadata for just those k docs: the isin filter is
     # pushed into the tokenized parquet scan (row-group pruning), so

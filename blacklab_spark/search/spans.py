@@ -297,8 +297,28 @@ def and_not(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def token_not(corpus, clause: DataFrame) -> DataFrame:
     """`[!x]` — all single tokens not matched by clause
-    (reference SpanQueryNot.java:22-25)."""
+    (reference SpanQueryNot.java:22-25). Standalone form only: inside a
+    sequence the planner inverts to NOTCONTAINING (not_token_right/
+    not_token_left) so the corpus-wide any-token scan never happens."""
     return and_not(any_token(corpus, 1, 1), clause)
+
+
+def not_token_right(hits: DataFrame, corpus, x_hits: DataFrame) -> DataFrame:
+    """`A [!x]`: extend each hit right by one in-bounds token, drop
+    extensions whose LAST token matches x — the ClauseCombinerNot
+    inversion (reference ClauseCombinerNot.java:14-56,
+    BLSpanQuery.okayToInvertForOptimization:205): an anchored
+    NOTCONTAINING filter instead of materializing the any-token
+    complement of x across the corpus."""
+    ext = expand(hits, corpus, "right", 1, 1)
+    # x hits are single tokens: f.end == p.end <=> p's last token is x
+    return position_filter(ext, x_hits, "ends_at", invert=True)
+
+
+def not_token_left(hits: DataFrame, corpus, x_hits: DataFrame) -> DataFrame:
+    """`[!x] A`: mirror of not_token_right (first token must not be x)."""
+    ext = expand(hits, corpus, "left", 1, 1)
+    return position_filter(ext, x_hits, "starts_at", invert=True)
 
 
 # position-filter ops (reference SpanQueryPositionFilter.java:155-178)
@@ -362,29 +382,107 @@ def expand(
     )
 
 
+# docs per repetition-kernel batch: hits of this many consecutive docs
+# are chained together in one Arrow group (adjacency never crosses a
+# doc, so any doc-contiguous grouping is correct; batching avoids a
+# one-Python-call-per-doc regime)
+_REP_BATCH_DOCS = 4096
+
+
 def repetition(clause: DataFrame, rmin: int, rmax: int, hard_cap: int = 64) -> DataFrame:
     """A{min,max}: consecutive self-concatenation; ALL sub-sequences
     emitted (reference SpanQueryRepetition.java:18-25 — B+ over 'ABBBA'
-    yields 3+2+1 hits). Bounded iterative adjacency self-join."""
+    yields 3+2+1 hits).
+
+    One per-doc-batch vectorized chain kernel: the clause is
+    materialized ONCE, hits shuffle by doc range, and a numpy DP walks
+    adjacency chains level by level (searchsorted on a (doc,start)
+    composite key) emitting every chain of length rmin..rmax. No
+    per-length Spark actions and no O(rmax²) join tree — the whole
+    repetition is a single shuffle + Arrow pass. Capture columns carry
+    the FIRST element's values, matching the former left-biased
+    sequence-join behavior."""
+    import pandas as pd
+
     if rmin < 1:
         raise ValueError("use planner empty-sequence rewrite for min=0")
     rmax_eff = min(rmax, hard_cap) if rmax >= 0 else hard_cap
-    reps = clause
-    parts: list[DataFrame] = []
-    for i in range(1, rmax_eff + 1):
-        if i > 1:
-            reps = sequence(reps, clause)
-            # stop early if no longer matches possible
-            if reps.isEmpty():
-                break
-        if i >= rmin:
-            parts.append(reps)
-    if not parts:
+    if rmin > rmax_eff:
         return clause.limit(0)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
-    return out.dropDuplicates()
+    if rmin == 1 and rmax_eff == 1:
+        return clause
+    caps = _caps(clause)
+    out_cols = ["doc_id", "start", "end", *caps]
+    schema = "doc_id long, start int, end int" + "".join(
+        f", {c} int" for c in caps
+    )
+
+    def chain_kernel(pdf: pd.DataFrame):
+        d = pdf["doc_id"].to_numpy(np.int64)
+        s = pdf["start"].to_numpy(np.int64)
+        e = pdf["end"].to_numpy(np.int64)
+        order = np.lexsort((e, s, d))
+        d, s, e = d[order], s[order], e[order]
+        capv = {c: pdf[c].to_numpy()[order] for c in caps}
+        if not caps and len(d):
+            # set semantics: duplicate spans chain multiplicatively for
+            # no benefit — dedupe input rows up front
+            uniq = np.ones(len(d), dtype=bool)
+            uniq[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1]) | (e[1:] != e[:-1])
+            d, s, e = d[uniq], s[uniq], e[uniq]
+        m = int(e.max()) + 2 if len(e) else 2
+        key_start = d * m + s
+        # current chains: (first input row, chain start, chain end)
+        cur_first = np.arange(len(d))
+        cur_d, cur_s, cur_e = d, s.copy(), e.copy()
+        parts: list[tuple] = []
+        level = 1
+        if rmin <= 1:
+            parts.append((cur_d, cur_s, cur_e, cur_first))
+        while level < rmax_eff and len(cur_first):
+            tgt = cur_d * m + cur_e
+            lo = np.searchsorted(key_start, tgt, "left")
+            hi = np.searchsorted(key_start, tgt, "right")
+            cnt = hi - lo
+            keep = cnt > 0
+            reps = cnt[keep]
+            if reps.size == 0:
+                break
+            # flat indices of each chain's extension candidates
+            offs = np.arange(int(reps.sum())) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            nxt = np.repeat(lo[keep], reps) + offs
+            cur_first = np.repeat(cur_first[keep], reps)
+            cur_d = np.repeat(cur_d[keep], reps)
+            cur_s = np.repeat(cur_s[keep], reps)
+            cur_e = e[nxt]
+            level += 1
+            if level >= rmin:
+                parts.append((cur_d, cur_s, cur_e, cur_first))
+        if not parts:
+            return pd.DataFrame({c: [] for c in out_cols})
+        od = np.concatenate([p[0] for p in parts])
+        os_ = np.concatenate([p[1] for p in parts])
+        oe = np.concatenate([p[2] for p in parts])
+        of = np.concatenate([p[3] for p in parts])
+        out = pd.DataFrame(
+            {
+                "doc_id": od.astype(np.int64),
+                "start": os_.astype(np.int32),
+                "end": oe.astype(np.int32),
+                **{c: capv[c][of].astype(np.int32) for c in caps},
+            }
+        )
+        # set semantics (the old path ended in dropDuplicates())
+        return out.drop_duplicates()
+
+    src = clause.select(*out_cols).withColumn(
+        "_g", F.expr(f"doc_id DIV {_REP_BATCH_DOCS}")
+    )
+    return src.groupBy("_g").applyInPandas(
+        lambda pdf: chain_kernel(pdf.drop(columns=["_g"])), schema=schema
+    )
 
 
 def edge(hits: DataFrame, right: bool) -> DataFrame:

@@ -198,3 +198,51 @@ def test_constraint_equal_words(micro):
 def test_constraint_literal(micro):
     got = hits(micro.find('a:[] "find" :: a.word = "to"'))
     assert got == [(3, 0, 2), (3, 4, 6)]
+
+
+def test_negated_term_in_sequence_inverted(micro, monkeypatch):
+    from blacklab_spark.search import spans as S
+
+    """[!x] A / A [!x] rewrite to anchored NOTCONTAINING (reference
+    ClauseCombinerNot.java:14-56) — the any-token complement
+    (S.token_not) must never be built inside a sequence."""
+    def boom(*a, **k):
+        raise AssertionError("token_not materialized inside a sequence")
+
+    monkeypatch.setattr(S, "token_not", boom)
+    # trailing: "the" [word != "quick"]
+    # doc0: the@0+quick excluded, the@6+lazy ok; doc2: the@1+force ok;
+    # doc3: the@8+question ok
+    got = hits(micro.find('"the" [word != "quick"]'))
+    assert got == [(0, 6, 8), (2, 1, 3), (3, 8, 10)]
+    # leading: [word != "over"] "the"
+    # doc0: the@0 no predecessor, the@6 pred=over excluded;
+    # doc2: the@1 pred=may ok; doc3: the@8 pred=is ok
+    got = hits(micro.find('[word != "over"] "the"'))
+    assert got == [(2, 0, 2), (3, 7, 9)]
+    # both sides: [word != "to"] "find" [word != "that"]
+    # doc3 find@1: pred=to excluded; find@5: pred=to excluded
+    assert hits(micro.find('[word != "to"] "find" [word != "that"]')) == []
+    # chained leading negations: [!noot] [!mier] "aap"
+    # doc1 aap@2: p1=noot excluded; aap@8: p0=noot excluded;
+    # aap@9: p1=noot... positions 7=noot,8=aap -> aap@9 pred=aap,
+    # pred2=noot excluded; aap@10: preds aap,aap ok; aap@11 ok
+    got = hits(micro.find('[word != "noot"] [word != "mier"] "aap"'))
+    assert got == [(1, 8, 11), (1, 9, 12)]
+
+
+def test_only_negated_terms_sequence(micro):
+    # [!the] [!quick]: falls back to ONE any-token complement + invert
+    got = hits(micro.find('[word != "the"] [word != "quick"]'))
+    # doc0 bigrams (pos i, i+1) where tok[i] != 'the' and tok[i+1] != 'quick':
+    # (1,3),(2,4),(3,5),(4,6),(7,9) — excluded: (0,2) the, (5,7) over+the?
+    # tok: the quick brown fox jumps over the lazy dog
+    # (5,7): tok5=over ok, tok6=the -> excluded? tok[i+1]=the != quick ok
+    # recompute in python below
+    toks = "the quick brown fox jumps over the lazy dog".split()
+    exp0 = [
+        (0, i, i + 2)
+        for i in range(len(toks) - 1)
+        if toks[i] != "the" and toks[i + 1] != "quick"
+    ]
+    assert [h for h in got if h[0] == 0] == exp0

@@ -186,3 +186,40 @@ def test_filter_by_docs(micro):
     the = S.term_hits(micro, "the")
     docs = micro.doc_stats.filter(F.col("conv_id") == "doc0").select("doc_id")
     assert hits(S.filter_by_docs(the, docs)) == [(0, 0, 1), (0, 6, 7)]
+
+
+def test_repetition_long_run_no_planning_jobs(spark, tmp_path):
+    """'x'+ over a 10-run: 55 sub-sequences (reference
+    SpanQueryRepetition.java:18-25), and translation triggers ZERO
+    Spark jobs — the old path ran one isEmpty() action per length."""
+    import pandas as pd
+
+    from blacklab_spark.config import EngineConfig
+    from blacklab_spark.corpus import Corpus
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c1"],
+            "turn_idx": [0, 0],
+            "role": ["user", "user"],
+            "text": [("x " * 10) + "end", "y x x end"],
+            "tool": ["", ""],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+        }
+    )
+    corpus = Corpus.build(
+        spark,
+        spark.createDataFrame(pdf),
+        str(tmp_path / "repidx"),
+        EngineConfig(segment_size=4, block_size=4),
+    )
+    corpus.find('"end"').df  # warm table handles (one-time schema reads)
+    sc = spark.sparkContext
+    sc.setJobGroup("rep-translate", "repetition planning must be lazy")
+    df = corpus.find('"x"+').df
+    jobs = sc.statusTracker().getJobIdsForGroup("rep-translate")
+    sc.setJobGroup("rep-collect", "")
+    assert list(jobs) == [], "repetition planning ran driver-side Spark jobs"
+    got = sorted((r["doc_id"], r["start"], r["end"]) for r in df.collect())
+    assert len([h for h in got if h[0] == 0]) == 55  # C(10+1, 2)
+    assert [h for h in got if h[0] == 1] == [(1, 1, 2), (1, 1, 3), (1, 2, 3)]
