@@ -39,9 +39,13 @@ class EngineConfig:
     # parquet row-group pruning on the segment_id column.
     segments_per_dir: int = 64
 
-    # Tokenizer: one regex, shared verbatim with the DuckDB/pure-Python
-    # oracles so tokenization is bit-identical everywhere.
-    token_pattern: str = "[a-z0-9]+"
+    # Tokenizer: one regex, shared with the DuckDB oracle verbatim
+    # (Java regex and RE2 both support \p{L}); the pure-Python oracles
+    # use the documented equivalent [^\W_]+ (analysis.PY_TOKEN_PATTERN).
+    # Unicode letters/digits — accented tokens are kept, with the
+    # case/diacritics folding handled by the analysis chain
+    # (reference BLStandardAnalyzer.java + RemoveAllAccentsFilter.java).
+    token_pattern: str = r"[\p{L}\p{N}]+"
 
     # Default KWIC / collocation context size (reference BlackLabIndex.java:74).
     context_size: int = 5

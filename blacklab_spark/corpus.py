@@ -65,10 +65,12 @@ class Corpus:
             df = self.spark.read.parquet(os.path.join(self.index_dir, name))
             if name == "tokenized" and "tokens_i" not in df.columns:
                 # the insensitive annotation is derived, not stored:
-                # lower() in whole-stage codegen costs ~3s per full
-                # corpus scan while storing it doubled the forward
+                # fold(lower()) in whole-stage codegen costs ~3s per
+                # full corpus scan while storing it doubled the forward
                 # index's token bytes (write AND every scan)
-                df = df.withColumn("tokens_i", F.expr("transform(tokens, t -> lower(t))"))
+                from blacklab_spark.analysis import insensitive_tokens_col
+
+                df = df.withColumn("tokens_i", insensitive_tokens_col("tokens"))
             cache[name] = df
         df = cache[name]
         if name in ("tokenized", "doc_stats", "spans"):
@@ -113,7 +115,17 @@ class Corpus:
 
     # ---- querying -------------------------------------------------------
     def tokenize_query(self, text: str) -> list[str]:
-        return re.findall(self.cfg.token_pattern, text.lower())
+        """Query-side tokenization matching the index analysis chain:
+        the Python-compatible tokenizer pattern, then the same
+        lowercase + accent fold the `tokens_i` annotation stores."""
+        from blacklab_spark.analysis import desensitize_py, py_token_pattern
+
+        pat = py_token_pattern(self.cfg.token_pattern)
+        if pat == self.cfg.token_pattern:
+            # custom/legacy pattern (e.g. [a-z0-9]+): its contract is
+            # to tokenize the lowercased text
+            text = text.lower()
+        return [desensitize_py(t) for t in re.findall(pat, text)]
 
     def topk(self, query: str, k: int = 10, filter_expr: str | None = None) -> DataFrame:
         """Top-k BM25 over the postings (segment-parallel kernel)."""

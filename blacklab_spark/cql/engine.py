@@ -200,7 +200,9 @@ def _plain_term(part) -> str | None:
         and part.annotation in ("word", "")
         and P.is_plain_term(part.value)
     ):
-        return part.value.lower()
+        from blacklab_spark.analysis import desensitize_py
+
+        return desensitize_py(part.value)
     return None
 
 
@@ -229,7 +231,9 @@ def _probe_target(part) -> tuple[str, str] | None:
         and not part.sensitive
         and P.is_plain_term(part.value)
     ):
-        return (part.annotation or "word", part.value.lower())
+        from blacklab_spark.analysis import desensitize_py
+
+        return (part.annotation or "word", desensitize_py(part.value))
     return None
 
 
@@ -416,15 +420,19 @@ def _constrained(corpus, hits: DataFrame, expr) -> DataFrame:
     tk = corpus.tokenized.select(*cols)
     joined = hits.join(tk, "doc_id")
 
+    from blacklab_spark.analysis import desensitize_col, desensitize_py
+
     env: dict[tuple[str, str], Column] = {}
     for cap, ann in needed:
-        env[(cap, ann)] = F.lower(
-            F.element_at(F.col(f"_toks_{ann}"), F.col(f"cap_{cap}_start") + 1)
+        elem = F.element_at(F.col(f"_toks_{ann}"), F.col(f"cap_{cap}_start") + 1)
+        # tokens_i is already fully desensitized; sidecar values fold here
+        env[(cap, ann)] = (
+            elem if ann in ("word", "") else desensitize_col(elem, "i")
         )
 
     def val(v: P.CVal) -> Column:
         if v.literal is not None:
-            return F.lit(v.literal.lower())
+            return F.lit(desensitize_py(v.literal))
         return env[(v.capture, v.annotation or "word")]
 
     def compile_expr(e) -> Column:

@@ -21,16 +21,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from blacklab_spark.config import EngineConfig
 from blacklab_spark.corpus import Corpus
-from blacklab_spark.pipeline import TOKEN_PATTERN, duck_hash32
+from blacklab_spark.pipeline import SQL_TOKEN_PATTERN, TOKEN_PATTERN, duck_hash32
 from blacklab_spark.pipeline import dedup as D
 from blacklab_spark.pipeline import similarity as SIM
 from blacklab_spark.pipeline import text as T
 from blacklab_spark.search.results import autocomplete, term_frequencies
 
-INDEX_VERSION = "v4"  # bump when the on-disk index layout changes
+INDEX_VERSION = "v5"  # bump when the on-disk index layout changes
 
 # shared tokenizer expressions
-_SPARK_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+_SPARK_TOKS = f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)"
 _DUCK_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
 
 # DuckDB CTE: token positions of the documents table (0-based)
@@ -539,6 +539,83 @@ WHERE t.t = 'value' AND d.lang IN ('en', 'de')
 """
 
 
+def _accented_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    """Corpus with deterministically accented text: 'table' -> 'tàble',
+    'value' -> 'válüe' (the oracle applies the same replace), exercising
+    the Unicode analysis chain (reference RemoveAllAccentsFilter.java,
+    MatchSensitivity.java:14-17)."""
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{INDEX_VERSION}|acc".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/blspark_idx_{key}"
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        return Corpus.open(spark, index_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    transcripts = docs.select(
+        F.format_string("c%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        F.expr(
+            "replace(replace(text, 'table', 'tàble'), 'value', 'válüe')"
+        ).alias("text"),
+        F.col("source").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    return Corpus.build(
+        spark,
+        transcripts,
+        index_dir,
+        EngineConfig(segment_size=4096, block_size=128),
+        resume=True,
+    )
+
+
+_DUCK_ACC_TOKS = _DUCK_TOKS.replace(
+    "lower(text)", "lower(replace(replace(text, 'table', 'tàble'), 'value', 'válüe'))"
+)
+
+
+def q_unicode_fold_hits(spark, sf_dir):
+    """Insensitive search matches accented tokens: querying 'table'
+    under @i finds 'tàble' (fold(lower(token)) = query term)."""
+    c = _accented_corpus(spark, sf_dir)
+    h = c.find('"table" "válüe"').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_UNICODE_FOLD_HITS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_DUCK_ACC_TOKS}) AS t,
+         generate_subscripts({_DUCK_ACC_TOKS}, 1) - 1 AS pos
+  FROM documents
+)
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE strip_accents(a.t) = 'table' AND strip_accents(b.t) = 'value'
+"""
+
+
+def q_unicode_sensitive_hits(spark, sf_dir):
+    """(?c) case+diacritics-sensitive search distinguishes the accented
+    form: 'tàble' matches, plain 'table' does not exist in this corpus
+    but 'Tàble'/'TÀBLE' variants would not match either."""
+    c = _accented_corpus(spark, sf_dir)
+    h = c.find('"(?c)tàble"').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_UNICODE_SENSITIVE_HITS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_DUCK_ACC_TOKS}) AS t,
+         generate_subscripts({_DUCK_ACC_TOKS}, 1) - 1 AS pos
+  FROM documents
+)
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM tok WHERE t = 'tàble'
+"""
+
+
 def q_fuzzy_term_hits(spark, sf_dir):
     """Fuzzy term positions (reference SpanFuzzyQuery.java; Lucene
     expands over the dictionary — ours is a broadcast dict scan)."""
@@ -837,6 +914,8 @@ QUERIES = {
     "contextql_hits": q_contextql_hits,
     "luceneql_filtered_hits": q_luceneql_filtered_hits,
     "fuzzy_term_hits": q_fuzzy_term_hits,
+    "unicode_fold_hits": q_unicode_fold_hits,
+    "unicode_sensitive_hits": q_unicode_sensitive_hits,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -880,6 +959,8 @@ ORACLES = {
     "contextql_hits": O_CONTEXTQL_HITS,
     "luceneql_filtered_hits": O_LUCENEQL_FILTERED_HITS,
     "fuzzy_term_hits": O_FUZZY_TERM_HITS,
+    "unicode_fold_hits": O_UNICODE_FOLD_HITS,
+    "unicode_sensitive_hits": O_UNICODE_SENSITIVE_HITS,
     "exact_dedup": O_EXACT_DEDUP,
     "minhash_signature": O_MINHASH_SIGNATURE,
     "lsh_candidate_pairs": O_LSH_CANDIDATE_PAIRS,

@@ -105,7 +105,10 @@ def _case_expanded(pat: str) -> str:
     the `(?i)` flag: Java's case-insensitive regex mode disables
     character-class optimizations and measured 10x slower in
     regexp_extract_all (39s -> 3.7s on a 6.4M-turn scan at 32 cores).
-    Falls back to `(?i)` only when no expandable range exists."""
+    Unicode-property classes (\\p{L}) already match both cases and pass
+    through unchanged; `(?i)` is the last resort."""
+    if "\\p{" in pat:
+        return pat
     if "a-z" in pat:
         return pat.replace("a-z", "a-zA-Z")
     return f"(?i){pat}"
@@ -115,15 +118,17 @@ def tokenize(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Vectorized tokenization, entirely JVM-side (regexp_extract_all in
     whole-stage codegen — the analogue of the reference's
     BLStandardAnalyzer, analysis/BLStandardAnalyzer.java). `tokens`
-    keeps original case (the 'sensitive' annotation). The insensitive
-    variant `tokens_i` (cf. MatchSensitivity.java:14-17) is NOT stored:
-    it is always `lower(tokens)` position-for-position, so it is
-    derived where needed (encode input projection, Corpus.tokenized) —
-    storing it doubled the forward index's token bytes for a ~3s/scan
-    recompute."""
+    keeps original case and accents (the 's' sensitivity). The
+    insensitive variant `tokens_i` (cf. MatchSensitivity.java:14-17)
+    is NOT stored: it is always fold(lower(tokens))
+    position-for-position, so it is derived where needed (encode input
+    projection, Corpus.tokenized) — storing it doubled the forward
+    index's token bytes for a ~3s/scan recompute. The pattern is
+    passed as a literal Column (not an embedded SQL string) so
+    backslashes in \\p{L} survive verbatim."""
     pat = _case_expanded(cfg.token_pattern)
     return df.withColumn(
-        "tokens", F.expr(f"regexp_extract_all(text, '{pat}', 0)")
+        "tokens", F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
     ).withColumn("num_tokens", F.size("tokens"))
 
 
@@ -236,7 +241,9 @@ def encode_postings(
     aggregated FROM these blocks."""
     src = tokenized
     if "tokens_i" not in src.columns:
-        src = src.withColumn("tokens_i", F.expr("transform(tokens, t -> lower(t))"))
+        from blacklab_spark.analysis import insensitive_tokens_col
+
+        src = src.withColumn("tokens_i", insensitive_tokens_col("tokens"))
     rows = src.select("segment_id", "doc_id", "num_tokens", "tokens_i")
     return rows.groupBy("segment_id").applyInPandas(
         make_encoder(cfg, avgdl), schema=POSTINGS_SCHEMA

@@ -16,7 +16,9 @@ from dataclasses import dataclass, field
 
 @dataclass
 class OracleIndex:
-    token_pattern: str = "[a-z0-9]+"
+    from blacklab_spark.analysis import TOKEN_PATTERN as _DEFAULT_PATTERN
+
+    token_pattern: str = _DEFAULT_PATTERN
     k1: float = 1.2
     b: float = 0.75
     docs: list[dict] = field(default_factory=list)  # doc_id -> row
@@ -27,10 +29,18 @@ class OracleIndex:
     )
 
     def tokenize(self, text: str) -> list[str]:
-        return re.findall(self.token_pattern, text.lower())
+        """Insensitive tokens — the same fold(lower(token)) chain the
+        engine's tokens_i annotation uses."""
+        from blacklab_spark.analysis import desensitize_py
+
+        return [desensitize_py(t) for t in self.tokenize_sensitive(text)]
 
     def tokenize_sensitive(self, text: str) -> list[str]:
-        return re.findall(self.token_pattern, text, flags=re.IGNORECASE)
+        from blacklab_spark.analysis import py_token_pattern
+
+        return re.findall(
+            py_token_pattern(self.token_pattern), text, flags=re.IGNORECASE
+        )
 
     @staticmethod
     def from_rows(rows: list[dict], **kw) -> "OracleIndex":
@@ -42,7 +52,9 @@ class OracleIndex:
         ):
             idx.docs.append(row)
             toks_s = idx.tokenize_sensitive(row["text"])
-            toks = [t.lower() for t in toks_s]
+            from blacklab_spark.analysis import desensitize_py
+
+            toks = [desensitize_py(t) for t in toks_s]
             idx.tokens.append(toks)
             idx.tokens_s.append(toks_s)
             for pos, t in enumerate(toks):

@@ -11,7 +11,12 @@ expressions built from primitives that have exact DuckDB equivalents
 SQL oracle in __spark_entry__.oracle_sql() and is verified value-exact.
 """
 
-TOKEN_PATTERN = "[a-z0-9]+"
+# Shared tokenizer (Unicode letters/digits; Java regex and DuckDB RE2
+# both support \p{..}). SQL_TOKEN_PATTERN is the same pattern with
+# backslashes doubled for embedding in Spark SQL string literals
+# (Spark's SQL parser eats single backslashes; DuckDB literals don't).
+TOKEN_PATTERN = r"[\p{L}\p{N}]+"
+SQL_TOKEN_PATTERN = TOKEN_PATTERN.replace("\\", "\\\\")
 
 # portable 32-bit hash: identical results in Spark and DuckDB
 #   Spark : cast(conv(substr(md5(s),1,8),16,10) as bigint)

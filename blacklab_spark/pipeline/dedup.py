@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from blacklab_spark.pipeline import TOKEN_PATTERN, spark_hash32
+from blacklab_spark.pipeline import SQL_TOKEN_PATTERN, spark_hash32
 
 N_HASHES = 12
 BAND_ROWS = 3  # 12 hashes / 3 rows = 4 bands
@@ -25,7 +25,7 @@ SHINGLE_K = 3
 
 
 def _toks(col: str = "text") -> str:
-    return f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}', 0)"
+    return f"regexp_extract_all(lower({col}), '{SQL_TOKEN_PATTERN}', 0)"
 
 
 def _shingles_expr(k: int = SHINGLE_K) -> str:

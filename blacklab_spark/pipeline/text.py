@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from blacklab_spark.pipeline import TOKEN_PATTERN
+from blacklab_spark.pipeline import SQL_TOKEN_PATTERN
 
 _STOPWORDS = {
     # tiny deterministic marker lists; the synthetic corpus vocabulary
@@ -26,7 +26,7 @@ _EN_STOP = _STOPWORDS["en"]
 
 
 def _toks(col: str = "text") -> str:
-    return f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}', 0)"
+    return f"regexp_extract_all(lower({col}), '{SQL_TOKEN_PATTERN}', 0)"
 
 
 def token_counts(docs: DataFrame) -> DataFrame:

@@ -25,7 +25,9 @@ SNIPPET_SCHEMA = (
 def snippets(corpus, hits_df: DataFrame, context_chars: int = 40) -> DataFrame:
     """(doc_id, start, end, snippet, match_text) — snippet is original
     text around the hit with the matched span wrapped in <hl>…</hl>."""
-    pat = re.compile(corpus.cfg.token_pattern, re.IGNORECASE)
+    from blacklab_spark.analysis import py_token_pattern
+
+    pat = re.compile(py_token_pattern(corpus.cfg.token_pattern), re.IGNORECASE)
     j = hits_df.select("doc_id", "start", "end").join(
         corpus.tokenized.select("doc_id", "text"), "doc_id"
     )

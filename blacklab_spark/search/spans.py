@@ -39,25 +39,40 @@ def _caps(df: DataFrame) -> list[str]:
 # leaf producers
 # ---------------------------------------------------------------------------
 
-def _annotation_col(annotation: str, sensitive: bool) -> str:
-    """Annotation -> tokenized-table column. `word` is the primary
-    annotation with both sensitivities (reference
-    AnnotatedFieldNameUtil.java:47 naming `contents%lemma@i`); extra
-    annotations (lemma, pos, ...) live in `ann_<name>` array columns
-    carried through the build."""
-    if annotation in ("word", ""):
-        return "tokens" if sensitive else "tokens_i"
-    return f"ann_{annotation}"
+def _word_tokens_col(corpus, sens: str):
+    """The word annotation's array column under one of the 4 match
+    sensitivities (reference MatchSensitivity.java:14-17,
+    AnnotatedFieldNameUtil.java:47 naming `contents%word@i`): s/i are
+    the stored/derived views, ci/di are derived from `tokens`."""
+    from blacklab_spark.analysis import desensitize_col
+
+    if sens == "i":
+        return F.col("tokens_i")
+    if sens == "s":
+        return F.col("tokens")
+    return F.transform("tokens", lambda t: desensitize_col(t, sens))
 
 
 def token_positions(
-    corpus, annotation: str = "word", sensitive: bool = False
+    corpus, annotation: str = "word", sensitive=False
 ) -> DataFrame:
-    """(doc_id, pos, term) for every token — the exploded forward index."""
-    col = _annotation_col(annotation, sensitive)
-    return corpus.tokenized.select(
-        "doc_id", F.posexplode(col).alias("pos", "term")
+    """(doc_id, pos, term) for every token — the exploded forward
+    index, with `term` ALREADY normalized for the requested
+    sensitivity (s / i / ci / di; bools mean s / i)."""
+    from blacklab_spark.analysis import desensitize_col, norm_sensitivity
+
+    sens = norm_sensitivity(sensitive)
+    if annotation in ("word", ""):
+        src = corpus.tokenized.select(
+            "doc_id", _word_tokens_col(corpus, sens).alias("_toks")
+        )
+        return src.select("doc_id", F.posexplode("_toks").alias("pos", "term"))
+    tp = corpus.tokenized.select(
+        "doc_id", F.posexplode(f"ann_{annotation}").alias("pos", "term")
     )
+    if sens == "s":
+        return tp
+    return tp.withColumn("term", desensitize_col(F.col("term"), sens))
 
 
 def _decode_posting_positions(corpus, posts: DataFrame) -> DataFrame:
@@ -121,44 +136,53 @@ def postings_hits_for_terms(corpus, terms_df: DataFrame) -> DataFrame:
 
 
 def term_hits(
-    corpus, term: str, annotation: str = "word", sensitive: bool = False
+    corpus, term: str, annotation: str = "word", sensitive=False
 ) -> DataFrame:
-    """All positions of one term (reference BLSpanTermQuery.java)."""
-    if annotation in ("word", "") and not sensitive:
-        return postings_hits(corpus, [term.lower()])
-    # sensitive / sidecar annotations are not in the postings: token scan
-    tp = token_positions(corpus, annotation, sensitive)
-    value_col = F.col("term") if sensitive else F.lower(F.col("term"))
-    value = term if sensitive else term.lower()
-    return tp.filter(value_col == value).select(
+    """All positions of one term (reference BLSpanTermQuery.java).
+    ``sensitive`` is a bool (s / i) or one of 's'/'i'/'ci'/'di'."""
+    from blacklab_spark.analysis import desensitize_value, norm_sensitivity
+
+    sens = norm_sensitivity(sensitive)
+    if annotation in ("word", "") and sens == "i":
+        return postings_hits(corpus, [desensitize_value(term, "i")])
+    # other sensitivities / sidecar annotations are not in the
+    # postings: token scan over the desensitized view
+    tp = token_positions(corpus, annotation, sens)
+    return tp.filter(F.col("term") == desensitize_value(term, sens)).select(
         "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
     )
 
 
 def regex_hits(
-    corpus, pattern: str, annotation: str = "word", sensitive: bool = False
+    corpus, pattern: str, annotation: str = "word", sensitive=False
 ) -> DataFrame:
     """Term-set scan via the terms dict (reference
     BLSpanMultiTermQueryWrapper.java rewrites regex to an OR over dict
-    matches), then postings decode for the matching set."""
-    anchored = f"^(?:{pattern})$"
-    # insensitive matching uses the (?i) flag, NOT pattern.lower():
-    # lowercasing inverts escape classes (\W -> \w, \S -> \s, ...)
-    anchored_i = f"(?i){anchored}"
-    if annotation in ("word", "") and not sensitive:
+    matches), then postings decode for the matching set.
+
+    Desensitized matching folds the PATTERN text (accent map over its
+    characters — the reference's approach too: StringUtil.stripAccents
+    over the pattern in desensitized searches) and adds the (?i) flag;
+    the pattern is never lowercased, which would invert escape classes
+    (\\W -> \\w)."""
+    from blacklab_spark.analysis import fold_py, norm_sensitivity
+
+    sens = norm_sensitivity(sensitive)
+    pat = pattern if sens in ("s", "ci") else fold_py(pattern)
+    anchored = f"^(?:{pat})$"
+    if sens in ("i", "ci"):
+        anchored = f"(?i){anchored}"
+    if annotation in ("word", "") and sens == "i":
         # matched-terms set stays DISTRIBUTED: broadcast semi-join into
         # the postings scan (no driver collect, no giant isin). The
         # terms dict is tiny relative to the corpus, so the broadcast
         # is always small even for wide regexes.
         matching_df = corpus.terms.filter(
-            F.col("term").rlike(anchored_i)
+            F.col("term").rlike(anchored)
         ).select("term")
         return postings_hits_for_terms(corpus, matching_df)
-    tp = token_positions(corpus, annotation, sensitive)
-    value_col = F.col("term")
-    return tp.filter(
-        value_col.rlike(anchored if sensitive else anchored_i)
-    ).select(
+    tp = token_positions(corpus, annotation, sens)
+    return tp.filter(F.col("term").rlike(anchored)).select(
         "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
     )
 
@@ -232,16 +256,29 @@ def probe_neighbor(
     equi-join with the tokenized table — the frequent term's positions
     (potentially a large fraction of the corpus) are never materialized
     or shuffled."""
-    col = _annotation_col(annotation, sensitive=False)
-    tk = corpus.tokenized.select("doc_id", F.col(col).alias("_toks"))
+    from blacklab_spark.analysis import desensitize_col, desensitize_py
+
+    if annotation in ("word", ""):
+        # tokens_i is already fully desensitized
+        tk = corpus.tokenized.select("doc_id", F.col("tokens_i").alias("_toks"))
+        probe_val = F.lit(desensitize_py(term))
+        elem = lambda pos: F.try_element_at("_toks", pos)  # noqa: E731
+    else:
+        tk = corpus.tokenized.select(
+            "doc_id", F.col(f"ann_{annotation}").alias("_toks")
+        )
+        probe_val = F.lit(desensitize_py(term))
+        elem = lambda pos: desensitize_col(  # noqa: E731
+            F.try_element_at("_toks", pos), "i"
+        )
     j = hits.join(tk, "doc_id")
     if direction == "right":
         # token at 0-based position `end` (element_at is 1-based)
-        match = F.lower(F.try_element_at("_toks", F.col("end") + 1)) == term.lower()
+        match = elem(F.col("end") + 1) == probe_val
         return j.filter(match).select(
             "doc_id", "start", (F.col("end") + 1).alias("end"), *_caps(hits)
         )
-    match = F.lower(F.try_element_at("_toks", F.col("start"))) == term.lower()
+    match = elem(F.col("start")) == probe_val
     return j.filter(match).select(
         "doc_id", (F.col("start") - 1).alias("start"), "end", *_caps(hits)
     ).filter(F.col("start") >= 0)
@@ -538,8 +575,10 @@ def fuzzy_hits(corpus, term: str, max_edits: int = 2,
     (reference SpanFuzzyQuery.java — Lucene expands the fuzzy term to
     an OR over dictionary matches; our matched set stays distributed
     as a broadcast semi-join, never a driver roundtrip)."""
+    from blacklab_spark.analysis import desensitize_py
+
     matching_df = corpus.terms.filter(
-        F.levenshtein(F.col("term"), F.lit(term.lower())) <= max_edits
+        F.levenshtein(F.col("term"), F.lit(desensitize_py(term))) <= max_edits
     ).select("term")
     if annotation in ("word", ""):
         return postings_hits_for_terms(corpus, matching_df)
