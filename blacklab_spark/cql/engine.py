@@ -191,21 +191,6 @@ def _sequence(corpus, parts: list) -> DataFrame:
     return out
 
 
-def _plain_term(part) -> str | None:
-    """The insensitive plain-term value of a part, or None."""
-    if (
-        isinstance(part, P.TermNode)
-        and not part.negate
-        and not part.sensitive
-        and part.annotation in ("word", "")
-        and P.is_plain_term(part.value)
-    ):
-        from blacklab_spark.analysis import desensitize_py
-
-        return desensitize_py(part.value)
-    return None
-
-
 def _invertible_neg(part) -> P.TermNode | None:
     """A negated plain-term part eligible for NOTCONTAINING inversion
     inside a sequence (reference ClauseCombinerNot.java:14-56;
@@ -221,56 +206,105 @@ def _invertible_neg(part) -> P.TermNode | None:
     return None
 
 
-def _probe_target(part) -> tuple[str, str] | None:
-    """(annotation, value) when the part can be matched by a
-    forward-index neighbor probe (any single-valued plain-term clause,
-    word or sidecar annotation)."""
-    if (
-        isinstance(part, P.TermNode)
-        and not part.negate
-        and not part.sensitive
-        and P.is_plain_term(part.value)
-    ):
-        from blacklab_spark.analysis import desensitize_py
-
-        return (part.annotation or "word", desensitize_py(part.value))
+def _probe_spec(part) -> tuple[str, tuple] | None:
+    """(annotation, matcher) when the part is matchable by a single
+    forward-index token probe: a plain term, a regex term, or an OR of
+    plain terms (insensitive, non-negated) — the single-token NFA
+    states of the reference's matcher (NfaState.java:96-121)."""
+    if isinstance(part, P.TermNode) and not part.negate and not part.sensitive:
+        ann = part.annotation or "word"
+        if P.is_plain_term(part.value):
+            return (ann, ("term", part.value))
+        return (ann, ("regex", part.value))
+    if isinstance(part, (P.TokenOr, P.Or)):
+        vals: list[str] = []
+        ann0 = None
+        for c in part.clauses:
+            if (
+                isinstance(c, P.TermNode)
+                and not c.negate
+                and not c.sensitive
+                and P.is_plain_term(c.value)
+            ):
+                a = c.annotation or "word"
+                if ann0 is None:
+                    ann0 = a
+                if a != ann0:
+                    return None
+                vals.append(c.value)
+            else:
+                return None
+        if vals:
+            return (ann0, ("set", vals))
     return None
+
+
+_MAX_FI_WALK = 8  # bounded multi-step walk length
+
+
+def _probe_specs_for(node) -> list[tuple[str, tuple]] | None:
+    """Walk specs for a whole clause: one spec-able part, or a Seq of
+    spec-able parts (a bounded LINEAR NFA — each state consumes exactly
+    one token, so the walk is a chain of element_at predicates)."""
+    if isinstance(node, P.Seq):
+        parts = _flatten_seq(node.parts)
+        specs = [_probe_spec(p) for p in parts]
+        if specs and all(s is not None for s in specs) and len(specs) <= _MAX_FI_WALK:
+            return specs  # type: ignore[return-value]
+        return None
+    s = _probe_spec(node)
+    return [s] if s is not None else None
 
 
 def _fi_seq(corpus, node: P.FISeq) -> DataFrame:
     """Forced forward-index strategy (reference
     TextPatternQueryFunction.java:38-61 → SpanQueryFiSeq): _FI1 anchors
     on the RIGHT clause and probes the left backward over the token
-    arrays; _FI2 anchors LEFT and probes right. Falls back to the
-    adjacency join when the FI clause is not a plain term (our probe
-    is single-token; the reference walks an NFA)."""
+    arrays; _FI2 anchors LEFT and probes right. The probed clause may
+    be a plain term, a regex, an OR of terms, or a bounded sequence of
+    those (a linear NFA walk, reference NfaState.java:96-121 /
+    ClauseCombinerNfa.java:144-282); anything else falls back to the
+    adjacency join."""
     if node.fi_clause == 1:
-        tgt = _probe_target(node.left)
-        if tgt is not None:
+        specs = _probe_specs_for(node.left)
+        if specs is not None:
             anchor = translate(corpus, node.right)
-            return S.probe_neighbor(corpus, anchor, tgt[1], "left", annotation=tgt[0])
+            # left walk moves away from the anchor: reverse clause order
+            return S.probe_steps(corpus, anchor, list(reversed(specs)), "left")
     else:
-        tgt = _probe_target(node.right)
-        if tgt is not None:
+        specs = _probe_specs_for(node.right)
+        if specs is not None:
             anchor = translate(corpus, node.left)
-            return S.probe_neighbor(corpus, anchor, tgt[1], "right", annotation=tgt[0])
+            return S.probe_steps(corpus, anchor, specs, "right")
     return _sequence(corpus, [node.left, node.right])
 
 
-def _seq_term_dfs(corpus, parts: list) -> dict[str, int]:
-    """Driver-side df lookup for the sequence's plain terms (one tiny
-    filtered scan of the terms dict) — the planner's cost model input,
-    like the reference's term-frequency cost source
-    (BLSpanQuery.reverseMatchingCost via ClauseCombinerNfa.java:144-282)."""
-    terms = {t for t in (_plain_term(p) for p in parts) if t is not None}
-    if not terms:
+def _seq_part_dfs(corpus, parts: list) -> dict[int, int]:
+    """Per-part df estimate for the sequence's probe-able word parts —
+    ONE tiny agg over the terms dict (the planner's cost-model input,
+    like the reference's term-frequency cost source,
+    BLSpanQuery.reverseMatchingCost via ClauseCombinerNfa.java:144-282).
+    Regex / OR parts estimate df as the sum over matching dict terms."""
+    from blacklab_spark.analysis import desensitize_py, fold_py
+
+    aggs, idxs = [], []
+    for i, part in enumerate(parts):
+        spec = _probe_spec(part)
+        if spec is None or spec[0] not in ("word", ""):
+            continue
+        kind, val = spec[1]
+        if kind == "term":
+            cond = F.col("term") == desensitize_py(val)
+        elif kind == "set":
+            cond = F.col("term").isin([desensitize_py(v) for v in val])
+        else:
+            cond = F.col("term").rlike(f"(?i)^(?:{fold_py(val)})$")
+        aggs.append(F.sum(F.when(cond, F.col("df"))).alias(f"p{i}"))
+        idxs.append(i)
+    if not aggs:
         return {}
-    rows = (
-        corpus.terms.filter(F.col("term").isin(list(terms)))
-        .select("term", "df")
-        .collect()
-    )
-    return {r["term"]: int(r["df"]) for r in rows}
+    row = corpus.terms.agg(*aggs).collect()[0]
+    return {i: int(row[f"p{i}"]) for i in idxs if row[f"p{i}"] is not None}
 
 
 def _sequence_one(corpus, parts: list) -> DataFrame:
@@ -278,17 +312,17 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
     adjacency joins, folding [] fillers into expansions.
 
     Cost-based forward-index strategy (reference ClauseCombinerNfa):
-    an adjacent plain term whose df dwarfs the running df estimate is
-    matched by probing the token arrays from the anchor hits
-    (S.probe_neighbor) instead of joining its position list; a frequent
-    LEADING term is deferred so the rare right neighbor anchors a
-    backward probe."""
+    an adjacent probe-able clause (plain term, regex, OR of terms)
+    whose df estimate dwarfs the running anchor estimate is matched by
+    probing the token arrays from the anchor hits (S.probe_steps)
+    instead of joining its position list; a frequent LEADING clause is
+    deferred so the rare right neighbor anchors a backward probe."""
     ratio = corpus.cfg.fi_probe_ratio
-    dfs = _seq_term_dfs(corpus, parts) if ratio else {}
+    dfs = _seq_part_dfs(corpus, parts) if ratio else {}
 
     current: DataFrame | None = None
     cur_df: int | None = None  # df estimate (min term df so far)
-    pending_left_probe: str | None = None  # frequent leading term deferred
+    pending_left_probe: tuple | None = None  # deferred frequent (part, spec)
     pending_gap: tuple[int, int] | None = None  # leading/infix [] bounds
     pending_neg_lefts: list[DataFrame] = []  # leading [!x] parts deferred
 
@@ -312,23 +346,22 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
                 current = S.not_token_right(current, corpus, x_hits)
                 cur_df = None
             continue
-        term = _plain_term(part)
-        df_t = dfs.get(term) if term is not None else None
+        spec = _probe_spec(part)
+        df_t = dfs.get(i)
 
         if current is None:
-            # frequent leading term directly followed by a rarer plain
-            # term: defer it and probe backward from the rare anchor
+            # frequent leading clause directly followed by a rarer
+            # part: defer it and probe backward from the rare anchor
             if (
-                term is not None
+                spec is not None
                 and df_t is not None
                 and pending_gap is None
                 and pending_left_probe is None
                 and i + 1 < len(parts)
             ):
-                nxt = _plain_term(parts[i + 1])
-                df_n = dfs.get(nxt) if nxt is not None else None
+                df_n = dfs.get(i + 1)
                 if df_n is not None and df_t >= ratio * max(df_n, 1):
-                    pending_left_probe = term
+                    pending_left_probe = (part, spec)
                     continue
             t = translate(corpus, part)
             if pending_gap is not None:
@@ -337,8 +370,8 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
             current = t
             cur_df = df_t
             if pending_left_probe is not None:
-                current = S.probe_neighbor(
-                    corpus, current, pending_left_probe, "left"
+                current = S.probe_steps(
+                    corpus, current, [pending_left_probe[1]], "left"
                 )
                 pending_left_probe = None
             if pending_neg_lefts:
@@ -350,12 +383,12 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
             current = S.sequence_with_gap(current, translate(corpus, part), gmin, gmax)
             cur_df = None
         elif (
-            term is not None
+            spec is not None
             and df_t is not None
             and cur_df is not None
             and df_t >= ratio * max(cur_df, 1)
         ):
-            current = S.probe_neighbor(corpus, current, term, "right")
+            current = S.probe_steps(corpus, current, [spec], "right")
         else:
             current = S.sequence(current, translate(corpus, part))
             if df_t is not None:
@@ -363,11 +396,12 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
         pending_gap = None
 
     if pending_left_probe is not None:
-        # the deferred frequent term turned out to be the only part
-        current = translate(
-            corpus, P.TermNode("word", pending_left_probe)
-        ) if current is None else S.probe_neighbor(
-            corpus, current, pending_left_probe, "left"
+        # the deferred frequent clause turned out to be the only part
+        part0, spec0 = pending_left_probe
+        current = (
+            translate(corpus, part0)
+            if current is None
+            else S.probe_steps(corpus, current, [spec0], "left")
         )
 
     if current is None and pending_gap is not None:

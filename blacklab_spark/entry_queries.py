@@ -399,6 +399,24 @@ WHERE k.t = 'key' AND k.pos + 1 + e <= dl.n
 """
 
 
+def q_fi_regex_neighbor(spark, sf_dir):
+    """Forced forward-index walk with a REGEX neighbor (_FI2: anchor
+    'key' from the reverse index, probe 'val.*' over the token arrays —
+    reference SpanQueryFiSeq.java:20-24, NfaState.java:96-121). The
+    frequent regex clause's position list is never materialized."""
+    c = _corpus(spark, sf_dir)
+    h = c.find('_FI2("key", "val.*")').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_FI_REGEX_NEIGHBOR = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.t = 'key' AND regexp_matches(b.t, '^(?:val.*)$')
+"""
+
+
 def q_negated_term_sequence(spark, sf_dir):
     """[!x] A sequence via the ClauseCombinerNot inversion (reference
     ClauseCombinerNot.java:14-56): anchored NOTCONTAINING filter, no
@@ -905,6 +923,7 @@ QUERIES = {
     "or_hits": q_or_hits,
     "token_not_hits": q_token_not_hits,
     "expansion_hits": q_expansion_hits,
+    "fi_regex_neighbor": q_fi_regex_neighbor,
     "negated_term_sequence": q_negated_term_sequence,
     "hits_window": q_hits_window,
     "per_doc_hits": q_per_doc_hits,
@@ -950,6 +969,7 @@ ORACLES = {
     "or_hits": O_OR_HITS,
     "token_not_hits": O_TOKEN_NOT_HITS,
     "expansion_hits": O_EXPANSION_HITS,
+    "fi_regex_neighbor": O_FI_REGEX_NEIGHBOR,
     "negated_term_sequence": O_NEGATED_TERM_SEQUENCE,
     "hits_window": O_HITS_WINDOW,
     "per_doc_hits": O_PER_DOC_HITS,

@@ -66,11 +66,19 @@ def minhash_signature(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
-                        band_rows: int = BAND_ROWS) -> DataFrame:
+                        band_rows: int = BAND_ROWS,
+                        max_bucket: int | None = None) -> DataFrame:
     """Banded LSH: docs sharing any band of their MinHash signature.
     Shuffle key = (band_idx, band_key): bucket sizes are bounded by
     collision probability, not corpus size — the scale path that
-    replaces the O(n²) self-join."""
+    replaces the O(n²) self-join.
+
+    ``max_bucket`` guards the degenerate-bucket failure mode (a band
+    key shared by e.g. millions of empty/boilerplate docs turns one
+    bucket into an O(n²) join): buckets above the cap are dropped
+    before pairing — at scale such buckets are exact-dup families that
+    exact_dedup already collapses, so dropping them loses no near-dup
+    signal. Leave None for exhaustive (oracle-parity) output."""
     sigs = minhash_signature(docs, n_hashes)
     n_bands = n_hashes // band_rows
     bands = sigs.select(
@@ -89,6 +97,14 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket)
+            .select("band_idx", "band_key")
+        )
+        bands = bands.join(ok, ["band_idx", "band_key"], "leftsemi")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -41,9 +41,23 @@ def search(
     number: int | None = None,
     wordsaroundhit: int | None = None,
     calc: str | None = None,
+    maxretrieve: int | None = None,
+    outputformat: str | None = None,
 ) -> DataFrame:
-    """Run one BLS-style request against the corpus."""
+    """Run one BLS-style request against the corpus.
+
+    ``maxretrieve`` caps how many hits are processed (BLS maxretrieve /
+    maxHitsToProcess, reference HitsFromQuery.java:63-70);
+    ``outputformat='csv'`` returns a CSV string of the final result
+    (the hits-csv/docs-csv endpoints)."""
     from pyspark.sql import functions as F
+
+    from blacklab_spark.search.results import export_csv
+
+    def _out(result):
+        if outputformat == "csv":
+            return export_csv(result if isinstance(result, DataFrame) else result.df)
+        return result
 
     # ---- filter → SQL expression -----------------------------------
     filter_sql = None
@@ -64,23 +78,29 @@ def search(
         if filter_sql:
             docs = docs.filter(filter_sql)
         if group:
-            return docs.groupBy(group).agg(F.count(F.lit(1)).alias("n_docs")).orderBy(
-                F.desc("n_docs"), group
+            return _out(
+                docs.groupBy(group)
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .orderBy(F.desc("n_docs"), group)
             )
-        return docs
+        return _out(docs)
 
     if pattlang == "bcql":
         hits = corpus.find(patt)
     elif pattlang == "contextql":
         res = corpus.find_contextql(patt)
         if isinstance(res, DataFrame):  # metadata-only ContextQL
-            return res
+            return _out(res)
         hits = res
     else:
         raise ValueError(f"unknown pattlang: {pattlang}")
 
     if filter_sql:
         hits = hits.filter_docs(filter_sql)
+
+    # ---- result cap (maxHitsToProcess analogue) --------------------
+    if maxretrieve is not None:
+        hits = hits.limited(maxretrieve)
 
     # ---- sample (before sort/group, like BLS) ----------------------
     if sample is not None or samplenum is not None:
@@ -89,12 +109,12 @@ def search(
     # ---- grouping requests -----------------------------------------
     if group and viewgroup is None:
         if group == "decade":
-            return hits.group_by_decade()
+            return _out(hits.group_by_decade())
         if group.startswith("field:"):
-            return hits.group_by_metadata(group.split(":", 1)[1])
+            return _out(hits.group_by_metadata(group.split(":", 1)[1]))
         if group.startswith("hit:") or group == "hit":
             ann = group.split(":", 1)[1] if ":" in group else "word"
-            return hits.group_by_hit_text(ann or "word")
+            return _out(hits.group_by_hit_text(ann or "word"))
         raise ValueError(f"unknown group criterion: {group}")
 
     if viewgroup is not None:
@@ -138,11 +158,11 @@ def search(
 
     # ---- collocations ----------------------------------------------
     if calc == "colloc":
-        return hits.collocations(wordsaroundhit)
+        return _out(hits.collocations(wordsaroundhit))
 
     # ---- window + KWIC ----------------------------------------------
     if number is not None:
         hits = hits.window(first, number)
     if wordsaroundhit is not None:
-        return hits.kwic(wordsaroundhit)
-    return hits.df
+        return _out(hits.kwic(wordsaroundhit))
+    return _out(hits.df)

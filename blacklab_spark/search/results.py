@@ -30,6 +30,39 @@ class Hits:
         """ResultCount analogue (reference ResultCount.java:8)."""
         return self.df.count()
 
+    def count_stats(
+        self,
+        max_count: int | None = None,
+    ) -> dict:
+        """Capped counting with MaxStats (reference
+        HitsFromQuery.java:63-70 maxHitsToProcess/maxHitsToCount,
+        SearchSettings defaults): enumerate at most ``max_count + 1``
+        hits — the limit pushes into the plan (CollectLimit), so an
+        interactive endpoint never pays for an unbounded count.
+        Returns {'count', 'counted_exactly', 'max_exceeded'}; when
+        exceeded, count == max_count (the reference reports the cap)."""
+        if max_count is None:
+            return {
+                "count": self.df.count(),
+                "counted_exactly": True,
+                "max_exceeded": False,
+            }
+        n = self.df.limit(max_count + 1).count()
+        if n > max_count:
+            return {
+                "count": max_count,
+                "counted_exactly": False,
+                "max_exceeded": True,
+            }
+        return {"count": n, "counted_exactly": True, "max_exceeded": False}
+
+    def limited(self, max_retrieve: int) -> "Hits":
+        """Truncate processing to the first max_retrieve hits in
+        deterministic (doc,start,end) order — the maxHitsToProcess
+        analogue; downstream sort/group/kwic see only these."""
+        out = self.df.orderBy("doc_id", "start", "end").limit(max_retrieve)
+        return Hits(self.corpus, out)
+
     def doc_count(self) -> int:
         return self.df.select("doc_id").distinct().count()
 
@@ -116,28 +149,41 @@ class Hits:
 
     # -- sort ---------------------------------------------------------------
     def sort_by_hit_text(self, annotation: str = "word") -> "Hits":
-        """Sort by matched text, then (doc,start,end) tie-break
-        (reference HitsAbstract.java:279-297; collator sort positions
-        reference forwardindex/Terms.java:69-95 — our insensitive terms
-        sort lexicographically, equal to the dense term_id order the
-        build assigns)."""
-        ctx = self.with_context(0, annotation)
+        """Collator-correct sort by matched text, then (doc,start,end)
+        tie-break (reference HitsAbstract.java:279-297). Primary key =
+        the desensitized (case+accent-folded) text, secondary = the raw
+        sensitive text — the two-strength ordering of the reference's
+        insensitive/sensitive collator pair (Collators.java:14-82,
+        forwardindex/Terms.java:69-95): 'Apple apple applesauce Banana'
+        sorts as one apple-group before banana, NOT ASCIIbetically with
+        all capitals first. Case-variant tie order within a group is
+        codepoint order (deterministic; ICU tertiary differs only in
+        lowercase-first, documented divergence)."""
+        from blacklab_spark.analysis import fold_col
+
+        ctx = self.with_context(0, annotation, sensitive=True)
+        raw = F.array_join("match", " ")
         out = ctx.orderBy(
-            F.array_join("match", " "), "doc_id", "start", "end"
+            fold_col(F.lower(raw)), raw, "doc_id", "start", "end"
         ).select(*self.df.columns)
         return Hits(self.corpus, out)
 
     def sort_by_context(self, side: str = "left", size: int | None = None) -> "Hits":
         """Sort on left/right context words (reference HitProperty
         `left`/`right`, resultproperty/HitProperty.java:41-110); left
-        context compares right-to-left like the reference."""
-        ctx = self.with_context(size)
-        key = (
+        context compares right-to-left like the reference. Same
+        two-strength collation as sort_by_hit_text."""
+        from blacklab_spark.analysis import fold_col
+
+        ctx = self.with_context(size, sensitive=True)
+        raw = (
             F.array_join(F.reverse("left"), " ")
             if side == "left"
             else F.array_join("right", " ")
         )
-        out = ctx.orderBy(key, "doc_id", "start", "end").select(*self.df.columns)
+        out = ctx.orderBy(
+            fold_col(F.lower(raw)), raw, "doc_id", "start", "end"
+        ).select(*self.df.columns)
         return Hits(self.corpus, out)
 
     # -- group ----------------------------------------------------------------
@@ -255,6 +301,19 @@ def grouped_term_frequencies(corpus, meta_cols: list[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), "term", *meta_cols)
     )
+
+
+def export_csv(df: DataFrame, path: str | None = None, max_rows: int = 10_000):
+    """hits-csv / docs-csv export (reference RequestHandlerCsv via
+    RequestHandler.java:54-73 hits-csv/docs-csv endpoints). With a
+    ``path``: a fully distributed CSV write (one file per partition —
+    the scale path). Without: a driver-side CSV STRING bounded by
+    ``max_rows`` (the interactive-response path; BLS responses are
+    page-sized by contract)."""
+    if path is not None:
+        df.write.mode("overwrite").option("header", True).csv(path)
+        return path
+    return df.limit(max_rows).toPandas().to_csv(index=False)
 
 
 def autocomplete(corpus, prefix: str, n: int = 20) -> DataFrame:

@@ -238,6 +238,82 @@ def sequence(a: DataFrame, b: DataFrame) -> DataFrame:
     return L.join(R, cond).select(*out_cols)
 
 
+# matcher specs for forward-index probes: ('term', v) | ('set', [v..])
+# | ('regex', pattern) — the single-token NFA states our linear walk
+# supports (reference NfaState.java:96-121 token/or states)
+
+
+def _probe_match_col(elem: Column, matcher: tuple) -> Column:
+    from blacklab_spark.analysis import desensitize_py, fold_py
+
+    kind, val = matcher
+    if kind == "term":
+        return elem == F.lit(desensitize_py(val))
+    if kind == "set":
+        return elem.isin([desensitize_py(v) for v in val])
+    # regex over the desensitized token (pattern folded like regex_hits)
+    return elem.rlike(f"(?i)^(?:{fold_py(val)})$")
+
+
+def probe_steps(
+    corpus,
+    hits: DataFrame,
+    steps: list[tuple[str, tuple]],
+    direction: str = "right",
+) -> DataFrame:
+    """Bounded multi-step forward-index walk: extend each anchor hit by
+    len(steps) tokens, each step an (annotation, matcher) checked
+    against the adjacent token in the doc's token arrays.
+
+    The reference's cost-based NFA strategy (ClauseCombinerNfa.java:144-282,
+    SpanQueryFiSeq.java:20-24, NfaState.java:96-121): resolve the RARE
+    clause from the reverse index, walk the FREQUENT neighbors over the
+    forward index. Our NFA collapses to ONE doc_id equi-join plus one
+    codegen element_at predicate per step — the frequent terms'
+    positions (potentially a large fraction of the corpus) are never
+    materialized or shuffled, regardless of how many steps the walk has
+    or whether a step is a term, a term set, or a regex."""
+    from blacklab_spark.analysis import desensitize_col
+
+    anns = sorted({a or "word" for a, _ in steps})
+    cols = ["doc_id"]
+    for a in anns:
+        if a in ("word", ""):
+            cols.append(F.col("tokens_i").alias("_toks_word"))
+        else:
+            cols.append(F.col(f"ann_{a}").alias(f"_toks_{a}"))
+    tk = corpus.tokenized.select(*cols)
+    j = hits.join(tk, "doc_id")
+
+    def elem(ann: str, pos: Column) -> Column:
+        a = ann or "word"
+        e = F.try_element_at(f"_toks_{a if a != '' else 'word'}", pos)
+        # tokens_i is already desensitized; sidecar values fold here
+        return e if a in ("word", "") else desensitize_col(e, "i")
+
+    # steps are in WALK order, moving away from the anchor (for a left
+    # walk over the clause sequence `s1 s2 ANCHOR` pass [s2, s1])
+    n = len(steps)
+    cond = F.lit(True)
+    for k, (ann, matcher) in enumerate(steps, start=1):
+        if direction == "right":
+            pos = F.col("end") + k  # 1-based element_at
+        else:
+            pos = F.col("start") - k + 1
+        cond = cond & _probe_match_col(elem(ann, pos), matcher)
+    if direction == "right":
+        return j.filter(cond).select(
+            "doc_id", "start", (F.col("end") + n).alias("end"), *_caps(hits)
+        )
+    return (
+        j.filter(cond)
+        .select(
+            "doc_id", (F.col("start") - n).alias("start"), "end", *_caps(hits)
+        )
+        .filter(F.col("start") >= 0)
+    )
+
+
 def probe_neighbor(
     corpus,
     hits: DataFrame,
@@ -245,43 +321,8 @@ def probe_neighbor(
     direction: str = "right",
     annotation: str = "word",
 ) -> DataFrame:
-    """Forward-index neighbor match: extend each anchor hit by checking
-    the adjacent token in the doc's token array instead of joining
-    against the neighbor term's full position list.
-
-    The reference's cost-based NFA strategy (ClauseCombinerNfa.java:144-282,
-    SpanQueryFiSeq.java:20-24): resolve the RARE clause from the
-    reverse index, walk the FREQUENT neighbor over the forward index.
-    Here the walk is one vectorized `element_at` check after a doc_id
-    equi-join with the tokenized table — the frequent term's positions
-    (potentially a large fraction of the corpus) are never materialized
-    or shuffled."""
-    from blacklab_spark.analysis import desensitize_col, desensitize_py
-
-    if annotation in ("word", ""):
-        # tokens_i is already fully desensitized
-        tk = corpus.tokenized.select("doc_id", F.col("tokens_i").alias("_toks"))
-        probe_val = F.lit(desensitize_py(term))
-        elem = lambda pos: F.try_element_at("_toks", pos)  # noqa: E731
-    else:
-        tk = corpus.tokenized.select(
-            "doc_id", F.col(f"ann_{annotation}").alias("_toks")
-        )
-        probe_val = F.lit(desensitize_py(term))
-        elem = lambda pos: desensitize_col(  # noqa: E731
-            F.try_element_at("_toks", pos), "i"
-        )
-    j = hits.join(tk, "doc_id")
-    if direction == "right":
-        # token at 0-based position `end` (element_at is 1-based)
-        match = elem(F.col("end") + 1) == probe_val
-        return j.filter(match).select(
-            "doc_id", "start", (F.col("end") + 1).alias("end"), *_caps(hits)
-        )
-    match = elem(F.col("start")) == probe_val
-    return j.filter(match).select(
-        "doc_id", (F.col("start") - 1).alias("start"), "end", *_caps(hits)
-    ).filter(F.col("start") >= 0)
+    """Single-step plain-term probe (the common case of probe_steps)."""
+    return probe_steps(corpus, hits, [(annotation, ("term", term))], direction)
 
 
 def sequence_with_gap(a: DataFrame, b: DataFrame, gmin: int, gmax: int) -> DataFrame:

@@ -107,3 +107,24 @@ def test_term_hits_whole_stage_codegen(micro):
     plan = _formatted_plan(S.term_hits(micro, "the"))
     assert "codegen id" in plan  # whole-stage codegen spans
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lsh_max_bucket_guard(spark):
+    """Degenerate boilerplate buckets are dropped under max_bucket;
+    genuine near-dup pairs survive."""
+    import pandas as pd
+
+    from blacklab_spark.pipeline.dedup import lsh_candidate_pairs
+
+    rows = [{"doc_id": i, "text": "the same boilerplate text here"} for i in range(20)]
+    rows += [
+        {"doc_id": 100, "text": "a unique near duplicate document body one two three"},
+        {"doc_id": 101, "text": "a unique near duplicate document body one two four"},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    uncapped = lsh_candidate_pairs(docs)
+    assert uncapped.count() >= 190  # 20*19/2 boilerplate pairs + near-dups
+    capped = lsh_candidate_pairs(docs, max_bucket=5)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)  # boilerplate bucket dropped

@@ -63,3 +63,45 @@ def test_probe_neighbor_unit(small_corpus):
     probed_l = S.probe_neighbor(corpus, anchor, "word00001", "left")
     joined_l = S.sequence(S.term_hits(corpus, "word00001"), anchor)
     assert hits(probed_l) == hits(joined_l)
+
+
+def test_probe_steps_regex_and_set(small_corpus):
+    corpus, _ = small_corpus
+    anchor = S.term_hits(corpus, "word00050")
+    # regex neighbor probed over the FI == regex position-list join
+    probed = S.probe_steps(corpus, anchor, [("word", ("regex", "word0000."))], "right")
+    joined = S.sequence(anchor, S.regex_hits(corpus, "word0000."))
+    assert hits(probed) == hits(joined)
+    # term-set neighbor
+    probed_s = S.probe_steps(
+        corpus, anchor, [("word", ("set", ["word00001", "word00002"]))], "left"
+    )
+    joined_s = S.sequence(
+        S.union(S.term_hits(corpus, "word00001"), S.term_hits(corpus, "word00002")),
+        anchor,
+    )
+    assert hits(probed_s) == hits(joined_s)
+
+
+def test_probe_steps_multi(small_corpus):
+    corpus, _ = small_corpus
+    anchor = S.term_hits(corpus, "word00050")
+    two = [("word", ("term", "word00001")), ("word", ("regex", "word\\d+"))]
+    probed = S.probe_steps(corpus, anchor, two, "right")
+    joined = S.sequence(
+        S.sequence(anchor, S.term_hits(corpus, "word00001")),
+        S.regex_hits(corpus, "word\\d+"),
+    )
+    assert hits(probed) == hits(joined)
+
+
+def test_fi_forced_regex_clause(small_corpus):
+    corpus, _ = small_corpus
+    # _FI2: anchor left, probe regex right over the token arrays
+    via_fi = hits(corpus.find('_FI2("word00050", "word0000.")').df)
+    via_join = hits(corpus.find('"word00050" "word0000."').df)
+    assert via_fi == via_join
+    # _FI1: anchor right, probe a two-part sequence backward
+    via_fi1 = hits(corpus.find('_FI1("word00001" "word00002", "word00050")').df)
+    via_join1 = hits(corpus.find('"word00001" "word00002" "word00050"').df)
+    assert via_fi1 == via_join1

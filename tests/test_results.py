@@ -118,3 +118,62 @@ def test_autocomplete(micro):
 def test_filter_docs(micro):
     h = micro.find('"the"').filter_docs("conv_id = 'doc0'")
     assert h.count() == 2
+
+
+def test_collator_sort_case_mixed(spark, tmp_path):
+    """Collator order groups case/accent variants (reference
+    Collators.java:14-82) — lexicographic byte order would put all
+    capitals first."""
+    import pandas as pd
+
+    from blacklab_spark.config import EngineConfig
+    from blacklab_spark.corpus import Corpus
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text": ["zebra Apple apple Banana caf\u00e8 banana"],
+            "tool": [""],
+            "ts": pd.to_datetime(["2024-01-01"]),
+        }
+    )
+    c = Corpus.build(
+        spark, spark.createDataFrame(pdf), str(tmp_path / "coll"),
+        EngineConfig(segment_size=4, block_size=4),
+    )
+    toks = "zebra Apple apple Banana caf\u00e8 banana".split()
+    rows = c.find("[]").sort_by_hit_text().df.collect()
+    texts = [toks[r["start"]] for r in rows]
+    # collator: apple-group, banana-group, caf\u00e8, zebra
+    # (NOT Apple/Banana first as byte order would give)
+    assert texts == ["Apple", "apple", "Banana", "banana", "caf\u00e8", "zebra"]
+
+
+def test_count_stats_capped(micro):
+    h = micro.find('[]')  # 37 tokens
+    full = h.count_stats()
+    assert full == {"count": 37, "counted_exactly": True, "max_exceeded": False}
+    capped = h.count_stats(max_count=10)
+    assert capped == {"count": 10, "counted_exactly": False, "max_exceeded": True}
+    under = h.count_stats(max_count=100)
+    assert under == {"count": 37, "counted_exactly": True, "max_exceeded": False}
+    # the cap must appear in the physical plan as a limit, not a full count
+    plan = h.df.limit(11)._jdf.queryExecution().executedPlan().toString()
+    assert "Limit" in plan or "CollectLimit" in plan
+
+
+def test_limited_and_maxretrieve(micro):
+    h = micro.find('[]')
+    assert h.limited(5).count() == 5
+    out = micro.search(patt="[]", maxretrieve=5)
+    assert out.count() == 5
+
+
+def test_csv_export(micro):
+    csv = micro.search(patt='"the"', wordsaroundhit=1, outputformat="csv")
+    assert isinstance(csv, str)
+    lines = csv.strip().splitlines()
+    assert lines[0].startswith("doc_id,")
+    assert len(lines) == 1 + 4  # header + 4 hits of 'the'
