@@ -891,9 +891,56 @@ FROM sims WHERE cos >= 0.5
 """
 
 
-# Spark-only (no SQL oracle — driver records rows-only check):
 def q_lsh_neardup_vectors(spark, sf_dir):
+    """SRP-LSH near-dup pairs. The ±1 hyperplanes derive from an md5
+    parity rule, so the DuckDB oracle regenerates the SAME planes and
+    replicates the bucketing + candidate set + cosine verify exactly —
+    the approximation itself is value-gated, not rows-only."""
     return SIM.lsh_neardup_pairs(_emb(spark, sf_dir), threshold=0.5)
+
+
+def _srp_oracle_sql(threshold: float = 0.5, dim: int = 64) -> str:
+    from blacklab_spark.pipeline.similarity import (
+        N_PLANES,
+        N_TABLES,
+        rademacher_signs,
+    )
+
+    per_table = []
+    for t in range(N_TABLES):
+        s = rademacher_signs(dim, N_PLANES, t)
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(str(int(x)) for x in s[:, p])
+            + f"]::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(N_PLANES)
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS table_id, ({bits}) AS bucket FROM embeddings"
+        )
+    sigs = " UNION ALL ".join(per_table)
+    return f"""
+WITH sigs AS ({sigs}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+sims AS (
+  SELECT c.vec_a, c.vec_b,
+    list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10000
+FROM sims WHERE cos >= {threshold}
+"""
+
+
+O_LSH_NEARDUP_VECTORS = _srp_oracle_sql(threshold=0.5, dim=64)
 
 
 def q_media_features(spark, sf_dir):
@@ -903,6 +950,29 @@ def q_media_features(spark, sf_dir):
     return extract_features(media, dim=16, fake=True).select(
         "media_id", "feat_dim", "payload_sha"
     )
+
+
+def _media_oracle_sql(n: int = 64, seed: int = 42, dim: int = 16) -> str:
+    """Independent recomputation of the deterministic media pipeline's
+    payload shas (pure hashlib, same construction as make_fake_media)
+    pinned as a VALUES table — a content oracle for the Arrow plumbing:
+    any corruption of payload bytes through the binary column path
+    changes the sha and fails the gate."""
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"{seed}|{i}".encode()).digest()
+        payload = (h * ((512 + len(h) - 1) // len(h)))[: 256 + (i % 512)]
+        sha = hashlib.sha256(payload).hexdigest()
+        rows.append(f"({i}, {dim}, '{sha}')")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(feat_dim AS INT) AS feat_dim, payload_sha FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, feat_dim, payload_sha)"
+    )
+
+
+O_MEDIA_FEATURES = _media_oracle_sql()
 
 
 QUERIES = {
@@ -993,6 +1063,6 @@ ORACLES = {
     "fingerprint": O_FINGERPRINT,
     "cosine_topk": O_COSINE_TOPK,
     "exact_neardup_vectors": O_EXACT_NEARDUP_VECTORS,
-    # lsh_neardup_vectors, media_features: intentionally no oracle
-    # (approximate / non-SQL) -> rows-only check
+    "lsh_neardup_vectors": O_LSH_NEARDUP_VECTORS,
+    "media_features": O_MEDIA_FEATURES,
 }

@@ -68,84 +68,109 @@ def exact_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: str = "srp") -> np.ndarray:
-    """Deterministic pseudo-random hyperplanes: unit gaussians seeded
-    from md5 — reproducible across any cluster, no RNG state."""
+N_PLANES = 8
+N_TABLES = 6
+
+
+def rademacher_signs(dim: int, n_planes: int, table: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes (Rademacher SRP): sign(t,p,d) = +1
+    iff the first 8 md5 hex digits of 'srp|t|p|d' are even. The rule is
+    a pure md5 parity, so the DuckDB oracle regenerates the exact same
+    planes and replicates the bucketing bit-for-bit — the approximation
+    itself becomes oracle-verifiable. Shape (dim, n_planes)."""
     import hashlib
 
-    out = np.empty((n_planes, dim), dtype=np.float64)
+    s = np.empty((dim, n_planes), dtype=np.float64)
     for p in range(n_planes):
-        for chunk in range((dim + 3) // 4):
-            h = hashlib.md5(f"{seed}|{p}|{chunk}".encode()).digest()
-            for j in range(4):
-                i = chunk * 4 + j
-                if i >= dim:
-                    break
-                u = int.from_bytes(h[j * 4: j * 4 + 4], "big") / 2**32
-                out[p, i] = u - 0.5
-    return out
+        for d in range(dim):
+            h = int(hashlib.md5(f"srp|{table}|{p}|{d}".encode()).hexdigest()[:8], 16)
+            s[d, p] = 1.0 if h % 2 == 0 else -1.0
+    return s
 
 
-def srp_bucket(embeddings: DataFrame, n_planes: int = 12,
-               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Sign-random-projection bucket id per vector (LSH for cosine)."""
-    first = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = int(first["d"])
-    planes = _hyperplanes(dim, n_planes)
-    bits = []
-    for p in range(n_planes):
-        vec = "array(" + ", ".join(f"{v!r}D" for v in planes[p]) + ")"
-        bits.append(f"(case when {_dot(vec_col, vec)} > 0 then {1 << p} else 0 end)")
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        F.expr(" + ".join(bits)).alias("bucket"),
+def srp_signatures(embeddings: DataFrame, n_planes: int = N_PLANES,
+                   n_tables: int = N_TABLES, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, table_id, bucket) — sign-random-projection bucket per
+    vector per table. The sign matrices are broadcast numpy (one matmul
+    per Arrow batch, dimension-independent — NO dim×planes literal
+    expression tree in the plan); only tiny signature rows shuffle."""
+    import pandas as pd
+
+    dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    signs = np.stack(
+        [rademacher_signs(dim, n_planes, t) for t in range(n_tables)]
+    )  # (T, dim, P)
+    b_signs = embeddings.sparkSession.sparkContext.broadcast(signs)
+
+    def run(batches):
+        s = b_signs.value
+        n_t, _, n_p = s.shape
+        weights = (1 << np.arange(n_p)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            ids = pdf[id_col].to_numpy(np.int64)
+            outs = []
+            for t in range(n_t):
+                bits = (x @ s[t]) > 0.0
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "table_id": np.full(len(ids), t, dtype=np.int32),
+                            "bucket": bits.astype(np.int64) @ weights,
+                        }
+                    )
+                )
+            yield pd.concat(outs)
+
+    return embeddings.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        run, schema="vec_id long, table_id int, bucket long"
     )
 
 
 def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
-                      n_planes: int = 12, n_tables: int = 4) -> DataFrame:
+                      n_planes: int = N_PLANES,
+                      n_tables: int = N_TABLES) -> DataFrame:
     """Approximate near-dup pairs: candidates share an SRP bucket in at
     least one of ``n_tables`` independent tables, then exact cosine
-    verification on candidates only. The shuffle key is (table, bucket)."""
-    first = embeddings.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"])
-    tables = []
-    for t in range(n_tables):
-        # independent tables need independent planes: seed per table
-        planes = _hyperplanes(dim, n_planes, seed=f"srp{t}")
-        bits = []
-        for p in range(n_planes):
-            vec = "array(" + ", ".join(f"{v!r}D" for v in planes[p]) + ")"
-            bits.append(f"(case when {_dot('embedding', vec)} > 0 then {1 << p} else 0 end)")
-        tables.append(
-            embeddings.select(
-                F.col("vec_id"),
-                F.col("embedding"),
-                F.lit(t).alias("table_id"),
-                F.expr(" + ".join(bits)).alias("bucket"),
-            )
-        )
-    allb = tables[0]
-    for t in tables[1:]:
-        allb = allb.unionByName(t)
-    a = allb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
-        "table_id", "bucket",
-    )
-    b = allb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
-        "table_id", "bucket",
-    )
+    verification on candidates only. The shuffle key is (table_id,
+    bucket) — never all-pairs — and the candidate join moves only
+    (vec_id, bucket) signature rows; embedding vectors are joined back
+    for the candidate pairs alone. Default 8 planes × 6 tables gives
+    ≥0.95 expected recall at cos 0.95 (miss = (1−0.898^8)^6 ≈ 0.04)."""
+    sigs = srp_signatures(embeddings, n_planes, n_tables)
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb")
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    cos = f"{_dot('va', 'vb')} / ({_norm('va')} * {_norm('vb')})"
+    e = embeddings.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("v"),
+        F.expr(_norm("embedding")).alias("nrm"),
+    )
+    cand = (
+        cand.join(
+            e.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na")),
+            "vec_a",
+        )
+        .join(
+            e.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb")),
+            "vec_b",
+        )
+    )
     return (
-        cand.withColumn("cos", F.expr(cos))
+        cand.withColumn("cos", F.expr(f"{_dot('va', 'vb')} / (na * nb)"))
         .filter(F.col("cos") >= threshold)
         .select(
             "vec_a",

@@ -128,3 +128,35 @@ def test_lsh_max_bucket_guard(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert (100, 101) in got
     assert all(a >= 100 for a, _ in got)  # boilerplate bucket dropped
+
+
+def test_lsh_recall_vs_exact(spark):
+    """SRP-LSH (8 planes x 6 tables) must recover >=90% of exact
+    near-dup pairs at cos>=0.95 on clustered synthetic vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from blacklab_spark.pipeline import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # 3 near-identical variants per cluster
+            v = b + rng.normal(scale=0.02, size=64)
+            rows.append({"vec_id": vid, "embedding": [float(x) for x in v]})
+            vid += 1
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in SIM.exact_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in SIM.lsh_neardup_pairs(emb, threshold=0.95).collect()
+    }
+    assert exact, "fixture must produce exact near-dup pairs"
+    assert lsh <= exact | lsh  # sanity
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(lsh)}/{len(exact)})"
