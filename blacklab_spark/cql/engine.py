@@ -86,6 +86,36 @@ def _seq_alternatives(parts: list) -> list[list]:
     return [a for a in alts if a]
 
 
+def _merge_repetitions(parts: list) -> list:
+    """Adjacent equal clauses merge into one repetition — `A A` →
+    `A{2}`, `A A+` → `A{2,}`, `A{a,b} A{c,d}` → `A{a+c,b+d}`
+    (reference ClauseCombinerRepetition.java:11-49). The merged form
+    runs as ONE chain-kernel pass instead of an adjacency join per
+    occurrence. Captures are never merged (their per-element bindings
+    would collapse); any-token runs are left to the gap folding."""
+
+    def base_bounds(p):
+        if isinstance(p, P.Repeat):
+            return p.clause, p.rmin, (p.rmax if p.rmax >= 0 else None)
+        return p, 1, 1
+
+    out: list = []
+    for p in parts:
+        if out:
+            b1, lo1, hi1 = base_bounds(out[-1])
+            b2, lo2, hi2 = base_bounds(p)
+            if (
+                b1 == b2
+                and not isinstance(b1, (P.AnyToken, P.Capture))
+                and not (isinstance(b1, P.TermNode) and b1.negate)
+            ):
+                hi = None if (hi1 is None or hi2 is None) else hi1 + hi2
+                out[-1] = P.Repeat(b1, lo1 + lo2, -1 if hi is None else hi)
+                continue
+        out.append(p)
+    return out
+
+
 def _anytoken_bounds(node) -> tuple[int, int] | None:
     """(min,max) if node is pure any-token filler ([], []{n,m}); else None."""
     if isinstance(node, P.AnyToken):
@@ -122,7 +152,7 @@ def translate(corpus, node) -> DataFrame:
             out = S.union(out, d)
         return out
     if isinstance(node, P.Seq):
-        return _sequence(corpus, _flatten_seq(node.parts))
+        return _sequence(corpus, _merge_repetitions(_flatten_seq(node.parts)))
     if isinstance(node, P.Repeat):
         rmin = max(1, node.rmin)  # standalone X* ≡ X+ (ε hits dropped)
         rmax = node.rmax if node.rmax >= 0 else -1

@@ -139,7 +139,11 @@ def with_dense_id(
     # partitioning so the counted offsets stay valid; callers must
     # release it once the stamped output is materialized — the handle
     # is exposed as `_blspark_persisted` (see release_dense_id_cache).
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    # 4x parallelism: the stamped output feeds parquet writes, and too
+    # few range partitions produce few fat files whose row groups
+    # bottleneck every downstream scan (measured: a 32-file tokenized
+    # table gave one 94s straggler task in the posting encode)
+    n = num_partitions or 4 * spark.sparkContext.defaultParallelism
     d = df.repartitionByRange(n, *order_cols).persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         r["_pid"]: r["cnt"]

@@ -133,10 +133,14 @@ def tokenize(df: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 
 def make_encoder(cfg: EngineConfig, avgdl: float):
-    """Posting-block encoder for one segment — a single vectorized
-    numpy pass over the segment's (doc_id, tokens) rows: flatten token
-    arrays, factorize terms (hash, no string sort), int-lexsort, then
-    one grouped delta+varint pass per payload. No per-block Python.
+    """Posting-block encoder for one segment — an ARROW kernel
+    (applyInArrow): flatten token lists and factorize terms inside
+    Arrow C++ (ListArray.flatten + dictionary_encode), then a single
+    vectorized numpy pass (int-lexsort, grouped delta+varint). Token
+    strings NEVER materialize as Python objects — only each segment's
+    unique terms cross the C boundary for the block metadata column
+    (measured: the former pandas path spent more core-time building
+    56M Python strings per 1.6M turns than the entire encode).
     Blocks stay keyed by term STRING — the postings table needs no
     term_id join at all, and the terms dictionary is derived FROM the
     blocks afterwards (df = sum n_docs, cf = sum tf). The
@@ -145,23 +149,41 @@ def make_encoder(cfg: EngineConfig, avgdl: float):
     the reference's codec likewise writes per-segment postings at
     Lucene flush, BlackLab40PostingsWriter.java:222-340).
     Shared by the full build and incremental delta builds."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
     avgdl_b = avgdl
 
-    def encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(pdf["segment_id"].iloc[0])
-        lens = pdf["num_tokens"].to_numpy(np.int64)
-        docs = pdf["doc_id"].to_numpy(np.int64)
-        total = int(lens.sum())
-        cols = [
-            "segment_id", "term", "block_id", "n_docs", "min_doc", "max_doc",
-            "doc_ids", "freqs", "dls", "positions", "block_max_tf", "sum_tf",
-            "block_max_wtf_raw",
+    out_schema = pa.schema(
+        [
+            ("segment_id", pa.int64()),
+            ("term", pa.string()),
+            ("block_id", pa.int32()),
+            ("n_docs", pa.int32()),
+            ("min_doc", pa.int64()),
+            ("max_doc", pa.int64()),
+            ("doc_ids", pa.binary()),
+            ("freqs", pa.binary()),
+            ("dls", pa.binary()),
+            ("positions", pa.binary()),
+            ("block_max_tf", pa.int32()),
+            ("sum_tf", pa.int64()),
+            ("block_max_wtf_raw", pa.float64()),
         ]
+    )
+
+    def encode_segment(table: "pa.Table") -> "pa.Table":
+        seg = table.column("segment_id")[0].as_py()
+        lens = table.column("num_tokens").to_numpy().astype(np.int64)
+        docs = table.column("doc_id").to_numpy().astype(np.int64)
+        total = int(lens.sum())
         if total == 0:
-            return pd.DataFrame({c: [] for c in cols})
-        flat = np.concatenate([np.asarray(a, dtype=object) for a in pdf["tokens_i"]])
-        codes, uniques = pd.factorize(flat)
+            return out_schema.empty_table()
+        toks = table.column("tokens_i").combine_chunks()
+        de = pc.dictionary_encode(toks.flatten())
+        codes = de.indices.to_numpy().astype(np.int64)
+        dictionary = de.dictionary
         did = np.repeat(docs, lens)
         dl = np.repeat(lens, lens)
         starts = np.zeros(len(lens), dtype=np.int64)
@@ -204,22 +226,38 @@ def make_encoder(cfg: EngineConfig, avgdl: float):
         flat_block_lens = np.add.reduceat(tf, block_starts)
         pos_bytes = codec.varint_encode_grouped(pos_deltas, flat_block_lens)
 
-        return pd.DataFrame(
+        n_blocks = len(block_starts)
+        return pa.table(
             {
-                "segment_id": np.full(len(block_starts), seg, dtype=np.int64),
-                "term": uniques[g_tid[block_starts]],
-                "block_id": (within[block_starts] // block_size).astype(np.int32),
-                "n_docs": block_lens.astype(np.int32),
-                "min_doc": g_did[block_starts],
-                "max_doc": g_did[block_ends - 1],
-                "doc_ids": doc_bytes,
-                "freqs": tf_bytes,
-                "dls": dl_bytes,
-                "positions": pos_bytes,
-                "block_max_tf": np.maximum.reduceat(tf, block_starts).astype(np.int32),
-                "sum_tf": flat_block_lens,
-                "block_max_wtf_raw": np.maximum.reduceat(wtf, block_starts),
-            }
+                "segment_id": pa.array(
+                    np.full(n_blocks, seg, dtype=np.int64), pa.int64()
+                ),
+                # take block terms straight from the Arrow dictionary —
+                # the only strings that exist Python-side are none
+                "term": pc.take(
+                    dictionary, pa.array(g_tid[block_starts], pa.int64())
+                ),
+                "block_id": pa.array(
+                    (within[block_starts] // block_size).astype(np.int32),
+                    pa.int32(),
+                ),
+                "n_docs": pa.array(block_lens.astype(np.int32), pa.int32()),
+                "min_doc": pa.array(g_did[block_starts], pa.int64()),
+                "max_doc": pa.array(g_did[block_ends - 1], pa.int64()),
+                "doc_ids": pa.array(doc_bytes, pa.binary()),
+                "freqs": pa.array(tf_bytes, pa.binary()),
+                "dls": pa.array(dl_bytes, pa.binary()),
+                "positions": pa.array(pos_bytes, pa.binary()),
+                "block_max_tf": pa.array(
+                    np.maximum.reduceat(tf, block_starts).astype(np.int32),
+                    pa.int32(),
+                ),
+                "sum_tf": pa.array(flat_block_lens.astype(np.int64), pa.int64()),
+                "block_max_wtf_raw": pa.array(
+                    np.maximum.reduceat(wtf, block_starts), pa.float64()
+                ),
+            },
+            schema=out_schema,
         )
 
     return encode_segment
@@ -245,9 +283,38 @@ def encode_postings(
 
         src = src.withColumn("tokens_i", insensitive_tokens_col("tokens"))
     rows = src.select("segment_id", "doc_id", "num_tokens", "tokens_i")
-    return rows.groupBy("segment_id").applyInPandas(
-        make_encoder(cfg, avgdl), schema=POSTINGS_SCHEMA
-    )
+    # ZERO-shuffle encode: posting blocks are correct under ANY row
+    # placement — each doc contributes its (term, doc) groups to
+    # exactly one kernel call, and partial blocks of the same
+    # (segment, term) from different calls coexist (block stats are
+    # per-block; the terms dict aggregates df/cf over blocks; scoring
+    # and decode treat blocks independently). So the encoder runs
+    # straight on the parquet scan's Arrow batches (mapInArrow), and
+    # the build's one big shuffle — the token arrays — disappears.
+    # Batches are sliced at segment boundaries (the tokenized table is
+    # doc-contiguous from the dense-id stamp, so these are runs); an
+    # out-of-order layout would still be CORRECT, just produce more
+    # partial blocks. Head-term skew cannot exist by construction:
+    # work is partitioned by storage splits, never by term.
+    enc = make_encoder(cfg, avgdl)
+
+    def encode_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            table = pa.Table.from_batches([batch])
+            segs = table.column("segment_id").to_numpy()
+            if len(segs) == 0:
+                continue
+            change = np.flatnonzero(np.diff(segs)) + 1
+            bounds = np.concatenate([[0], change, [len(segs)]])
+            for i in range(len(bounds) - 1):
+                out = enc(table.slice(bounds[i], bounds[i + 1] - bounds[i]))
+                if out.num_rows:
+                    yield from out.to_batches()
+
+    return rows.mapInArrow(encode_batches, schema=POSTINGS_SCHEMA)
 
 
 def terms_from_postings(postings: DataFrame) -> DataFrame:
@@ -326,6 +393,11 @@ def build_index(
         (
             tokenized
             .write.mode("overwrite")
+            # 16MB row groups: scan-split parallelism for downstream
+            # stages is bounded by row-group count, not byte ranges —
+            # default 128MB groups turn a 32-file table into ~32
+            # effective tasks regardless of maxPartitionBytes
+            .option("parquet.block.size", 16 * 1024 * 1024)
             .partitionBy("seg_group")
             .parquet(tok_path)
         )

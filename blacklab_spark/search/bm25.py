@@ -35,6 +35,21 @@ from pyspark.sql import DataFrame, functions as F
 from blacklab_spark.index import codec
 
 
+def _seg_partitioned(corpus, posts: DataFrame) -> DataFrame:
+    """Explicit hash repartition on segment_id for the scoring kernel:
+    it is CPU-bound per byte, so AQE's byte-based coalescing (advisory
+    sizes tuned for scans) would fuse the small posting blocks into too
+    few Python tasks and serialize the scoring wave. Sized to
+    min(n_segments, 8 x cluster parallelism) — enough waves to absorb
+    stragglers without over-fragmenting small clusters. A
+    user-specified partition count is exempt from AQE coalescing;
+    groupBy reuses the partitioning (no second exchange)."""
+    meta = corpus.meta
+    n_segments = max(1, -(-meta["n_docs"] // meta["segment_size"]))
+    par = corpus.spark.sparkContext.defaultParallelism
+    return posts.repartition(min(n_segments, 8 * par), "segment_id")
+
+
 def topk_bm25(
     corpus,
     query: str,
@@ -221,9 +236,9 @@ def topk_bm25(
         def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             return _score_segment(pdf, None)
 
-        per_seg = posts.groupBy("segment_id").applyInPandas(
-            score_segment, schema=out_schema
-        )
+        per_seg = _seg_partitioned(corpus, posts).groupBy(
+            "segment_id"
+        ).applyInPandas(score_segment, schema=out_schema)
     # global top-k merge (TakeOrderedAndProject over <=k rows/segment),
     # then hydrate metadata for just those k docs: the isin filter is
     # pushed into the tokenized parquet scan (row-group pruning), so
@@ -358,7 +373,7 @@ def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
              "score": np.concatenate(out_s)}
         )
 
-    per_seg = posts.groupBy("segment_id").applyInPandas(
+    per_seg = _seg_partitioned(corpus, posts).groupBy("segment_id").applyInPandas(
         score_segment, schema=out_schema
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

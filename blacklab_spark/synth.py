@@ -80,7 +80,12 @@ def generate_pandas(n_turns: int, seed: int = 42, start_conv: int = 0) -> pd.Dat
 
     return pd.DataFrame(
         {
-            "conv_id": [f"conv{start_conv + c:08d}" for c in conv_idx],
+            # 12-digit zero-pad: lexicographic order == numeric order
+            # even for distributed generation's offset conv ranges
+            # (pid * 10M reaches 10 digits), so a sorted/partitioned
+            # write yields range-disjoint partitions and the dense-id
+            # assignment takes its zero-shuffle fast path
+            "conv_id": [f"conv{start_conv + c:012d}" for c in conv_idx],
             "turn_idx": turn_idx.astype(np.int32),
             "role": role,
             "text": texts,

@@ -246,3 +246,20 @@ def test_only_negated_terms_sequence(micro):
         if toks[i] != "the" and toks[i + 1] != "quick"
     ]
     assert [h for h in got if h[0] == 0] == exp0
+
+
+def test_repetition_merge_rewrite(micro, monkeypatch):
+    """Adjacent equal clauses merge into one repetition (reference
+    ClauseCombinerRepetition.java:11-49): no adjacency join runs."""
+    from blacklab_spark.search import spans as S
+
+    expected = hits(micro.find('"aap"{2}'))
+
+    def boom(*a, **k):
+        raise AssertionError("sequence join used for mergeable repetition")
+
+    monkeypatch.setattr(S, "sequence", boom)
+    assert hits(micro.find('"aap" "aap"')) == expected
+    # A A+ -> A{2,}
+    exp2 = hits(micro.find('"aap"{2,}'))
+    assert hits(micro.find('"aap" "aap"+')) == exp2

@@ -63,7 +63,7 @@ def test_delete_and_query(spark, incr_idx):
     d, pdf = incr_idx
     corpus = Corpus.open(spark, d)
     # delete every doc of one conversation
-    victim = corpus.doc_stats.filter(F.col("conv_id") == "conv00000000").select("doc_id")
+    victim = corpus.doc_stats.filter(F.col("conv_id") == "conv000000000000").select("doc_id")
     n_victims = victim.count()
     assert n_victims > 0
     n = delete_documents(spark, d, victim)
@@ -73,12 +73,12 @@ def test_delete_and_query(spark, incr_idx):
 
     # topk must never return tombstoned docs
     top = corpus.topk("word00001 word00050", k=10)
-    assert top.filter(F.col("conv_id") == "conv00000000").count() == 0
+    assert top.filter(F.col("conv_id") == "conv000000000000").count() == 0
 
     # span queries must not return tombstoned docs
     h = corpus.find('"word00001"')
     live = h.df.join(corpus.doc_stats, "doc_id").filter(
-        F.col("conv_id") == "conv00000000"
+        F.col("conv_id") == "conv000000000000"
     )
     assert live.count() == 0
 
@@ -94,15 +94,15 @@ def test_compact(spark, incr_idx):
 
     corpus = Corpus.open(spark, d)
     # deleted conversation is really gone from all tables
-    assert corpus.doc_stats.filter(F.col("conv_id") == "conv00000000").count() == 0
-    assert corpus.tokenized.filter(F.col("conv_id") == "conv00000000").count() == 0
+    assert corpus.doc_stats.filter(F.col("conv_id") == "conv000000000000").count() == 0
+    assert corpus.tokenized.filter(F.col("conv_id") == "conv000000000000").count() == 0
 
     # stats now reflect live docs only; scores match a fresh oracle
     import pandas as pd
 
     extra = generate_pandas(200, seed=8, start_conv=50_000)
     allrows = pd.concat([pdf, extra], ignore_index=True)
-    allrows = allrows[allrows["conv_id"] != "conv00000000"]
+    allrows = allrows[allrows["conv_id"] != "conv000000000000"]
     oracle = OracleIndex.from_rows(allrows.to_dict("records"))
     got = corpus.topk("word00001 word00050", k=5).collect()
     exp = oracle.bm25_topk("word00001 word00050", k=5)
