@@ -54,15 +54,32 @@ class Corpus:
         return Corpus(spark, index_dir)
 
     # ---- tables ---------------------------------------------------------
-    def _t(self, name: str) -> DataFrame:
-        """DataFrame handle per index table, memoized — avoids repeated
-        driver-side parquet listing/schema reads across queries.
-        Doc-keyed tables are filtered against the tombstone table
-        (the liveDocs analogue, reference SpansReader.java checks
-        liveDocs per segment) whenever deletes exist."""
+    _DOC_STATS_COLS = (
+        "doc_id", "segment_id", "conv_id", "turn_idx", "role", "tool", "ts",
+        "num_tokens",
+    )
+
+    def _raw(self, name: str) -> DataFrame:
+        """Unfiltered DataFrame handle per index table, memoized.
+        doc_stats and the implicit per-turn spans are DERIVED (column-
+        pruned projections of the tokenized table — Catalyst pruning
+        makes a stored copy pointless) unless a stored directory exists
+        (legacy indexes, incremental appends)."""
         cache = self.__dict__.setdefault("_tables", {})
-        if name not in cache:
-            df = self.spark.read.parquet(os.path.join(self.index_dir, name))
+        if name in cache:
+            return cache[name]
+        path = os.path.join(self.index_dir, name)
+        if name == "doc_stats" and not os.path.exists(path):
+            df = self._raw("tokenized").select(*self._DOC_STATS_COLS)
+        elif name == "spans" and not os.path.exists(path):
+            from blacklab_spark.index.build import turn_spans
+
+            df = turn_spans(self._raw("doc_stats"))
+            extra_path = os.path.join(self.index_dir, "extra_spans")
+            if os.path.exists(extra_path):
+                df = df.unionByName(self.spark.read.parquet(extra_path))
+        else:
+            df = self.spark.read.parquet(path)
             if name == "tokenized" and "tokens_i" not in df.columns:
                 # the insensitive annotation is derived, not stored:
                 # fold(lower()) in whole-stage codegen costs ~3s per
@@ -70,9 +87,16 @@ class Corpus:
                 # index's token bytes (write AND every scan)
                 from blacklab_spark.analysis import insensitive_tokens_col
 
-                df = df.withColumn("tokens_i", insensitive_tokens_col("tokens"))
-            cache[name] = df
-        df = cache[name]
+                df = df.withColumn(
+                    "tokens_i", insensitive_tokens_col("tokens")
+                )
+        cache[name] = df
+        return df
+
+    def _t(self, name: str) -> DataFrame:
+        """Table handle with tombstones applied (the liveDocs analogue,
+        reference SpansReader.java checks liveDocs per segment)."""
+        df = self._raw(name)
         if name in ("tokenized", "doc_stats", "spans"):
             dels = self.deletes
             if dels is not None:

@@ -5,26 +5,27 @@ intercepts Lucene segment writes and produces postings + forward index
 + terms files per segment (reference codec/BlackLab40PostingsWriter.java:222-340,
 doc/index-formats/integrated.md:17-103). Our analogue:
 
-  transcripts ──dense doc_id──> tokenized (forward index, parquet)
-       │                            │
-       │                            ├─> doc_stats + global meta (N, avgdl)
-       │                            ├─> terms dict (two-phase agg over
-       │                            │   block rows, dense term_id)
-       │                            └─> shuffle by segment_id
-       │                                 -> vectorized numpy block encode
-       │                                 -> postings parquet, term-sorted,
-       │                                    partitioned by seg_group
-       └─> spans table (one 'turn' span per doc; analogue of the
-           reference's starttag annotation, SpansTags.java:81-102)
+  transcripts ──dense doc_id──> tokenized (forward index, parquet;
+       │                         observe() yields N / total_tokens)
+       │                            │ (no shuffle: scan batches)
+       │                            ├─> mapInArrow block encode
+       │                            │    -> postings parquet, term-
+       │                            │       sorted, by seg_group
+       │                            └─> terms dict (two-phase agg over
+       │                                 block rows, dense term_id)
+       └─ doc_stats + per-turn spans are NOT stored: they are column-
+          pruned projections of `tokenized`, derived at read time
+          (Corpus.doc_stats / Corpus.spans). Only explicit inline-tag
+          spans persist (extra_spans table).
 
 Scale design notes (the 100-TB story):
-- **Head-term (Zipf) skew is defused structurally, not by salting.**
-  The posting-build shuffle key is segment_id — uniformly sized doc
-  ranges by construction — so a head term's postings are split across
-  every segment task and can never pile into one reducer (the failure
-  mode the north rule's "salted repartitioning" guards against in a
-  term-keyed build). A head term costs memory only within one bounded
-  segment task (segment_size docs max).
+- **The posting build has NO shuffle and NO term-keyed stage.** Blocks
+  are correct under any row placement (partial blocks of one
+  (segment, term) coexist; df/cf aggregate over blocks), so the
+  encoder maps straight over the tokenized scan. Head-term (Zipf)
+  skew is impossible by construction — work is partitioned by storage
+  splits, never by term — which is the failure mode the north rule's
+  "salted repartitioning" guards against in a term-keyed build.
 - The terms dict is the only term-keyed aggregation, and it runs over
   block rows (already reduced by ~block_size per (segment,term)), with
   Catalyst's partial (map-side) aggregation as the two-phase combine —
@@ -35,9 +36,11 @@ Scale design notes (the 100-TB story):
 - Every stage writes to its own directory with a _STAGE_DONE marker +
   per-partition lineage rows in segments_meta -> resumable builds
   (north rule): `build_index(..., resume=True)` skips finished stages.
-- Everything between source and the numpy block encoder is pure
-  DataFrame API — Catalyst does pruning/pushdown; the encoder is one
-  applyInPandas per segment (vectorized numpy inside).
+  Corpus-level stats (N, total_tokens, n_terms, n_blocks) ride as
+  observe() metrics on the writes — no separate counting jobs.
+- Everything between source and the Arrow block encoder is pure
+  DataFrame API — Catalyst does pruning/pushdown; the encoder is a
+  mapInArrow pass (Arrow-C++ factorize + vectorized numpy inside).
 """
 
 from __future__ import annotations
@@ -359,12 +362,24 @@ def build_index(
     """``extra_spans``: optional (conv_id, turn_idx, tag, start, end,
     attrs:map) rows — inline tags beyond the implicit per-turn span
     (the analogue of `<s>`/`<entity>` starttag tokens,
-    reference SpansTags.java:81-102)."""
-    """Build all index tables under ``index_dir``. Returns meta dict."""
+    reference SpansTags.java:81-102).
+
+    Build the index tables under ``index_dir``; returns the meta dict.
+    Only tokenized / postings / terms are STORED — doc stats and the
+    implicit per-turn spans are column-pruned projections of the
+    tokenized table and are derived at read time (Corpus.doc_stats /
+    Corpus.spans): storing them bought nothing Catalyst's pruning
+    doesn't, and their write stages were pure serial floor. Global
+    stats ride along as observe() metrics on the writes themselves —
+    zero extra jobs."""
+    from pyspark.sql import Observation
+
     cfg = cfg or EngineConfig()
     os.makedirs(index_dir, exist_ok=True)
     meta_path = os.path.join(index_dir, "meta.json")
-    all_stages = ("tokenized", "doc_stats", "postings", "terms", "spans")
+    all_stages = ["tokenized", "postings", "terms"]
+    if extra_spans is not None:
+        all_stages.append("extra_spans")
     if (
         resume
         and os.path.exists(meta_path)
@@ -374,17 +389,23 @@ def build_index(
         # after every stage marker, so its presence proves completeness)
         with open(meta_path) as f:
             return json.load(f)
-    lineage: list[pd.DataFrame] = []
     timer = _StageTimer()
 
     # ---- stage 1: forward index (tokenized table) --------------------
     tok_path = _stage_dir(index_dir, "tokenized")
+    n_docs = total_tokens = None
     if not (resume and _stage_done(index_dir, "tokenized")):
         with_ids = with_dense_id(transcripts, ("conv_id", "turn_idx"), "doc_id")
         tokenized = tokenize(with_ids, cfg).withColumn(
             "segment_id", F.expr(f"doc_id DIV {cfg.segment_size}")
         ).withColumn(
             "seg_group", F.expr(f"doc_id DIV {cfg.segment_size * cfg.segments_per_dir}")
+        )
+        obs = Observation("tokenized_stats")
+        tokenized = tokenized.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("num_tokens").alias("total_tokens"),
         )
         # with_dense_id emits partitions that are already contiguous
         # doc_id ranges (range-partitioned by the stable sort order),
@@ -402,35 +423,29 @@ def build_index(
             .parquet(tok_path)
         )
         release_dense_id_cache(with_ids)
+        got = obs.get
+        n_docs, total_tokens = int(got["n_docs"]), int(got["total_tokens"] or 0)
         _mark_done(index_dir, "tokenized")
     timer.mark("tokenized")
     tokenized = spark.read.parquet(tok_path)
 
-    # ---- stage 2: doc stats + global meta ----------------------------
-    stats_path = _stage_dir(index_dir, "doc_stats")
-    if not (resume and _stage_done(index_dir, "doc_stats")):
-        doc_stats = tokenized.select(
-            "doc_id", "segment_id", "conv_id", "turn_idx", "role", "tool", "ts",
-            "num_tokens",
-        )
-        doc_stats.write.mode("overwrite").parquet(stats_path)
-        _mark_done(index_dir, "doc_stats")
-    timer.mark("doc_stats")
-    doc_stats = spark.read.parquet(stats_path)
-
-    agg = doc_stats.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("num_tokens").alias("total_tokens")
-    ).collect()[0]
-    n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"] or 0)
+    if n_docs is None:  # resumed past stage 1: one pruned-column agg
+        agg = tokenized.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("num_tokens").alias("total_tokens"),
+        ).collect()[0]
+        n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"] or 0)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     timer.mark("global_stats")
 
-    # ---- stage 3: postings (the inverted index) ----------------------
+    # ---- stage 2: postings (the inverted index) ----------------------
     post_path = _stage_dir(index_dir, "postings")
+    n_blocks = None
     if not (resume and _stage_done(index_dir, "postings")):
+        obs_p = Observation("postings_stats")
         postings = encode_postings(tokenized, cfg, avgdl).withColumn(
             "seg_group", F.expr(f"segment_id DIV {cfg.segments_per_dir}")
-        )
+        ).observe(obs_p, F.count(F.lit(1)).alias("n_blocks"))
         (
             # term-sorted within each file: tight parquet row-group
             # min/max stats on `term`, so term-filtered query scans
@@ -441,46 +456,52 @@ def build_index(
             .partitionBy("seg_group")
             .parquet(post_path)
         )
+        n_blocks = int(obs_p.get["n_blocks"])
         _mark_done(index_dir, "postings")
     timer.mark("postings")
     postings = spark.read.parquet(post_path)
+    if n_blocks is None:
+        n_blocks = postings.count()
 
-    # ---- stage 4: terms dictionary (derived from the blocks) ---------
-    # dense alphabetical term_id == sensitive sort position
+    # ---- stage 3: terms dictionary (derived from the blocks) ---------
+    # dense alphabetical term_id == insensitive sort position
     # (reference precomputes collator sort orders per terms dict,
-    # forwardindex/Terms.java:69-95); our terms are already
-    # case-folded so insensitive order == sensitive order here.
+    # forwardindex/Terms.java:69-95); our dict terms are already
+    # desensitized so term order IS the collated insensitive order.
     terms_path = _stage_dir(index_dir, "terms")
+    n_terms = None
     if not (resume and _stage_done(index_dir, "terms")):
-        terms = terms_from_postings(postings)
+        obs_t = Observation("terms_stats")
+        terms = terms_from_postings(postings).observe(
+            obs_t, F.count(F.lit(1)).alias("n_terms")
+        )
         terms.write.mode("overwrite").parquet(terms_path)
         release_dense_id_cache(terms)
+        n_terms = int(obs_t.get["n_terms"])
         _mark_done(index_dir, "terms")
     timer.mark("terms")
-    terms = spark.read.parquet(terms_path)
-    # ---- stage 5: spans table (turn spans; analogue of starttag) -----
-    spans_path = _stage_dir(index_dir, "spans")
-    if not (resume and _stage_done(index_dir, "spans")):
-        # doc_stats carries every needed column (doc_id, num_tokens,
-        # role, tool) and is ~100x smaller than the token table
-        spans = turn_spans(doc_stats)
-        if extra_spans is not None:
-            extra = extra_spans.join(
-                tokenized.select("conv_id", "turn_idx", "doc_id"),
-                ["conv_id", "turn_idx"],
-            ).select(
-                "doc_id",
-                "tag",
-                F.col("start").cast("int").alias("start"),
-                F.col("end").cast("int").alias("end"),
-                F.col("attrs").cast("map<string,string>").alias("attrs"),
-            )
-            spans = spans.unionByName(extra)
-        spans.write.mode("overwrite").parquet(spans_path)
-        _mark_done(index_dir, "spans")
+    if n_terms is None:
+        n_terms = spark.read.parquet(terms_path).count()
+
+    # ---- stage 4 (optional): extra inline-tag spans ------------------
+    if extra_spans is not None and not (
+        resume and _stage_done(index_dir, "extra_spans")
+    ):
+        extra = extra_spans.join(
+            tokenized.select("conv_id", "turn_idx", "doc_id"),
+            ["conv_id", "turn_idx"],
+        ).select(
+            "doc_id",
+            "tag",
+            F.col("start").cast("int").alias("start"),
+            F.col("end").cast("int").alias("end"),
+            F.col("attrs").cast("map<string,string>").alias("attrs"),
+        )
+        extra.write.mode("overwrite").parquet(_stage_dir(index_dir, "extra_spans"))
+        _mark_done(index_dir, "extra_spans")
     timer.mark("spans")
 
-    # ---- stage 6: lineage + meta --------------------------------------
+    # ---- stage 5: lineage + meta --------------------------------------
     meta = {
         "n_docs": n_docs,
         "total_tokens": total_tokens,
@@ -491,25 +512,33 @@ def build_index(
         "block_size": cfg.block_size,
         "segments_per_dir": cfg.segments_per_dir,
         "token_pattern": cfg.token_pattern,
-        "n_terms": terms.count(),
-        "n_posting_blocks": postings.count(),
+        "n_terms": n_terms,
+        "n_posting_blocks": n_blocks,
     }
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
 
-    # per-partition lineage: rows+tokens+checksum per segment
+    # per-partition lineage: rows+tokens+checksum per segment (cheap
+    # algebraic checksum — count/sum/min/max of doc ids — instead of
+    # an md5 over the collected, sorted id list)
     lin = (
-        spark.read.parquet(stats_path)
+        tokenized.select("doc_id", "segment_id", "num_tokens")
         .groupBy("segment_id")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("num_tokens").alias("tokens"),
-            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))).alias(
-                "checksum"
-            ),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.count(F.lit(1)),
+                    F.sum("doc_id"),
+                    F.min("doc_id"),
+                    F.max("doc_id"),
+                )
+            ).alias("checksum"),
         )
         .select(
-            F.lit("doc_stats").alias("stage"),
+            F.lit("tokenized").alias("stage"),
             F.col("segment_id").alias("partition_id"),
             "rows",
             "tokens",

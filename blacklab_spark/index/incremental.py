@@ -92,8 +92,10 @@ def add_documents(
     )
     seg_size = cfg.segment_size
     group_docs = seg_size * cfg.segments_per_dir
-    old_stats = spark.read.parquet(_stage_dir(index_dir, "doc_stats"))
-    base = int(old_stats.agg(F.max("doc_id")).collect()[0][0]) + 1
+    # doc ids come from the tokenized table (doc_stats is a derived
+    # projection in current indexes; the pruned max reads one column)
+    old_tok = spark.read.parquet(_stage_dir(index_dir, "tokenized"))
+    base = int(old_tok.agg(F.max("doc_id")).collect()[0][0]) + 1
     # new docs start at a fresh segment boundary: existing segment files
     # are immutable (Lucene-style write-once segments)
     base = ((base + seg_size - 1) // seg_size) * seg_size
@@ -120,7 +122,9 @@ def add_documents(
         "doc_id", "segment_id", "conv_id", "turn_idx", "role", "tool", "ts",
         "num_tokens",
     )
-    new_stats.write.mode("append").parquet(_stage_dir(index_dir, "doc_stats"))
+    if os.path.exists(_stage_dir(index_dir, "doc_stats")):
+        # legacy index with a stored doc_stats table: keep it complete
+        new_stats.write.mode("append").parquet(_stage_dir(index_dir, "doc_stats"))
 
     # ---- delta postings (new segments only; term-string keyed) -------
     n_docs = meta["n_docs"] + delta.count()
@@ -176,7 +180,9 @@ def add_documents(
     terms = spark.read.parquet(terms_path)
 
     # ---- spans ----------------------------------------------------------
-    spans = turn_spans(delta)
+    # implicit per-turn spans are DERIVED from the tokenized table at
+    # read time; only explicit inline-tag spans persist
+    extra = None
     if extra_spans is not None:
         extra = extra_spans.join(
             delta.select("conv_id", "turn_idx", "doc_id"), ["conv_id", "turn_idx"]
@@ -187,8 +193,14 @@ def add_documents(
             F.col("end").cast("int").alias("end"),
             F.col("attrs").cast("map<string,string>").alias("attrs"),
         )
-        spans = spans.unionByName(extra)
-    spans.write.mode("append").parquet(_stage_dir(index_dir, "spans"))
+    if os.path.exists(_stage_dir(index_dir, "spans")):
+        # legacy index with a stored full spans table: keep it complete
+        spans = turn_spans(delta)
+        if extra is not None:
+            spans = spans.unionByName(extra)
+        spans.write.mode("append").parquet(_stage_dir(index_dir, "spans"))
+    elif extra is not None:
+        extra.write.mode("append").parquet(_stage_dir(index_dir, "extra_spans"))
 
     _append_lineage(spark, index_dir, "add_documents", new_stats)
     meta.update(
@@ -250,10 +262,13 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     dirty = sorted({int(r["segment_id"]) for r in dirty_rows})
     dirty_groups = sorted({int(r["seg_group"]) for r in dirty_rows})
 
-    # rewrite dirty segments of the partitioned tokenized table; spans
-    # and doc_stats are unpartitioned -> whole-table anti-join rewrite
-    for table in ("doc_stats", "spans"):
+    # rewrite dirty segments of the partitioned tokenized table;
+    # legacy stored doc_stats/spans/extra_spans tables (unpartitioned)
+    # get a whole-table anti-join rewrite; derived views need nothing
+    for table in ("doc_stats", "spans", "extra_spans"):
         path = _stage_dir(index_dir, table)
+        if not os.path.exists(path):
+            continue
         keep = spark.read.parquet(path).join(deletes, "doc_id", "leftanti")
         tmp = path + ".tmp"
         keep.write.mode("overwrite").parquet(tmp)
@@ -269,8 +284,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         os.rename(tmp, grp_dir)
 
     tokenized = spark.read.parquet(tok_path)
-    stats = spark.read.parquet(_stage_dir(index_dir, "doc_stats"))
-    agg = stats.agg(
+    agg = tokenized.agg(
         F.count(F.lit(1)).alias("n"), F.sum("num_tokens").alias("tt")
     ).collect()[0]
     n_docs, total_tokens = int(agg["n"]), int(agg["tt"] or 0)
@@ -318,7 +332,10 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     terms = spark.read.parquet(terms_path)
 
     shutil.rmtree(_stage_dir(index_dir, "deletes"), ignore_errors=True)
-    _append_lineage(spark, index_dir, "compact", stats)
+    _append_lineage(
+        spark, index_dir, "compact",
+        tokenized.select("doc_id", "segment_id", "num_tokens"),
+    )
     meta.update(
         {
             "n_docs": n_docs,
