@@ -41,13 +41,23 @@ _RECORD_BITS = 33  # monotonically_increasing_id: record number bit width
 
 
 def _partition_key_stats(df: DataFrame, order_cols: tuple[str, ...]):
-    """One column-pruned pass: per physical partition
-    (pid, count, min_key, max_key) with key = struct(order_cols)."""
+    """One column-pruned pass: per (physical partition, source file)
+    SLICE — (pid, file, count, min_key, max_key) with key =
+    struct(order_cols).
+
+    Slicing by file matters: Spark's scan planner size-sorts and
+    bin-packs file chunks, so one partition routinely holds chunks of
+    DIFFERENT files. Whole-partition ranges then overlap even for a
+    perfectly sorted table, but the per-(pid, file) slices stay
+    range-disjoint — and disjoint slices are all the zero-shuffle
+    stamp needs. Non-file sources yield file='' and degrade to plain
+    per-partition stats."""
     key = F.struct(*[F.col(c) for c in order_cols])
     rows = (
         df.select(key.alias("_key"))
         .withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
+        .withColumn("_file", F.input_file_name())
+        .groupBy("_pid", "_file")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.min("_key").alias("kmin"),
@@ -77,22 +87,37 @@ def _disjoint_ranges(stats) -> bool:
     return True
 
 
-def _stamp(df: DataFrame, order_cols: tuple[str, ...], id_col: str, offsets) -> DataFrame:
-    """Local sort + mono-id + broadcast offset join; no exchange."""
+def _stamp(df: DataFrame, order_cols: tuple[str, ...], id_col: str, slices) -> DataFrame:
+    """Local sort + mono-id + broadcast slice join; no exchange.
+
+    ``slices``: (pid, local_lo, local_hi, global_offset) rows. After
+    the local sort, a partition's rows 0..n-1 decompose into contiguous
+    runs — one per range-disjoint slice, in key order — so a row's
+    global rank is slice_offset + (local_row - local_lo). The
+    single-slice-per-partition case (generic path) degenerates to the
+    plain per-partition offset join."""
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    off_df = spark.createDataFrame(
+        slices, "_spid int, _lo long, _hi long, _off long"
+    )
     m = F.monotonically_increasing_id()
-    return (
+    d = (
         df.sortWithinPartitions(*order_cols)
         .withColumn("_mono", m)
         .withColumn("_pid", F.shiftright("_mono", _RECORD_BITS).cast("int"))
-        .join(F.broadcast(off_df), "_pid")
         .withColumn(
-            id_col,
-            F.col("_off")
-            + F.col("_mono").bitwiseAND(F.lit((1 << _RECORD_BITS) - 1)),
+            "_r", F.col("_mono").bitwiseAND(F.lit((1 << _RECORD_BITS) - 1))
         )
-        .drop("_pid", "_off", "_mono")
+    )
+    cond = (
+        (d["_pid"] == off_df["_spid"])
+        & (d["_r"] >= off_df["_lo"])
+        & (d["_r"] < off_df["_hi"])
+    )
+    return (
+        d.join(F.broadcast(off_df), cond)
+        .withColumn(id_col, F.col("_off") + F.col("_r") - F.col("_lo"))
+        .drop("_pid", "_spid", "_lo", "_hi", "_off", "_mono", "_r")
     )
 
 
@@ -124,15 +149,31 @@ def with_dense_id(
     spark = df.sparkSession
 
     if _stable_partitioning(df):
-        stats = _partition_key_stats(df, order_cols)
-        if stats and _keys_clean(stats):
-            stats = sorted(stats, key=lambda r: r["kmin"])
-            if _disjoint_ranges(stats):
-                offsets, acc = [], 0
-                for r in stats:
-                    offsets.append((r["_pid"], acc))
-                    acc += r["cnt"]
-                return _stamp(df, order_cols, id_col, offsets)
+        slices = _partition_key_stats(df, order_cols)
+        if slices and _keys_clean(slices):
+            ordered = sorted(slices, key=lambda r: r["kmin"])
+            if _disjoint_ranges(ordered):
+                # global offset per slice, in key order
+                glob: dict[tuple, int] = {}
+                acc = 0
+                for r in ordered:
+                    glob[(r["_pid"], r["_file"])] = acc
+                    acc += int(r["cnt"])
+                # per-partition local starts: a partition's slices in
+                # key order become contiguous runs after the local sort
+                by_pid: dict[int, list] = {}
+                for r in ordered:
+                    by_pid.setdefault(int(r["_pid"]), []).append(r)
+                stamp_rows = []
+                for pid, rs in by_pid.items():
+                    lo = 0
+                    for r in rs:
+                        cnt = int(r["cnt"])
+                        stamp_rows.append(
+                            (pid, lo, lo + cnt, glob[(r["_pid"], r["_file"])])
+                        )
+                        lo += cnt
+                return _stamp(df, order_cols, id_col, stamp_rows)
 
     # generic path: one range shuffle, then the same local stamp.
     # The persist pins the (sampled, hence nondeterministic) range
@@ -154,12 +195,12 @@ def with_dense_id(
             .collect()
         )
     }
-    offsets: list[tuple[int, int]] = []
+    slices: list[tuple[int, int, int, int]] = []
     acc = 0
     for pid in sorted(counts):
-        offsets.append((pid, acc))
+        slices.append((pid, 0, counts[pid], acc))
         acc += counts[pid]
-    out = _stamp(d, order_cols, id_col, offsets)
+    out = _stamp(d, order_cols, id_col, slices)
     out._blspark_persisted = d
     return out
 

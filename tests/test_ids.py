@@ -51,3 +51,48 @@ def test_local_relation_source(spark):
     assert not _stable_partitioning(df)
     out = with_dense_id(df, ("conv_id", "turn_idx"), "doc_id")
     _check(out, 500)
+
+
+def test_fast_path_survives_split_packing(spark, tmp_path):
+    """Sorted table written as many small files: Spark's scan planner
+    size-sorts and bin-packs chunks of different files into shared
+    partitions, so whole-partition ranges overlap — but per-(pid,file)
+    slices stay disjoint and the zero-shuffle stamp must still engage
+    (no Exchange in the plan) and produce the exact global rank."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from blacklab_spark.ids import with_dense_id
+
+    src = str(tmp_path / "packed")
+    n = 20000
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:08d}" for i in range(n)],
+            "turn_idx": [0] * n,
+            "payload": ["x" * 50] * n,
+        }
+    )
+    # 40 small files, each a contiguous conv range
+    spark.createDataFrame(pdf).repartitionByRange(40, "conv_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
+    try:
+        df = spark.read.parquet(src)
+        out = with_dense_id(df, ("conv_id", "turn_idx"), "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # broadcast exchange (the tiny slice table) is fine; a shuffle
+        # (hash/range repartition) means the generic path ran
+        assert "Exchange hashpartitioning" not in plan, plan[:800]
+        assert "Exchange rangepartitioning" not in plan, plan[:800]
+        got = {
+            r["conv_id"]: r["doc_id"]
+            for r in out.select("conv_id", "doc_id").collect()
+        }
+        assert len(got) == n
+        for i, cid in enumerate(sorted(got)):
+            assert got[cid] == i, (cid, got[cid], i)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
