@@ -653,6 +653,54 @@ WHERE levenshtein(t, 'tabl') <= 1
 # training-data pipeline queries (directly over documents/embeddings)
 # ---------------------------------------------------------------------------
 
+def q_streaming_index_hits(spark, sf_dir):
+    """Index built by Structured Streaming ingestion: half the corpus
+    batch-indexed, the other half streamed in via
+    readStream -> foreachBatch(add_documents) (streaming.py), then a
+    term search over the combined index. The oracle recomputes over
+    ALL documents — value-equality proves the streamed segments answer
+    identically to a batch build."""
+    import shutil
+
+    from blacklab_spark.streaming import index_stream, stream_transcripts
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{INDEX_VERSION}|stream".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/blspark_idx_{key}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        transcripts = docs.select(
+            F.format_string("c%08d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.col("lang").alias("role"),
+            "text",
+            F.col("source").alias("tool"),
+            F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        batch_half = transcripts.filter(F.crc32(F.col("conv_id")) % 2 == 0)
+        stream_half = transcripts.filter(F.crc32(F.col("conv_id")) % 2 == 1)
+        Corpus.build(
+            spark, batch_half, index_dir,
+            EngineConfig(segment_size=4096, block_size=128),
+        )
+        src = f"{index_dir}_src"
+        ckpt = f"{index_dir}_ckpt"
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream_half.write.mode("overwrite").parquet(src)
+        q = index_stream(stream_transcripts(spark, src), index_dir, ckpt)
+        q.awaitTermination(600)
+    c = Corpus.open(spark, index_dir)
+    h = c.find('"spark"').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+# identical answer contract as term_hits: the oracle is corpus-shape
+# independent (brute force over documents)
+O_STREAMING_INDEX_HITS = O_TERM_HITS
+
+
 def q_exact_dedup(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -1005,6 +1053,7 @@ QUERIES = {
     "fuzzy_term_hits": q_fuzzy_term_hits,
     "unicode_fold_hits": q_unicode_fold_hits,
     "unicode_sensitive_hits": q_unicode_sensitive_hits,
+    "streaming_index_hits": q_streaming_index_hits,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -1051,6 +1100,7 @@ ORACLES = {
     "fuzzy_term_hits": O_FUZZY_TERM_HITS,
     "unicode_fold_hits": O_UNICODE_FOLD_HITS,
     "unicode_sensitive_hits": O_UNICODE_SENSITIVE_HITS,
+    "streaming_index_hits": O_STREAMING_INDEX_HITS,
     "exact_dedup": O_EXACT_DEDUP,
     "minhash_signature": O_MINHASH_SIGNATURE,
     "lsh_candidate_pairs": O_LSH_CANDIDATE_PAIRS,

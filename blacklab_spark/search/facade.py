@@ -115,6 +115,8 @@ def search(
         if group.startswith("hit:") or group == "hit":
             ann = group.split(":", 1)[1] if ":" in group else "word"
             return _out(hits.group_by_hit_text(ann or "word"))
+        if group.startswith("capture:"):
+            return _out(hits.group_by_capture(group.split(":", 1)[1]))
         raise ValueError(f"unknown group criterion: {group}")
 
     if viewgroup is not None:
@@ -149,6 +151,8 @@ def search(
             hits = Hits(corpus, j)
         elif sort in ("left", "right"):
             hits = hits.sort_by_context(sort)
+        elif sort == "hitposition":
+            hits = hits.sort_by_hit_position()
         elif sort.startswith("hit"):
             hits = hits.sort_by_hit_text(
                 sort.split(":", 1)[1] if ":" in sort else "word"

@@ -205,6 +205,28 @@ class Hits:
             .orderBy(F.desc("size"), "grp")
         )
 
+    def sort_by_hit_position(self) -> "Hits":
+        """HitProperty `hitposition` — corpus order (doc, start, end)
+        (reference resultproperty/HitPropertyHitPosition)."""
+        return Hits(self.corpus, self.df.orderBy("doc_id", "start", "end"))
+
+    def group_by_capture(self, name: str, annotation: str = "word") -> DataFrame:
+        """Group hits by a named capture group's (desensitized) text
+        (reference resultproperty/HitPropertyCaptureGroup): slice the
+        doc's token array at the capture bounds — one doc_id equi-join,
+        all codegen."""
+        col = "tokens_i" if annotation in ("word", "") else f"ann_{annotation}"
+        tk = self.corpus.tokenized.select("doc_id", F.col(col).alias("_toks"))
+        s, e = F.col(f"cap_{name}_start"), F.col(f"cap_{name}_end")
+        j = self.df.join(tk, "doc_id").withColumn(
+            "grp", F.array_join(F.slice("_toks", s + 1, e - s), " ")
+        )
+        return (
+            j.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("size"))
+            .orderBy(F.desc("size"), "grp")
+        )
+
     def group_by_metadata(self, *cols: str) -> DataFrame:
         """DocProperty grouping (reference DocGroups.java)."""
         ds = self.corpus.doc_stats.select("doc_id", *cols)

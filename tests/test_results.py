@@ -177,3 +177,13 @@ def test_csv_export(micro):
     lines = csv.strip().splitlines()
     assert lines[0].startswith("doc_id,")
     assert len(lines) == 1 + 4  # header + 4 hits of 'the'
+
+
+def test_group_by_capture_and_hitposition(micro):
+    h = micro.find('x:[pos="adj"] "fox"')
+    g = {r["grp"]: r["size"] for r in h.group_by_capture("x").collect()}
+    assert g == {"brown": 1}
+    hp = micro.find('[pos="adj"]').sort_by_hit_position().df.collect()
+    assert [(r["doc_id"], r["start"]) for r in hp] == [(0, 1), (0, 2), (0, 7)]
+    out = micro.search(patt='x:[pos="adj"] "fox"', group="capture:x")
+    assert out.collect()[0]["grp"] == "brown"
