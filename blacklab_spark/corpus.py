@@ -171,14 +171,55 @@ class Corpus:
 
         return cql_find(self, cql)
 
-    def search(self, **params) -> DataFrame:
+    def search(self, usecache: bool = False, **params) -> DataFrame:
         """BLS parameter-algebra request (reference
         wslib/.../lib/PlainWebserviceParams.java:19-110): patt/pattlang,
         filter/filterlang, sort, group, viewgroup, sample/samplenum/
-        sampleseed, first/number, wordsaroundhit, calc='colloc'."""
+        sampleseed, first/number, wordsaroundhit, calc='colloc',
+        maxretrieve, outputformat. With ``usecache`` the materialized
+        result persists in the BlsCache analogue, keyed by the full
+        parameter fingerprint + index generation (search/cache.py)."""
         from blacklab_spark.search.facade import search as _search
 
-        return _search(self, **params)
+        if not usecache or params.get("outputformat"):
+            # non-DataFrame results (csv strings) bypass the cache
+            return _search(self, **params)
+        import json as _json
+
+        key = _json.dumps(
+            {"params": params, "gen": self.meta.get("generation", 0)},
+            sort_keys=True,
+            default=str,
+        )
+        out = self.cache.get_or_compute(key, lambda: _search(self, **params))
+        return out
+
+    @property
+    def cache(self):
+        """Per-corpus search cache (reference BlsCache.java)."""
+        from blacklab_spark.search.cache import SearchCache
+
+        if "_cache" not in self.__dict__:
+            self._cache = SearchCache()
+        return self._cache
+
+    def cache_info(self) -> dict:
+        """cache-info endpoint (reference RequestHandlerCacheInfo)."""
+        return self.cache.info()
+
+    def status(self) -> dict:
+        """Server status endpoint (reference RequestHandlerServerInfo /
+        corpus status): index identity, sizes, generation."""
+        return {
+            "index_dir": self.index_dir,
+            "status": "available",
+            "n_docs": self.meta["n_docs"],
+            "total_tokens": self.meta["total_tokens"],
+            "n_terms": self.meta.get("n_terms"),
+            "generation": self.meta.get("generation", 0),
+            "token_pattern": self.cfg.token_pattern,
+            "cache": self.cache.info(),
+        }
 
     def doc_info(self, doc_id: int) -> dict | None:
         """Per-doc metadata (reference RequestHandlerDocInfo)."""

@@ -113,3 +113,21 @@ def test_doc_info_contents_fields(micro):
     f = micro.fields()
     assert "lemma" in f["annotated_field"]["annotations"]
     assert f["n_docs"] == 4
+
+
+def test_search_cache_and_status(micro):
+    c0 = micro.cache_info()
+    out1 = micro.search(patt='"the"', usecache=True)
+    n1 = out1.count()
+    out2 = micro.search(patt='"the"', usecache=True)
+    assert out2 is out1  # same persisted handle
+    assert out2.count() == n1
+    info = micro.cache_info()
+    assert info["hits"] >= 1 and info["entries"] >= 1
+    st = micro.status()
+    assert st["status"] == "available" and st["n_docs"] == 4
+    # different params -> different entry
+    micro.search(patt='"quick"', usecache=True)
+    assert micro.cache_info()["entries"] >= 2
+    micro.cache.clear()
+    assert micro.cache_info()["entries"] == 0
