@@ -259,6 +259,27 @@ class Corpus:
             "n_terms": self.meta.get("n_terms"),
         }
 
+    def field_values(self, field: str, limit: int = 500) -> dict:
+        """Metadata-field value list (reference RequestHandlerFieldInfo
+        `listvalues` param / MetadataFieldImpl value tracking): top
+        values by doc count, truncation-flagged like the reference's
+        valueListComplete."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.doc_stats.groupBy(field)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), field)
+            .limit(limit + 1)
+            .collect()
+        )
+        complete = len(rows) <= limit
+        return {
+            "field": field,
+            "values": {r[field]: r["n_docs"] for r in rows[:limit]},
+            "valueListComplete": complete,
+        }
+
     def find_contextql(self, query: str):
         """Run a ContextQL (SRU CQL) query (reference
         queryParser/contextql/ContextualQueryLanguageParser.java).

@@ -116,6 +116,81 @@ def _merge_repetitions(parts: list) -> list:
     return out
 
 
+def _rewrite_matching_tags(parts: list) -> list:
+    """Bracketing tag edges become position filters (reference
+    SpanQuerySequence.java:94-163 findMatchingTags):
+
+    - ``<s> A ... </s>`` (matching open/close anywhere in the sequence,
+      nesting-aware) → ``PosFilter(Seq(inner), <s/>, MATCHES)`` — the
+      producer must coincide with ONE element span, so the two
+      zero-width edge joins collapse into a single semi-join and
+      mismatched open/close pairings of distinct same-name elements
+      are excluded;
+    - a lone LEADING ``<s>`` → ``STARTS_AT`` anchor, a lone TRAILING
+      ``</s>`` → ``ENDS_AT`` anchor (one semi-join instead of a
+      zero-width edge adjacency join).
+
+    Interior lone edges keep their zero-width adjacency semantics."""
+    for i, p in enumerate(parts):
+        if not (isinstance(p, P.Tag) and p.edge == "start"):
+            continue
+        depth = 0
+        for j in range(i + 1, len(parts)):
+            q = parts[j]
+            if not (isinstance(q, P.Tag) and q.name == p.name):
+                continue
+            if q.edge == "start":
+                depth += 1
+            elif q.edge == "end":
+                if depth:
+                    depth -= 1
+                    continue
+                if j == i + 1:
+                    break  # <s> </s>: empty-element probe, keep edges
+                node = P.PosFilter(
+                    producer=P.Seq(parts=list(parts[i + 1 : j])),
+                    filter=P.Tag(p.name, dict(p.attrs), "full"),
+                    op="matches",
+                )
+                return _rewrite_matching_tags(
+                    parts[:i] + [node] + parts[j + 1 :]
+                )
+        # no matching close for this open: keep scanning later opens
+    if (
+        len(parts) >= 2
+        and isinstance(parts[0], P.Tag)
+        and parts[0].edge == "start"
+        and not any(
+            isinstance(q, P.Tag) and q.name == parts[0].name and q.edge == "end"
+            for q in parts[1:]
+        )
+    ):
+        return [
+            P.PosFilter(
+                producer=P.Seq(parts=_rewrite_matching_tags(parts[1:])),
+                filter=P.Tag(parts[0].name, dict(parts[0].attrs), "full"),
+                op="starts_at",
+            )
+        ]
+    if (
+        len(parts) >= 2
+        and isinstance(parts[-1], P.Tag)
+        and parts[-1].edge == "end"
+        and not any(
+            isinstance(q, P.Tag) and q.name == parts[-1].name and q.edge == "start"
+            for q in parts[:-1]
+        )
+    ):
+        return [
+            P.PosFilter(
+                producer=P.Seq(parts=_rewrite_matching_tags(parts[:-1])),
+                filter=P.Tag(parts[-1].name, dict(parts[-1].attrs), "full"),
+                op="ends_at",
+            )
+        ]
+    return parts
+
+
 def _anytoken_bounds(node) -> tuple[int, int] | None:
     """(min,max) if node is pure any-token filler ([], []{n,m}); else None."""
     if isinstance(node, P.AnyToken):
@@ -152,7 +227,10 @@ def translate(corpus, node) -> DataFrame:
             out = S.union(out, d)
         return out
     if isinstance(node, P.Seq):
-        return _sequence(corpus, _merge_repetitions(_flatten_seq(node.parts)))
+        parts = _rewrite_matching_tags(_merge_repetitions(_flatten_seq(node.parts)))
+        if len(parts) == 1:
+            return translate(corpus, parts[0])
+        return _sequence(corpus, parts)
     if isinstance(node, P.Repeat):
         rmin = max(1, node.rmin)  # standalone X* ≡ X+ (ε hits dropped)
         rmax = node.rmax if node.rmax >= 0 else -1

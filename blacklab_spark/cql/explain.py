@@ -81,6 +81,13 @@ def _rewrites(node) -> list[str]:
 
     def walk(n):
         if isinstance(n, P.Seq):
+            from blacklab_spark.cql.engine import _rewrite_matching_tags
+
+            if _rewrite_matching_tags(list(n.parts)) != list(n.parts):
+                notes.append(
+                    "bracketing tags -> position filter "
+                    "(SpanQuerySequence.findMatchingTags)"
+                )
             if any(_matches_empty(p) for p in n.parts):
                 notes.append(
                     "empty-sequence alternatives (SpanQuerySequence.makeAlternatives)"

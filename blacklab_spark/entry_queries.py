@@ -196,6 +196,23 @@ WHERE regexp_matches(t, '^(?:s.*)$') GROUP BY t
 """
 
 
+def q_hits_grouped_multi(spark, sf_dir):
+    """Compound grouping (reference HitPropertyMultiple): hits of a
+    regex grouped by (document role metadata, hit text)."""
+    c = _corpus(spark, sf_dir)
+    return c.search(patt='"s.*"', group="field:role,hit")
+
+
+O_HITS_GROUPED_MULTI = f"""
+WITH {_DUCK_TOKPOS}
+SELECT d.lang AS field_role, tok.t AS hit,
+       count(*) AS size, count(DISTINCT tok.doc_id) AS n_docs
+FROM tok JOIN documents d ON tok.doc_id = d.doc_id
+WHERE regexp_matches(tok.t, '^(?:s.*)$')
+GROUP BY d.lang, tok.t
+"""
+
+
 def q_term_frequencies(spark, sf_dir):
     c = _corpus(spark, sf_dir)
     return term_frequencies(c).select("term", "n_docs", "freq")
@@ -1030,6 +1047,7 @@ QUERIES = {
     "repetition_hits": q_repetition_hits,
     "repetition_unbounded": q_repetition_unbounded,
     "regex_group_by_hit_text": q_regex_group_by_hit_text,
+    "hits_grouped_multi": q_hits_grouped_multi,
     "term_frequencies": q_term_frequencies,
     "collocations": q_collocations,
     "docs_grouped_by_lang": q_docs_grouped_by_lang,
@@ -1077,6 +1095,7 @@ ORACLES = {
     "repetition_hits": O_REPETITION_HITS,
     "repetition_unbounded": O_REPETITION_UNBOUNDED,
     "regex_group_by_hit_text": O_REGEX_GROUP,
+    "hits_grouped_multi": O_HITS_GROUPED_MULTI,
     "term_frequencies": O_TERM_FREQUENCIES,
     "collocations": O_COLLOCATIONS,
     "docs_grouped_by_lang": O_DOCS_GROUPED,

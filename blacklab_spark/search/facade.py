@@ -108,6 +108,9 @@ def search(
 
     # ---- grouping requests -----------------------------------------
     if group and viewgroup is None:
+        if "," in group:
+            # compound criteria (reference HitPropertyMultiple)
+            return _out(hits.group_by([c.strip() for c in group.split(",")]))
         if group == "decade":
             return _out(hits.group_by_decade())
         if group.startswith("field:"):
@@ -143,7 +146,9 @@ def search(
 
     # ---- sort -------------------------------------------------------
     if sort:
-        if sort.startswith("field:"):
+        if "," in sort:
+            hits = hits.sort_by([c.strip() for c in sort.split(",")])
+        elif sort.startswith("field:"):
             col = sort.split(":", 1)[1]
             j = hits.df.join(
                 corpus.doc_stats.select("doc_id", col), "doc_id"

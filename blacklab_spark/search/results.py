@@ -210,6 +210,126 @@ class Hits:
         (reference resultproperty/HitPropertyHitPosition)."""
         return Hits(self.corpus, self.df.orderBy("doc_id", "start", "end"))
 
+    # -- multi-criteria properties (HitPropertyMultiple) ---------------------
+    def _with_keys(self, criteria: list[str], size: int | None = None):
+        """Attach one key column per criterion (reference
+        resultproperty/HitPropertyMultiple.java — a compound property is
+        the tuple of its parts). All keys derive via codegen expressions
+        after at most one tokenized join per needed annotation plus one
+        doc_stats join — no shuffle beyond the hash joins.
+
+        Criteria: ``hit[:ann]``, ``left[:ann]``, ``right[:ann]``,
+        ``wordleft[:ann]``, ``wordright[:ann]``, ``capture:name``,
+        ``field:col``, ``decade``, ``hitposition``. Text keys use the
+        desensitized annotation (primary collation strength)."""
+        size = size or self.corpus.cfg.context_size
+        df = self.df
+
+        def ann_of(crit: str) -> str:
+            parts = crit.split(":")
+            return parts[1] if len(parts) > 1 and parts[1] else "word"
+
+        anns: set[str] = set()
+        meta_cols: set[str] = set()
+        for crit in criteria:
+            base = crit.split(":")[0]
+            if base in ("hit", "left", "right", "wordleft", "wordright"):
+                anns.add(ann_of(crit))
+            elif base == "capture":
+                anns.add("word")
+            elif base == "field":
+                meta_cols.add(crit.split(":", 1)[1])
+            elif crit == "decade":
+                meta_cols.add("ts")
+        for a in sorted(anns):
+            src = "tokens_i" if a in ("word", "") else f"ann_{a}"
+            tk = self.corpus.tokenized.select(
+                "doc_id", F.col(src).alias(f"_toks_{a}")
+            )
+            df = df.join(tk, "doc_id")
+        if meta_cols:
+            df = df.join(
+                self.corpus.doc_stats.select("doc_id", *sorted(meta_cols)), "doc_id"
+            )
+
+        keys: list[str] = []
+        for n, crit in enumerate(criteria):
+            kc = f"_k{n}"
+            base = crit.split(":")[0]
+            if base in ("hit", "left", "right", "wordleft", "wordright"):
+                toks = F.col(f"_toks_{ann_of(crit)}")
+            if crit == "decade":
+                col = F.year("ts") - F.year("ts") % 10
+            elif crit == "hitposition":
+                col = F.struct("doc_id", "start", "end")
+            elif base == "field":
+                col = F.col(crit.split(":", 1)[1])
+            elif base == "hit":
+                col = F.array_join(
+                    F.slice(toks, F.col("start") + 1, F.col("end") - F.col("start")),
+                    " ",
+                )
+            elif base == "left":
+                lstart = F.greatest(F.lit(0), F.col("start") - size) + 1
+                col = F.array_join(
+                    F.reverse(F.slice(toks, lstart, F.col("start") - lstart + 1)),
+                    " ",
+                )
+            elif base == "right":
+                col = F.array_join(
+                    F.slice(
+                        toks,
+                        F.col("end") + 1,
+                        F.greatest(
+                            F.lit(0), F.least(F.size(toks) - F.col("end"), F.lit(size))
+                        ),
+                    ),
+                    " ",
+                )
+            elif base == "wordleft":
+                col = F.when(
+                    F.col("start") > 0, F.element_at(toks, F.col("start"))
+                ).otherwise(F.lit(""))
+            elif base == "wordright":
+                col = F.coalesce(
+                    F.when(
+                        F.col("end") < F.size(toks),
+                        F.element_at(toks, F.col("end") + 1),
+                    ),
+                    F.lit(""),
+                )
+            elif base == "capture":
+                name = crit.split(":")[1]
+                s, e = F.col(f"cap_{name}_start"), F.col(f"cap_{name}_end")
+                col = F.array_join(F.slice(F.col("_toks_word"), s + 1, e - s), " ")
+            else:
+                raise ValueError(f"unknown hit property: {crit!r}")
+            df = df.withColumn(kc, col)
+            keys.append(kc)
+        return df, keys
+
+    def sort_by(self, criteria: list[str]) -> "Hits":
+        """Compound sort over any criterion list (HitPropertyMultiple),
+        (doc,start,end) tie-break."""
+        df, keys = self._with_keys(criteria)
+        out = df.orderBy(*keys, "doc_id", "start", "end").select(*self.df.columns)
+        return Hits(self.corpus, out)
+
+    def group_by(self, criteria: list[str]) -> DataFrame:
+        """Compound grouping over any criterion list: one groupBy over
+        all keys (reference HitGroups.java + HitPropertyMultiple)."""
+        df, keys = self._with_keys(criteria)
+        out = df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("size"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        names = []
+        for k, crit in zip(keys, criteria):
+            name = crit.replace(":", "_")
+            out = out.withColumnRenamed(k, name)
+            names.append(name)
+        return out.orderBy(F.desc("size"), *names)
+
     def group_by_capture(self, name: str, annotation: str = "word") -> DataFrame:
         """Group hits by a named capture group's (desensitized) text
         (reference resultproperty/HitPropertyCaptureGroup): slice the

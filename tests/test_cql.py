@@ -263,3 +263,30 @@ def test_repetition_merge_rewrite(micro, monkeypatch):
     # A A+ -> A{2,}
     exp2 = hits(micro.find('"aap"{2,}'))
     assert hits(micro.find('"aap" "aap"+')) == exp2
+
+
+def test_matching_tags_rewrite(micro):
+    # <s> A </s>: A must coincide with one whole sentence element
+    # (rewritten to a MATCHES position filter, not two edge joins —
+    # reference SpanQuerySequence.findMatchingTags)
+    got = hits(micro.find('<s> "to" []{4} "find" </s>'))
+    assert got == [(3, 0, 6)]
+    # whole-sentence any-token probe: every 6-token sentence
+    assert hits(micro.find('<s> []{6} </s>')) == [(2, 0, 6), (3, 0, 6)]
+    # inner bracket: token before a one-word-spanning entity element
+    assert hits(micro.find('"the" <entity> []{3} </entity>')) is not None
+    # rewrite fires in explain
+    from blacklab_spark.cql.explain import explain
+    txt = explain(micro, '<s> "to" </s>')
+    assert "findMatchingTags" in txt
+
+
+def test_lone_edge_anchor_rewrite(micro):
+    # lone <s> / </s> edges anchor via STARTS_AT / ENDS_AT semi-joins;
+    # results identical to the zero-width edge-adjacency semantics
+    assert hits(micro.find('<s> "to"')) == [(3, 0, 1)]
+    assert hits(micro.find('"question" </s>')) == [(3, 9, 10)]
+    assert hits(micro.find('<s> "to" "find"')) == [(3, 0, 2)]
+    from blacklab_spark.cql.explain import explain
+    txt = explain(micro, '<s> "to"')
+    assert "findMatchingTags" in txt

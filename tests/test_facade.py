@@ -131,3 +131,45 @@ def test_search_cache_and_status(micro):
     assert micro.cache_info()["entries"] >= 2
     micro.cache.clear()
     assert micro.cache_info()["entries"] == 0
+
+
+def test_multi_criteria_group(micro):
+    # compound grouping (HitPropertyMultiple): role metadata x hit text
+    out = micro.search(patt='"a.*"', group="field:role,hit")
+    rows = {(r["field_role"], r["hit"]): (r["size"], r["n_docs"]) for r in out.collect()}
+    # 'aap' occurs 5x in doc1; all docs role=user
+    assert all(k[0] == "user" for k in rows)
+    assert rows[("user", "aap")][0] == 5
+    # single-doc groups report n_docs=1
+    assert rows[("user", "aap")][1] == 1
+
+
+def test_multi_criteria_sort(micro):
+    # sort by (wordright, hit) — compound sort keys
+    h = micro.search(patt='"the"', sort="wordright:word,hit")
+    rows = h.collect()
+    assert len(rows) > 1
+    # verify ordering matches the computed keys
+    from blacklab_spark.search.results import Hits
+    hh = micro.find('"the"')
+    df, keys = hh._with_keys(["wordright:word", "hit"])
+    expect = [
+        (r["doc_id"], r["start"], r["end"])
+        for r in df.orderBy(*keys, "doc_id", "start", "end").collect()
+    ]
+    got = [(r["doc_id"], r["start"], r["end"]) for r in rows]
+    assert got == expect
+
+
+def test_capture_and_decade_criteria(micro):
+    out = micro.find('x:"a.*"').group_by(["capture:x", "decade"])
+    rows = {(r["capture_x"], r["decade"]): r["size"] for r in out.collect()}
+    assert rows[("aap", 2020)] == 5
+
+
+def test_field_values(micro):
+    fv = micro.field_values("role")
+    assert fv["values"] == {"user": 4}
+    assert fv["valueListComplete"] is True
+    fv2 = micro.field_values("conv_id", limit=2)
+    assert len(fv2["values"]) == 2 and fv2["valueListComplete"] is False
