@@ -347,6 +347,24 @@ def _probe_spec(part) -> tuple[str, tuple] | None:
     return None
 
 
+def _probe_rep_spec(part) -> tuple | None:
+    """(ann, matcher, rmin, rmax) when the part is a repetition of a
+    single-token probe-able clause — the NFA repetition state (reference
+    NfaState.java repetition states via ClauseCombinerNfa): `[pos=
+    "adj"]+` next to an anchor walks the forward index as ONE run-length
+    scan instead of materializing every annotation position."""
+    if isinstance(part, P.Repeat):
+        inner = _probe_spec(part.clause)
+        if inner is not None:
+            rmax = part.rmax if part.rmax >= 0 else _REP_CAP
+            return (inner[0], inner[1], max(1, part.rmin), rmax)
+    return None
+
+
+_ANN_COST = float("inf")  # non-word annotations have no postings list:
+# materializing their positions is a full token-table scan, so the cost
+# model treats them as infinitely frequent — always probed when anchored
+
 _MAX_FI_WALK = 8  # bounded multi-step walk length
 
 
@@ -356,11 +374,20 @@ def _probe_specs_for(node) -> list[tuple[str, tuple]] | None:
     one token, so the walk is a chain of element_at predicates)."""
     if isinstance(node, P.Seq):
         parts = _flatten_seq(node.parts)
-        specs = [_probe_spec(p) for p in parts]
-        if specs and all(s is not None for s in specs) and len(specs) <= _MAX_FI_WALK:
-            return specs  # type: ignore[return-value]
+        specs, n_var = [], 0
+        for p in parts:
+            s = _probe_spec(p)
+            if s is None:
+                s = _probe_rep_spec(p)
+                if s is not None:
+                    n_var += 1
+            if s is None:
+                return None
+            specs.append(s)
+        if specs and n_var <= 1 and len(specs) <= _MAX_FI_WALK:
+            return specs
         return None
-    s = _probe_spec(node)
+    s = _probe_spec(node) or _probe_rep_spec(node)
     return [s] if s is not None else None
 
 
@@ -455,21 +482,30 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
                 cur_df = None
             continue
         spec = _probe_spec(part)
+        rep = _probe_rep_spec(part) if spec is None else None
+        step = spec if spec is not None else rep  # 2-tuple or 4-tuple
         df_t = dfs.get(i)
+        if df_t is None and step is not None and step[0] not in ("word", ""):
+            df_t = _ANN_COST  # annotation positions: always scan-expensive
 
         if current is None:
             # frequent leading clause directly followed by a rarer
             # part: defer it and probe backward from the rare anchor
             if (
-                spec is not None
+                step is not None
                 and df_t is not None
                 and pending_gap is None
                 and pending_left_probe is None
                 and i + 1 < len(parts)
             ):
                 df_n = dfs.get(i + 1)
+                if df_n is None:
+                    nxt = parts[i + 1]
+                    s2 = _probe_spec(nxt) or _probe_rep_spec(nxt)
+                    if s2 is not None and s2[0] not in ("word", ""):
+                        df_n = _ANN_COST
                 if df_n is not None and df_t >= ratio * max(df_n, 1):
-                    pending_left_probe = (part, spec)
+                    pending_left_probe = (part, step)
                     continue
             t = translate(corpus, part)
             if pending_gap is not None:
@@ -491,12 +527,12 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
             current = S.sequence_with_gap(current, translate(corpus, part), gmin, gmax)
             cur_df = None
         elif (
-            spec is not None
+            step is not None
             and df_t is not None
             and cur_df is not None
             and df_t >= ratio * max(cur_df, 1)
         ):
-            current = S.probe_steps(corpus, current, [spec], "right")
+            current = S.probe_steps(corpus, current, [step], "right")
         else:
             current = S.sequence(current, translate(corpus, part))
             if df_t is not None:

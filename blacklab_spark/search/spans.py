@@ -255,27 +255,50 @@ def _probe_match_col(elem: Column, matcher: tuple) -> Column:
     return elem.rlike(f"(?i)^(?:{fold_py(val)})$")
 
 
+def _match_fn(matcher: tuple, ann: str):
+    """Element-wise matcher as a lambda usable inside higher-order
+    functions (forall/aggregate) — same semantics as _probe_match_col."""
+    from blacklab_spark.analysis import desensitize_col, desensitize_py, fold_py
+
+    kind, val = matcher
+
+    def f(x: Column) -> Column:
+        e = x if ann in ("word", "") else desensitize_col(x, "i")
+        if kind == "term":
+            return e == F.lit(desensitize_py(val))
+        if kind == "set":
+            return e.isin([desensitize_py(v) for v in val])
+        return e.rlike(f"(?i)^(?:{fold_py(val)})$")
+
+    return f
+
+
 def probe_steps(
     corpus,
     hits: DataFrame,
-    steps: list[tuple[str, tuple]],
+    steps: list[tuple],
     direction: str = "right",
 ) -> DataFrame:
-    """Bounded multi-step forward-index walk: extend each anchor hit by
-    len(steps) tokens, each step an (annotation, matcher) checked
-    against the adjacent token in the doc's token arrays.
+    """Bounded multi-step forward-index walk: extend each anchor hit,
+    each step checked against adjacent tokens in the doc's token arrays.
+
+    A step is ``(annotation, matcher)`` — consumes exactly one token —
+    or ``(annotation, matcher, rmin, rmax)`` — a REPETITION state
+    consuming rmin..rmax consecutive matching tokens (at most one such
+    step per walk). The variable step runs as one run-length scan
+    (`aggregate` over the sliced token window) plus an explode of the
+    valid lengths only — never a per-length Spark job.
 
     The reference's cost-based NFA strategy (ClauseCombinerNfa.java:144-282,
-    SpanQueryFiSeq.java:20-24, NfaState.java:96-121): resolve the RARE
-    clause from the reverse index, walk the FREQUENT neighbors over the
-    forward index. Our NFA collapses to ONE doc_id equi-join plus one
-    codegen element_at predicate per step — the frequent terms'
-    positions (potentially a large fraction of the corpus) are never
-    materialized or shuffled, regardless of how many steps the walk has
-    or whether a step is a term, a term set, or a regex."""
+    SpanQueryFiSeq.java:20-24, NfaState.java:96-121 — repetition states
+    NfaStateRepetition-style): resolve the RARE clause from the reverse
+    index, walk the FREQUENT neighbors over the forward index. Our NFA
+    collapses to ONE doc_id equi-join plus JVM-side expressions — the
+    frequent terms' positions (potentially a large fraction of the
+    corpus) are never materialized or shuffled."""
     from blacklab_spark.analysis import desensitize_col
 
-    anns = sorted({a or "word" for a, _ in steps})
+    anns = sorted({(s[0] or "word") for s in steps})
     cols = ["doc_id"]
     for a in anns:
         if a in ("word", ""):
@@ -285,33 +308,115 @@ def probe_steps(
     tk = corpus.tokenized.select(*cols)
     j = hits.join(tk, "doc_id")
 
+    def toks(ann: str) -> Column:
+        a = ann or "word"
+        return F.col(f"_toks_{a if a != '' else 'word'}")
+
     def elem(ann: str, pos: Column) -> Column:
         a = ann or "word"
         e = F.try_element_at(f"_toks_{a if a != '' else 'word'}", pos)
         # tokens_i is already desensitized; sidecar values fold here
         return e if a in ("word", "") else desensitize_col(e, "i")
 
+    var_idx = [i for i, s in enumerate(steps) if len(s) == 4]
+    if len(var_idx) > 1:
+        raise ValueError("probe walk supports at most one repetition step")
+
     # steps are in WALK order, moving away from the anchor (for a left
     # walk over the clause sequence `s1 s2 ANCHOR` pass [s2, s1])
-    n = len(steps)
-    cond = F.lit(True)
-    for k, (ann, matcher) in enumerate(steps, start=1):
+    if not var_idx:
+        n = len(steps)
+        cond = F.lit(True)
+        for k, (ann, matcher) in enumerate(steps, start=1):
+            if direction == "right":
+                pos = F.col("end") + k  # 1-based element_at
+            else:
+                pos = F.col("start") - k + 1
+            cond = cond & _probe_match_col(elem(ann, pos), matcher)
         if direction == "right":
-            pos = F.col("end") + k  # 1-based element_at
+            return j.filter(cond).select(
+                "doc_id", "start", (F.col("end") + n).alias("end"), *_caps(hits)
+            )
+        return (
+            j.filter(cond)
+            .select(
+                "doc_id", (F.col("start") - n).alias("start"), "end", *_caps(hits)
+            )
+            .filter(F.col("start") >= 0)
+        )
+
+    iv = var_idx[0]
+    pre, post = steps[:iv], steps[iv + 1 :]
+    ann_v, m_v, rmin, rmax = steps[iv]
+    match_v = _match_fn(m_v, ann_v)
+
+    # fixed steps before the repetition
+    cond = F.lit(True)
+    for k, (ann, matcher) in enumerate(pre, start=1):
+        if direction == "right":
+            pos = F.col("end") + k
         else:
             pos = F.col("start") - k + 1
         cond = cond & _probe_match_col(elem(ann, pos), matcher)
+    j = j.filter(cond)
+
+    # run length of consecutive matches from the repetition's first slot
+    off = len(pre)
     if direction == "right":
-        return j.filter(cond).select(
-            "doc_id", "start", (F.col("end") + n).alias("end"), *_caps(hits)
-        )
-    return (
-        j.filter(cond)
-        .select(
-            "doc_id", (F.col("start") - n).alias("start"), "end", *_caps(hits)
-        )
-        .filter(F.col("start") >= 0)
+        window = F.slice(toks(ann_v), F.col("end") + off + 1, rmax)
+    else:
+        avail = F.col("start") - off
+        window = F.when(
+            avail > 0,
+            F.reverse(
+                F.slice(
+                    toks(ann_v),
+                    F.greatest(F.lit(1), avail - rmax + 1),
+                    F.least(F.lit(rmax), avail),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    acc0 = F.struct(F.lit(0).alias("r"), F.lit(False).alias("d"))
+    runlen = F.aggregate(
+        window,
+        acc0,
+        lambda a, x: F.struct(
+            F.when(a["d"] | ~F.coalesce(match_v(x), F.lit(False)), a["r"])
+            .otherwise(a["r"] + 1)
+            .alias("r"),
+            (a["d"] | ~F.coalesce(match_v(x), F.lit(False))).alias("d"),
+        ),
+    )["r"]
+    j = j.withColumn("_run", runlen).filter(F.col("_run") >= rmin)
+    j = j.withColumn(
+        "_n",
+        F.explode(F.sequence(F.lit(rmin), F.least(F.lit(rmax), F.col("_run")))),
     )
+
+    # fixed steps after the repetition (offsets shifted by _n)
+    cond = F.lit(True)
+    for k, (ann, matcher) in enumerate(post, start=1):
+        if direction == "right":
+            pos = F.col("end") + off + F.col("_n") + k
+        else:
+            pos = F.col("start") - off - F.col("_n") - k + 1
+        cond = cond & _probe_match_col(elem(ann, pos), matcher)
+    j = j.filter(cond)
+
+    total = off + len(post)
+    if direction == "right":
+        return j.select(
+            "doc_id",
+            "start",
+            (F.col("end") + total + F.col("_n")).alias("end"),
+            *_caps(hits),
+        )
+    return j.select(
+        "doc_id",
+        (F.col("start") - total - F.col("_n")).alias("start"),
+        "end",
+        *_caps(hits),
+    ).filter(F.col("start") >= 0)
 
 
 def probe_neighbor(

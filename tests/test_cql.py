@@ -290,3 +290,13 @@ def test_lone_edge_anchor_rewrite(micro):
     from blacklab_spark.cql.explain import explain
     txt = explain(micro, '<s> "to"')
     assert "findMatchingTags" in txt
+
+
+def test_annotation_repetition_probe(micro):
+    # `[pos="adj"]+` adjacent to a term anchor runs as a forward-index
+    # run-length probe (ClauseCombinerNfa repetition states), never a
+    # full pos-column position scan. doc0: the quick/adj brown/adj fox,
+    # the lazy/adj dog.
+    assert hits(micro.find('"the" [pos="adj"]+')) == [(0, 0, 2), (0, 0, 3), (0, 6, 8)]
+    assert hits(micro.find('[pos="adj"]+ "dog"')) == [(0, 7, 9)]
+    assert hits(micro.find('"the" [pos="adj"]{2} [pos="nou"]')) == [(0, 0, 4)]

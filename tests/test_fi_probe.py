@@ -105,3 +105,58 @@ def test_fi_forced_regex_clause(small_corpus):
     via_fi1 = hits(corpus.find('_FI1("word00001" "word00002", "word00050")').df)
     via_join1 = hits(corpus.find('"word00001" "word00002" "word00050"').df)
     assert via_fi1 == via_join1
+
+def test_probe_steps_repetition_unit(small_corpus):
+    corpus, _ = small_corpus
+    anchor = S.term_hits(corpus, "word00050")
+    rep = [("word", ("regex", "word0000."), 1, 3)]
+    probed = hits(S.probe_steps(corpus, anchor, rep, "right"))
+    joined = hits(
+        S.sequence(anchor, S.repetition(S.regex_hits(corpus, "word0000."), 1, 3))
+    )
+    assert probed == joined and probed
+    probed_l = hits(S.probe_steps(corpus, anchor, rep, "left"))
+    joined_l = hits(
+        S.sequence(S.repetition(S.regex_hits(corpus, "word0000."), 1, 3), anchor)
+    )
+    assert probed_l == joined_l and probed_l
+
+
+def test_probe_steps_repetition_then_fixed(small_corpus):
+    corpus, _ = small_corpus
+    anchor = S.term_hits(corpus, "word00050")
+    steps = [
+        ("word", ("regex", "word0000."), 1, 2),
+        ("word", ("regex", "word\\d+")),
+    ]
+    probed = hits(S.probe_steps(corpus, anchor, steps, "right"))
+    joined = hits(
+        S.sequence(
+            S.sequence(anchor, S.repetition(S.regex_hits(corpus, "word0000."), 1, 2)),
+            S.regex_hits(corpus, "word\\d+"),
+        )
+    )
+    assert probed == joined and probed
+    probed_l = hits(S.probe_steps(corpus, anchor, steps, "left"))
+    joined_l = hits(
+        S.sequence(
+            S.regex_hits(corpus, "word\\d+"),
+            S.sequence(S.repetition(S.regex_hits(corpus, "word0000."), 1, 2), anchor),
+        )
+    )
+    assert probed_l == joined_l and probed_l
+
+
+def test_cql_repetition_probe_equals_join(small_corpus, probing_corpus):
+    corpus, _ = small_corpus
+    for q in (
+        '"word00123" "word00001"{1,3}',
+        '"word00004"{1,3} "word00123"',
+        '"word00123" "word0000."+',
+    ):
+        with_probe = hits(probing_corpus.find(q).df)
+        probing_corpus.cfg = dataclasses.replace(corpus.cfg, fi_probe_ratio=0.0)
+        without = hits(probing_corpus.find(q).df)
+        probing_corpus.cfg = dataclasses.replace(corpus.cfg, fi_probe_ratio=1.01)
+        assert with_probe == without, q
+        assert with_probe, q
