@@ -64,9 +64,13 @@ def _matches_empty(node) -> bool:
 
 
 def _no_empty(node):
-    """The ≥1-repetition variant of a may-match-empty node
+    """The ≥1-repetition variant of a may-match-empty node, or None when
+    the node can ONLY match empty — e.g. X{0,0} — so the with-this-part
+    alternative must be dropped, not clamped to an impossible {1,0}
     (reference BLSpanQuery.noEmpty contract, BLSpanQuery.java:162-186)."""
     if isinstance(node, P.Repeat) and node.rmin == 0:
+        if node.rmax == 0:
+            return None
         return replace(node, rmin=1)
     return node
 
@@ -79,6 +83,8 @@ def _seq_alternatives(parts: list) -> list[list]:
     for p in parts:
         if _matches_empty(p):
             ne = _no_empty(p)
+            if ne is None:
+                continue
             alts = [a + [] for a in alts] + [a + [ne] for a in alts]
         else:
             alts = [a + [p] for a in alts]

@@ -1,0 +1,237 @@
+"""Randomized differential testing of the CQL span algebra.
+
+A naive pure-Python interpreter of the parsed AST (quadratic, obviously
+correct) is the oracle; every generated query must return EXACTLY the
+same (doc, start, end) set from the engine under BOTH planner modes —
+forward-index probing forced (fi_probe_ratio=1.01) and disabled (0.0).
+This differentially tests the cost-based planner rewrites (gap folding,
+NOT inversion, probe walks, repetition kernel, alternative expansion)
+against each other and against the reference semantics
+(reference SpanQuerySequence/SpanQueryRepetition/SpanQueryNot contracts).
+
+Vocabulary is plain lowercase ASCII so tokenization/folding is identity
+— the analysis chain has its own tests; this file targets the algebra.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+import re
+
+import pandas as pd
+import pytest
+
+from blacklab_spark.config import EngineConfig
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.cql import parser as P
+
+VOCAB = ["aa", "ab", "ba", "bb", "cc"]
+REGEXES = ["a.", ".b", "aa|cc", "[ab]+"]
+MAXLEN = 12
+SEED = 20260817
+N_QUERIES = 45
+
+
+# ---------------------------------------------------------------------------
+# naive interpreter: AST -> set[(doc, start, end)] (may contain zero-length
+# spans mid-computation; the top level drops them, mirroring the engine's
+# epsilon-hit contract)
+# ---------------------------------------------------------------------------
+
+def _tok_positions(doc: list[str], node: P.TermNode) -> set[tuple[int, int]]:
+    if P.is_plain_term(node.value):
+        m = [t == node.value for t in doc]
+    else:
+        rx = re.compile(f"(?:{node.value})", re.I)
+        m = [rx.fullmatch(t) is not None for t in doc]
+    if node.negate:
+        m = [not x for x in m]
+    return {(i, i + 1) for i, x in enumerate(m) if x}
+
+
+def naive_spans(docs: list[list[str]], node) -> set[tuple[int, int, int]]:
+    if isinstance(node, P.TermNode):
+        return {
+            (d, s, e) for d, doc in enumerate(docs) for s, e in _tok_positions(doc, node)
+        }
+    if isinstance(node, P.AnyToken):
+        return {(d, i, i + 1) for d, doc in enumerate(docs) for i in range(len(doc))}
+    if isinstance(node, (P.TokenOr, P.Or)):
+        out: set = set()
+        for c in node.clauses:
+            out |= naive_spans(docs, c)
+        return out
+    if isinstance(node, P.Capture):
+        return naive_spans(docs, node.clause)
+    if isinstance(node, P.Seq):
+        cur: set | None = None
+        for part in node.parts:
+            nxt = naive_spans(docs, part)
+            if _may_be_empty(part):
+                nxt |= {(d, i, i) for d, doc in enumerate(docs) for i in range(len(doc) + 1)}
+            if cur is None:
+                cur = nxt
+            else:
+                by_start: dict = {}
+                for d, s, e in nxt:
+                    by_start.setdefault((d, s), []).append(e)
+                cur = {
+                    (d, s, e2)
+                    for d, s, e in cur
+                    for e2 in by_start.get((d, e), [])
+                }
+        return cur or set()
+    if isinstance(node, P.Repeat):
+        base = naive_spans(docs, node.clause)
+        rmin, rmax = node.rmin, node.rmax
+        if rmax < 0:
+            rmax = MAXLEN
+        out: set = set()
+        if rmin == 0:
+            out |= {(d, i, i) for d, doc in enumerate(docs) for i in range(len(doc) + 1)}
+        level = base
+        for n in range(1, rmax + 1):
+            if n >= max(rmin, 1):
+                out |= level
+            by_start: dict = {}
+            for d, s, e in base:
+                by_start.setdefault((d, s), []).append(e)
+            level = {
+                (d, s, e2) for d, s, e in level for e2 in by_start.get((d, e), [])
+            }
+            if not level:
+                break
+        return out
+    raise NotImplementedError(type(node))
+
+
+def _may_be_empty(node) -> bool:
+    if isinstance(node, P.Repeat):
+        return node.rmin == 0
+    if isinstance(node, P.Seq):
+        return all(_may_be_empty(p) for p in node.parts)
+    if isinstance(node, (P.Or, P.TokenOr)):
+        return any(_may_be_empty(c) for c in node.clauses)
+    if isinstance(node, P.Capture):
+        return _may_be_empty(node.clause)
+    return False
+
+
+def naive_find(docs: list[list[str]], cql: str) -> list[tuple[int, int, int]]:
+    node = P.parse(cql)
+    return sorted((d, s, e) for d, s, e in naive_spans(docs, node) if e > s)
+
+
+# ---------------------------------------------------------------------------
+# random query generator (rendered to CQL strings so the parser is in the
+# differential loop too)
+# ---------------------------------------------------------------------------
+
+def _gen_atom(rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.55:
+        return f'"{rng.choice(VOCAB)}"'
+    if r < 0.70:
+        return f'"{rng.choice(REGEXES)}"'
+    if r < 0.82:
+        return f'[word != "{rng.choice(VOCAB)}"]'
+    return "[]"
+
+
+def _render_bounds(rng: random.Random, allow_zero: bool) -> str:
+    lo = rng.choice([0, 1, 1, 2]) if allow_zero else rng.choice([1, 1, 2])
+    if rng.random() < 0.15:
+        return "+" if lo >= 1 else "*"
+    hi = lo + rng.choice([0, 1, 2])
+    return f"{{{lo},{hi}}}" if hi > lo else f"{{{lo}}}"
+
+
+def _gen(rng: random.Random, depth: int, in_seq: bool) -> str:
+    if depth <= 0:
+        return _gen_atom(rng)
+    r = rng.random()
+    if r < 0.45:
+        n = rng.choice([2, 2, 3])
+        return " ".join(_gen(rng, depth - 1, True) for _ in range(n))
+    if r < 0.65:
+        a = _gen(rng, depth - 1, False)
+        b = _gen(rng, depth - 1, False)
+        return f"({a} | {b})"
+    atom = _gen_atom(rng)
+    return f"({atom}){_render_bounds(rng, allow_zero=in_seq)}"
+
+
+def gen_queries(seed: int, n: int) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    while len(out) < n:
+        q = _gen(rng, 2, False)
+        # a bare all-optional query has no non-empty top-level contract
+        if re.fullmatch(r"[\s()\[\]{},0-9*?]*", q):
+            continue
+        out.append(q)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixture: one random corpus, built once
+# ---------------------------------------------------------------------------
+
+def _random_docs(seed: int, n_docs: int) -> list[list[str]]:
+    rng = random.Random(seed)
+    return [
+        [rng.choice(VOCAB) for _ in range(rng.randint(1, MAXLEN))]
+        for _ in range(n_docs)
+    ]
+
+
+@pytest.fixture(scope="module")
+def diff_corpus(spark, tmp_path_factory):
+    docs = _random_docs(SEED, 40)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"d{i:03d}" for i in range(len(docs))],
+            "turn_idx": [0] * len(docs),
+            "role": ["user"] * len(docs),
+            "text": [" ".join(d) for d in docs],
+            "tool": [""] * len(docs),
+            "ts": pd.to_datetime(["2025-01-01"] * len(docs)),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("diff") / "idx")
+    cfg = EngineConfig(segment_size=8, block_size=4)
+    corpus = Corpus.build(spark, spark.createDataFrame(pdf), d, cfg)
+    return corpus, docs
+
+
+def engine_hits(corpus, q: str) -> list[tuple[int, int, int]]:
+    return sorted(
+        (r["doc_id"], r["start"], r["end"])
+        for r in corpus.find(q).df.select("doc_id", "start", "end").collect()
+    )
+
+
+def test_differential_random_queries(diff_corpus):
+    corpus, docs = diff_corpus
+    queries = gen_queries(SEED + 1, N_QUERIES)
+    orig = corpus.cfg
+    failures = []
+    try:
+        for q in queries:
+            expected = naive_find(docs, q)
+            corpus.cfg = dataclasses.replace(orig, fi_probe_ratio=1.01)
+            probed = engine_hits(corpus, q)
+            if probed != expected:
+                failures.append((q, "probe", expected, probed))
+                continue
+            corpus.cfg = dataclasses.replace(orig, fi_probe_ratio=0.0)
+            joined = engine_hits(corpus, q)
+            if joined != expected:
+                failures.append((q, "join", expected, joined))
+    finally:
+        corpus.cfg = orig
+    assert not failures, "\n".join(
+        f"{mode} plan diverges on {q!r}:\n  naive={exp[:12]}\n  engine={got[:12]}"
+        for q, mode, exp, got in failures[:5]
+    )
