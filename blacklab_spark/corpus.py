@@ -93,6 +93,33 @@ class Corpus:
         cache[name] = df
         return df
 
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Driver-side {term: df} for a query's terms, cached across
+        queries on this handle (the reference holds the whole terms
+        dict in memory per index reader, forwardindex/Terms.java). A
+        per-query collect job was ~1s of fixed floor on EVERY
+        topk/batch_topk call; the cache amortizes it to one tiny job
+        per unseen term set. Invalidated when the terms table is
+        rewritten (incremental add/compact bumps the directory
+        mtime)."""
+        tdir = os.path.join(self.index_dir, "terms")
+        token = os.path.getmtime(tdir) if os.path.exists(tdir) else 0.0
+        cache = self.__dict__.setdefault("_term_stats", {})
+        if cache.get("_token") != token:
+            cache.clear()
+            cache["_token"] = token
+        missing = [t for t in set(terms) if t not in cache]
+        if missing:
+            rows = (
+                self.terms.filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                cache[t] = found.get(t)  # None = not in dict (cached too)
+        return {t: cache[t] for t in set(terms) if cache.get(t) is not None}
+
     def _t(self, name: str) -> DataFrame:
         """Table handle with tombstones applied (the liveDocs analogue,
         reference SpansReader.java checks liveDocs per segment)."""

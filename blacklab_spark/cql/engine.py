@@ -197,6 +197,77 @@ def _rewrite_matching_tags(parts: list) -> list:
     return parts
 
 
+def _fixed_len(node) -> int | None:
+    """Token length when every hit of ``node`` has the same fixed
+    length ≥ 1 (reference BLSpanQuery.hitsAllSameLength /
+    guaranteesAllHitsHaveSameLength); None otherwise."""
+    if isinstance(node, (P.TermNode, P.AnyToken, P.TokenAnd, P.TokenOr)):
+        return 1
+    if isinstance(node, P.Repeat):
+        if node.rmin == node.rmax and node.rmin >= 1:
+            inner = _fixed_len(node.clause)
+            return None if inner is None else node.rmin * inner
+        return None
+    if isinstance(node, P.Seq):
+        total = 0
+        for p in node.parts:
+            l = _fixed_len(p)
+            if l is None:
+                return None
+            total += l
+        return total if total >= 1 else None
+    if isinstance(node, P.Capture):
+        return _fixed_len(node.clause)
+    if isinstance(node, P.Or):
+        lens = {_fixed_len(c) for c in node.clauses}
+        return lens.pop() if len(lens) == 1 and None not in lens else None
+    return None
+
+
+def _internalize(parts: list) -> list:
+    """Pull fixed-length neighbors inside an adjacent position filter
+    (reference ClauseCombinerInternalisation.java:11,
+    BLSpanQuery.canInternalizeNeighbour:316-333): ``"the" ([pos="adj"]
+    within <turn/>)`` becomes ``(("the" [pos="adj"]) within <turn/>)``
+    with a +1 left-edge adjustment on the positional test. The win here
+    is planner visibility: the producer becomes a plain sequence, so
+    the cost-based forward-index probe applies to the annotation clause
+    instead of materializing every annotation position before the
+    filter semi-join. Capture internalisation is unnecessary in this
+    engine — captures are columns carried through joins, they never
+    block a plan. Producers that may match empty are left alone (their
+    ε-alternative handling must stay inside the filter)."""
+    changed = True
+    while changed:
+        changed = False
+        for i, p in enumerate(parts):
+            if not isinstance(p, P.PosFilter) or _matches_empty(p.producer):
+                continue
+            if i > 0:
+                l = _fixed_len(parts[i - 1])
+                if l is not None:
+                    node = replace(
+                        p,
+                        producer=P.Seq(parts=[parts[i - 1], p.producer]),
+                        ladj=p.ladj + l,
+                    )
+                    parts = parts[: i - 1] + [node] + parts[i + 1 :]
+                    changed = True
+                    break
+            if i + 1 < len(parts):
+                l = _fixed_len(parts[i + 1])
+                if l is not None:
+                    node = replace(
+                        p,
+                        producer=P.Seq(parts=[p.producer, parts[i + 1]]),
+                        radj=p.radj - l,
+                    )
+                    parts = parts[:i] + [node] + parts[i + 2 :]
+                    changed = True
+                    break
+    return parts
+
+
 def _anytoken_bounds(node) -> tuple[int, int] | None:
     """(min,max) if node is pure any-token filler ([], []{n,m}); else None."""
     if isinstance(node, P.AnyToken):
@@ -233,7 +304,9 @@ def translate(corpus, node) -> DataFrame:
             out = S.union(out, d)
         return out
     if isinstance(node, P.Seq):
-        parts = _rewrite_matching_tags(_merge_repetitions(_flatten_seq(node.parts)))
+        parts = _internalize(
+            _rewrite_matching_tags(_merge_repetitions(_flatten_seq(node.parts)))
+        )
         if len(parts) == 1:
             return translate(corpus, parts[0])
         return _sequence(corpus, parts)
@@ -256,7 +329,10 @@ def translate(corpus, node) -> DataFrame:
     if isinstance(node, P.PosFilter):
         prod = translate(corpus, node.producer)
         filt = translate(corpus, node.filter)
-        return S.position_filter(prod, filt, node.op, invert=node.invert)
+        return S.position_filter(
+            prod, filt, node.op, invert=node.invert,
+            ladj=node.ladj, radj=node.radj,
+        )
     if isinstance(node, P.Constrained):
         hits = translate(corpus, node.clause)
         return _constrained(corpus, hits, node.constraint)

@@ -55,7 +55,8 @@ def _render(node, indent: int = 0) -> list[str]:
         return [f"{pad}TAG <{node.name}> edge={node.edge} attrs={node.attrs}"]
     if isinstance(node, P.PosFilter):
         inv = "NOT-" if node.invert else ""
-        out = [f"{pad}{inv}{node.op.upper()}"]
+        adj = f" adj=({node.ladj},{node.radj})" if (node.ladj or node.radj) else ""
+        out = [f"{pad}{inv}{node.op.upper()}{adj}"]
         out += [f"{'  ' * (indent + 1)}producer:"] + _render(node.producer, indent + 2)
         out += [f"{'  ' * (indent + 1)}filter:"] + _render(node.filter, indent + 2)
         return out
@@ -94,6 +95,13 @@ def _rewrites(node) -> list[str]:
                 )
             if any(_anytoken_bounds(p) is not None for p in n.parts):
                 notes.append("any-token -> expansion (ClauseCombinerAnyExpansion)")
+            from blacklab_spark.cql.engine import _internalize
+
+            if _internalize(list(n.parts)) != list(n.parts):
+                notes.append(
+                    "fixed-length neighbor internalized into position "
+                    "filter (ClauseCombinerInternalisation)"
+                )
             for p in n.parts:
                 walk(p)
         elif isinstance(n, P.TermNode):

@@ -99,6 +99,12 @@ class PosFilter(Node):
     filter: Node = None
     op: str = "within"  # within | containing
     invert: bool = False
+    # edge adjustments for internalized neighbors (reference
+    # SpanQueryPositionFilter leftAdjust/rightAdjust via
+    # ClauseCombinerInternalisation.java:11): the positional test
+    # applies to (start+ladj, end+radj) of the producer hit
+    ladj: int = 0
+    radj: int = 0
 
 
 @dataclass

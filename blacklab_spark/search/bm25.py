@@ -65,11 +65,7 @@ def topk_bm25(
     if not qterms:
         return spark.createDataFrame([], out_schema)
 
-    tinfo = (
-        corpus.terms.filter(F.col("term").isin(list(set(qterms))))
-        .select("term", "df")
-        .collect()
-    )
+    tinfo = corpus.term_stats(qterms)
     if not tinfo:
         return spark.createDataFrame([], out_schema)
     n_docs = meta["n_docs"]
@@ -81,9 +77,9 @@ def topk_bm25(
 
     qcount = Counter(qterms)
     idf_by_term = {
-        r["term"]: qcount[r["term"]]
-        * float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
-        for r in tinfo
+        t: qcount[t]
+        * float(np.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5)))
+        for t, df_ in tinfo.items()
     }
 
     posts = corpus.postings.filter(
@@ -282,12 +278,7 @@ def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
     all_terms = sorted({t for qc in qterm_counts for t in qc})
     if not all_terms:
         return spark.createDataFrame([], out_schema)
-    tinfo = {
-        r["term"]: int(r["df"])
-        for r in corpus.terms.filter(F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    }
+    tinfo = corpus.term_stats(all_terms)
     # per-query {term: weighted idf}
     idf_by_query: list[dict[str, float]] = []
     for qc in qterm_counts:

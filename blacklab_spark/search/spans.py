@@ -523,12 +523,21 @@ def position_filter(
     filter_hits: DataFrame,
     op: str = "within",
     invert: bool = False,
+    ladj: int = 0,
+    radj: int = 0,
 ) -> DataFrame:
     """Keep producer hits standing in positional relation ``op`` to some
     filter hit (reference SpansPositionFilter.java:517). Semi/anti join —
-    producer hits and their captures survive unchanged."""
+    producer hits and their captures survive unchanged. ``ladj``/``radj``
+    shift the producer edges used in the positional test only (reference
+    SpanQueryPositionFilter leftAdjust/rightAdjust): an internalized
+    fixed-length neighbor widens the hit but not the filtered region."""
     P, Q = producer.alias("P"), filter_hits.select(*HIT_COLS).alias("Q")
     pcol = {k: F.col(f"P.{k}") for k in HIT_COLS}
+    if ladj:
+        pcol["start"] = pcol["start"] + ladj
+    if radj:
+        pcol["end"] = pcol["end"] + radj
     fcol = {k: F.col(f"Q.{k}") for k in HIT_COLS}
     cond = (pcol["doc_id"] == fcol["doc_id"]) & _POS_OPS[op](pcol, fcol)
     how = "leftanti" if invert else "leftsemi"

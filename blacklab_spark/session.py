@@ -70,6 +70,12 @@ def get_spark(
         # CPU: on many-core nodes the byte stream, not the codec, is
         # the scaling ceiling — measured faster than snappy here
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # batch queries filter postings with term IN (<up to ~200
+        # values>); the default threshold (10) silently drops the
+        # parquet pushdown above 10 values, so the term-sorted row
+        # groups were read in full instead of stat-skipped
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+        .config("spark.sql.optimizer.inSetConversionThreshold", "1000")
         .config("spark.ui.enabled", "false")
     )
     if extra_conf:

@@ -170,6 +170,36 @@ def test_not_within(micro):
     assert hits(micro.find('"b.*" !within <entity/>')) == [(2, 3, 4)]
 
 
+def test_internalize_left_neighbor(micro):
+    # "the" ([pos="adj"] within <entity/>) — the fixed-length left
+    # neighbor is internalized into the position filter (reference
+    # ClauseCombinerInternalisation): producer becomes the sequence,
+    # the within-test applies with a +1 left-edge adjustment.
+    # doc0: the@0+quick@1 (adj, within entity(0,4)); the@6+lazy@7
+    # (adj, within entity(6,9))
+    assert hits(micro.find('"the" ([pos="adj"] within <entity/>)')) == [
+        (0, 0, 2),
+        (0, 6, 8),
+    ]
+    from blacklab_spark.cql.explain import explain
+
+    txt = explain(micro, '"the" ([pos="adj"] within <entity/>)')
+    assert "ClauseCombinerInternalisation" in txt
+
+
+def test_internalize_right_neighbor(micro):
+    # ([pos="adj"] within <entity/>) "fox" — right neighbor internalized
+    # with a -1 right-edge adjustment: brown@2 (adj within entity(0,4))
+    # followed by fox@3
+    assert hits(micro.find('([pos="adj"] within <entity/>) "fox"')) == [(0, 2, 4)]
+
+
+def test_internalize_inverted_filter(micro):
+    # every adjective after "the" sits inside an entity, so the
+    # inverted (!within) internalized form is empty
+    assert hits(micro.find('"the" ([pos="adj"] !within <entity/>)')) == []
+
+
 def test_tag_start_sequence(micro):
     # <s> "to": sentence-initial 'to' (doc3 s spans [0,6) and [6,10))
     assert hits(micro.find('<s> "to"')) == [(3, 0, 1)]
