@@ -124,6 +124,28 @@ WHERE a.t = 'table' AND b.t = 'value'
 """
 
 
+def q_within_sequence_hits(spark, sf_dir):
+    # fixed-length neighbor + position-filtered clause: the planner
+    # internalizes `"key"` into the posfilter producer
+    # (ClauseCombinerInternalisation) and the within-test runs with a
+    # +1 left-edge adjustment against role-attributed turn spans
+    c = _corpus(spark, sf_dir)
+    h = c.find('"key" ("value" within <turn role="en"/>)').df.select(
+        "doc_id", "start", "end"
+    )
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_WITHIN_SEQUENCE_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM tok a
+JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+JOIN documents d ON d.doc_id = a.doc_id AND d.lang = 'en'
+WHERE a.t = 'key' AND b.t = 'value'
+"""
+
+
 def q_gap_sequence_hits(spark, sf_dir):
     c = _corpus(spark, sf_dir)
     h = c.find('"key" []{1,2} "value"').df.select("doc_id", "start", "end")
@@ -1043,6 +1065,7 @@ O_MEDIA_FEATURES = _media_oracle_sql()
 QUERIES = {
     "term_hits": q_term_hits,
     "phrase_hits": q_phrase_hits,
+    "within_sequence_hits": q_within_sequence_hits,
     "gap_sequence_hits": q_gap_sequence_hits,
     "repetition_hits": q_repetition_hits,
     "repetition_unbounded": q_repetition_unbounded,
@@ -1091,6 +1114,7 @@ QUERIES = {
 ORACLES = {
     "term_hits": O_TERM_HITS,
     "phrase_hits": O_PHRASE_HITS,
+    "within_sequence_hits": O_WITHIN_SEQUENCE_HITS,
     "gap_sequence_hits": O_GAP_SEQUENCE_HITS,
     "repetition_hits": O_REPETITION_HITS,
     "repetition_unbounded": O_REPETITION_UNBOUNDED,

@@ -24,9 +24,18 @@ def run(cpus: int, n_turns: int) -> dict:
     cmd = [sys.executable, os.path.join(HERE, "scaling_run.py"), str(cpus), str(n_turns)]
     if shutil_which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    for attempt in (1, 2):
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        lines = out.stdout.strip().splitlines()
+        if lines and lines[-1].startswith("{"):
+            return json.loads(lines[-1])
+        # transient JVM death (e.g. memory pressure from the previous
+        # size's heap not yet released): surface stderr and retry once
+        sys.stderr.write(
+            f"scaling_run cpus={cpus} attempt {attempt} produced no "
+            f"result; stderr tail:\n" + "\n".join(out.stderr.splitlines()[-15:]) + "\n"
+        )
+    raise RuntimeError(f"scaling_run failed twice at cpus={cpus}")
 
 
 def shutil_which(name: str):
