@@ -29,18 +29,23 @@ def search(
     corpus,
     patt: str | None = None,
     pattlang: str = "bcql",
+    pattgapdata: str | None = None,
     filter: str | None = None,  # noqa: A002 - BLS parameter name
     filterlang: str = "luceneql",
     sort: str | None = None,
     group: str | None = None,
     viewgroup: str | None = None,
+    hitfiltercrit: str | None = None,
+    hitfilterval: str | None = None,
     sample: float | None = None,
     samplenum: int | None = None,
     sampleseed: int = 42,
     first: int = 0,
     number: int | None = None,
     wordsaroundhit: int | None = None,
+    usecontent: str = "fi",
     calc: str | None = None,
+    facets: str | None = None,
     maxretrieve: int | None = None,
     outputformat: str | None = None,
 ) -> DataFrame:
@@ -49,7 +54,15 @@ def search(
     ``maxretrieve`` caps how many hits are processed (BLS maxretrieve /
     maxHitsToProcess, reference HitsFromQuery.java:63-70);
     ``outputformat='csv'`` returns a CSV string of the final result
-    (the hits-csv/docs-csv endpoints)."""
+    (the hits-csv/docs-csv endpoints); ``pattgapdata`` fills `@@` gaps
+    in ``patt`` from TSV rows and ORs the filled patterns (reference
+    GapFiller.java); ``hitfiltercrit``/``hitfilterval`` keep hits whose
+    property equals the value (HitsFiltered.java); ``usecontent`` picks
+    the concordance source — 'fi' (forward index, default) or 'orig'
+    (content store, reference ConcordanceType / BlackLabServerParams
+    .java:104,357); ``facets`` returns independent 1-D doc counts
+    (facet, value, n_docs) for the comma-separated doc criteria
+    (Facets.java:9)."""
     from pyspark.sql import functions as F
 
     from blacklab_spark.search.results import export_csv
@@ -86,7 +99,14 @@ def search(
         return _out(docs)
 
     if pattlang == "bcql":
-        hits = corpus.find(patt)
+        if pattgapdata is not None:
+            from blacklab_spark.cql.engine import translate
+            from blacklab_spark.cql.gapfiller import parse_gap_query
+
+            ast = parse_gap_query(patt, pattgapdata)
+            hits = Hits(corpus, translate(corpus, ast))
+        else:
+            hits = corpus.find(patt)
     elif pattlang == "contextql":
         res = corpus.find_contextql(patt)
         if isinstance(res, DataFrame):  # metadata-only ContextQL
@@ -97,6 +117,30 @@ def search(
 
     if filter_sql:
         hits = hits.filter_docs(filter_sql)
+
+    # ---- hit-property filter (BLS hitfiltercrit/hitfilterval) ------
+    if hitfiltercrit is not None:
+        if hitfilterval is None:
+            raise ValueError("hitfiltercrit requires hitfilterval")
+        hits = hits.filter_by_property(hitfiltercrit, hitfilterval)
+
+    # ---- facets (independent 1-D doc counts, Facets.java:9) --------
+    if facets is not None:
+        out = None
+        for crit in [c.strip() for c in facets.split(",") if c.strip()]:
+            col = crit.split(":", 1)[1] if crit.startswith("field:") else crit
+            docs = hits.df.select("doc_id").distinct().join(
+                corpus.doc_stats, "doc_id"
+            )
+            key = (
+                (F.year("ts") - F.year("ts") % 10) if col == "decade"
+                else F.col(col)
+            )
+            fc = docs.groupBy(key.cast("string").alias("value")).agg(
+                F.count(F.lit(1)).alias("n_docs")
+            ).select(F.lit(crit).alias("facet"), "value", "n_docs")
+            out = fc if out is None else out.unionByName(fc)
+        return _out(out.orderBy("facet", F.desc("n_docs"), "value"))
 
     # ---- result cap (maxHitsToProcess analogue) --------------------
     if maxretrieve is not None:
@@ -173,5 +217,14 @@ def search(
     if number is not None:
         hits = hits.window(first, number)
     if wordsaroundhit is not None:
+        if usecontent == "orig":
+            # concordances from the content store (original text) with
+            # the match highlighted, char-based context (reference
+            # Concordances.java / ConcordanceType.CONTENT_STORE)
+            from blacklab_spark.search.snippets import snippets
+
+            return _out(
+                snippets(corpus, hits.df, context_chars=8 * wordsaroundhit)
+            )
         return _out(hits.kwic(wordsaroundhit))
     return _out(hits.df)

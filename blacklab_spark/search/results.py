@@ -92,6 +92,20 @@ class Hits:
         docs = self.corpus.doc_stats.filter(filter_expr).select("doc_id")
         return Hits(self.corpus, self.df.join(docs, "doc_id", "leftsemi"))
 
+    def filter_by_property(self, criterion: str, value: str) -> "Hits":
+        """Keep hits whose HitProperty value equals ``value`` — the BLS
+        hitfiltercrit/hitfilterval pair (reference HitsAbstract.java:327,
+        HitsFiltered.java; deserialized via HitProperty.deserialize in
+        WebserviceParamsImpl.java:438-443). Any criterion `_with_keys`
+        understands works: hit[:ann], left/right, wordleft/wordright,
+        capture:name, field:col, decade."""
+        df, keys = self._with_keys([criterion])
+        if criterion == "decade":
+            cond = F.col(keys[0]) == int(value)
+        else:
+            cond = F.col(keys[0]).cast("string") == value
+        return Hits(self.corpus, df.filter(cond).select(*self.df.columns))
+
     # -- context (forward-index access) -------------------------------------
     def with_context(self, size: int | None = None, annotation: str = "word",
                      sensitive: bool = False) -> DataFrame:

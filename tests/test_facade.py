@@ -173,3 +173,55 @@ def test_field_values(micro):
     assert fv["valueListComplete"] is True
     fv2 = micro.field_values("conv_id", limit=2)
     assert len(fv2["values"]) == 2 and fv2["valueListComplete"] is False
+
+
+# ---- pattgapdata / hitfilter / usecontent / facets -------------------------
+
+def test_fill_gaps_pure():
+    from blacklab_spark.cql.gapfiller import fill_gaps, has_gaps
+
+    assert has_gaps('"@@" "fox"') and not has_gaps('"the"')
+    # positional fill, missing trailing column -> empty, quotes escaped
+    assert fill_gaps('"@@" "@@"', "the\tquick\nlazy") == [
+        '"the" "quick"',
+        '"lazy" ""',
+    ]
+    assert fill_gaps('"@@"', 'sa"y') == ['"sa\\"y"']
+
+
+def test_search_pattgapdata(micro):
+    # two TSV rows OR'd together (reference GapFiller.java:88-110)
+    out = micro.search(patt='"@@" "@@"', pattgapdata="the\tquick\nlazy\tdog")
+    got = sorted((r["doc_id"], r["start"], r["end"]) for r in out.collect())
+    assert got == [(0, 0, 2), (0, 7, 9)]
+
+
+def test_search_hitfilter(micro):
+    # "the" occurs at doc0:0, doc0:6, doc2:1, doc3:8; keep only the one
+    # whose right neighbor is "quick" (HitsFiltered.java semantics)
+    out = micro.search(
+        patt='"the"', hitfiltercrit="wordright", hitfilterval="quick"
+    )
+    got = [(r["doc_id"], r["start"]) for r in out.collect()]
+    assert got == [(0, 0)]
+    # doc-property criterion
+    out2 = micro.search(
+        patt='"the"', hitfiltercrit="field:conv_id", hitfilterval="doc2"
+    )
+    assert [(r["doc_id"], r["start"]) for r in out2.collect()] == [(2, 1)]
+
+
+def test_search_usecontent_orig(micro):
+    out = micro.search(patt='"fox"', wordsaroundhit=2, usecontent="orig")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert "<hl>fox</hl>" in rows[0]["snippet"]
+    assert rows[0]["match_text"] == "fox"
+
+
+def test_search_facets(micro):
+    out = micro.search(patt='"the"', facets="role,decade")
+    rows = {(r["facet"], r["value"]): r["n_docs"] for r in out.collect()}
+    # docs 0, 2, 3 contain "the"
+    assert rows[("role", "user")] == 3
+    assert rows[("decade", "2020")] == 3
