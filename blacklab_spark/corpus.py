@@ -276,7 +276,7 @@ class Corpus:
                 + sorted(
                     c[len("ann_"):]
                     for c in self.tokenized.columns
-                    if c.startswith("ann_")
+                    if c.startswith("ann_") and not c.endswith("_extra")
                 ),
                 "sensitivities": ["sensitive", "insensitive"],
             },

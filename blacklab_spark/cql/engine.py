@@ -429,15 +429,21 @@ def _probe_spec(part) -> tuple[str, tuple] | None:
     return None
 
 
-def _probe_rep_spec(part) -> tuple | None:
+def _probe_rep_spec(part, corpus=None) -> tuple | None:
     """(ann, matcher, rmin, rmax) when the part is a repetition of a
     single-token probe-able clause — the NFA repetition state (reference
     NfaState.java repetition states via ClauseCombinerNfa): `[pos=
     "adj"]+` next to an anchor walks the forward index as ONE run-length
-    scan instead of materializing every annotation position."""
+    scan instead of materializing every annotation position.
+
+    Multi-valued annotations are rejected (run-length aggregate reads
+    only the primary array); those fall back to the position join,
+    which unions secondary values."""
     if isinstance(part, P.Repeat):
         inner = _probe_spec(part.clause)
         if inner is not None:
+            if corpus is not None and S._extra_col(corpus, inner[0] or "word"):
+                return None
             rmax = part.rmax if part.rmax >= 0 else _REP_CAP
             return (inner[0], inner[1], max(1, part.rmin), rmax)
     return None
@@ -450,7 +456,7 @@ _ANN_COST = float("inf")  # non-word annotations have no postings list:
 _MAX_FI_WALK = 8  # bounded multi-step walk length
 
 
-def _probe_specs_for(node) -> list[tuple[str, tuple]] | None:
+def _probe_specs_for(node, corpus=None) -> list[tuple[str, tuple]] | None:
     """Walk specs for a whole clause: one spec-able part, or a Seq of
     spec-able parts (a bounded LINEAR NFA — each state consumes exactly
     one token, so the walk is a chain of element_at predicates)."""
@@ -460,7 +466,7 @@ def _probe_specs_for(node) -> list[tuple[str, tuple]] | None:
         for p in parts:
             s = _probe_spec(p)
             if s is None:
-                s = _probe_rep_spec(p)
+                s = _probe_rep_spec(p, corpus)
                 if s is not None:
                     n_var += 1
             if s is None:
@@ -469,7 +475,7 @@ def _probe_specs_for(node) -> list[tuple[str, tuple]] | None:
         if specs and n_var <= 1 and len(specs) <= _MAX_FI_WALK:
             return specs
         return None
-    s = _probe_spec(node) or _probe_rep_spec(node)
+    s = _probe_spec(node) or _probe_rep_spec(node, corpus)
     return [s] if s is not None else None
 
 
@@ -483,13 +489,13 @@ def _fi_seq(corpus, node: P.FISeq) -> DataFrame:
     ClauseCombinerNfa.java:144-282); anything else falls back to the
     adjacency join."""
     if node.fi_clause == 1:
-        specs = _probe_specs_for(node.left)
+        specs = _probe_specs_for(node.left, corpus)
         if specs is not None:
             anchor = translate(corpus, node.right)
             # left walk moves away from the anchor: reverse clause order
             return S.probe_steps(corpus, anchor, list(reversed(specs)), "left")
     else:
-        specs = _probe_specs_for(node.right)
+        specs = _probe_specs_for(node.right, corpus)
         if specs is not None:
             anchor = translate(corpus, node.left)
             return S.probe_steps(corpus, anchor, specs, "right")
@@ -564,7 +570,7 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
                 cur_df = None
             continue
         spec = _probe_spec(part)
-        rep = _probe_rep_spec(part) if spec is None else None
+        rep = _probe_rep_spec(part, corpus) if spec is None else None
         step = spec if spec is not None else rep  # 2-tuple or 4-tuple
         df_t = dfs.get(i)
         if df_t is None and step is not None and step[0] not in ("word", ""):
@@ -583,7 +589,7 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
                 df_n = dfs.get(i + 1)
                 if df_n is None:
                     nxt = parts[i + 1]
-                    s2 = _probe_spec(nxt) or _probe_rep_spec(nxt)
+                    s2 = _probe_spec(nxt) or _probe_rep_spec(nxt, corpus)
                     if s2 is not None and s2[0] not in ("word", ""):
                         df_n = _ANN_COST
                 if df_n is not None and df_t >= ratio * max(df_n, 1):

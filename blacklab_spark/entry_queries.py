@@ -673,6 +673,55 @@ SELECT doc_id, pos AS start, pos + 1 AS "end" FROM tok WHERE t = 'tàble'
 """
 
 
+def _multivalue_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    """Corpus with a multi-valued sidecar annotation: `syn` holds the
+    token plus its reversal as a secondary value (`t|reverse(t)`),
+    exercising primary/secondary values at one position (reference
+    AnnotationWriter.java:246-263 addValueAtPosition,
+    PayloadUtils.java:25-62). The oracle derives the same values."""
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{INDEX_VERSION}|mv".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/blspark_idx_{key}"
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        return Corpus.open(spark, index_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    transcripts = docs.select(
+        F.format_string("c%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        "text",
+        F.col("source").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.expr(
+            f"transform({_SPARK_TOKS}, t -> concat(t, '|', reverse(t)))"
+        ).alias("ann_syn"),
+    )
+    return Corpus.build(
+        spark,
+        transcripts,
+        index_dir,
+        EngineConfig(segment_size=4096, block_size=128),
+        resume=True,
+    )
+
+
+def q_multivalue_annotation_hits(spark, sf_dir):
+    """Searching a secondary annotation value finds the position: the
+    `syn` annotation carries `reverse(token)` as a secondary value, so
+    `[syn="eht"]` hits every 'the' (plus any literal 'eht' tokens)."""
+    c = _multivalue_corpus(spark, sf_dir)
+    h = c.find('[syn="eht"]').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_MULTIVALUE_ANNOTATION_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT doc_id, pos AS start, pos + 1 AS "end"
+FROM tok WHERE t = 'eht' OR reverse(t) = 'eht'
+"""
+
+
 def q_fuzzy_term_hits(spark, sf_dir):
     """Fuzzy term positions (reference SpanFuzzyQuery.java; Lucene
     expands over the dictionary — ours is a broadcast dict scan)."""
@@ -1094,6 +1143,7 @@ QUERIES = {
     "fuzzy_term_hits": q_fuzzy_term_hits,
     "unicode_fold_hits": q_unicode_fold_hits,
     "unicode_sensitive_hits": q_unicode_sensitive_hits,
+    "multivalue_annotation_hits": q_multivalue_annotation_hits,
     "streaming_index_hits": q_streaming_index_hits,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
@@ -1143,6 +1193,7 @@ ORACLES = {
     "fuzzy_term_hits": O_FUZZY_TERM_HITS,
     "unicode_fold_hits": O_UNICODE_FOLD_HITS,
     "unicode_sensitive_hits": O_UNICODE_SENSITIVE_HITS,
+    "multivalue_annotation_hits": O_MULTIVALUE_ANNOTATION_HITS,
     "streaming_index_hits": O_STREAMING_INDEX_HITS,
     "exact_dedup": O_EXACT_DEDUP,
     "minhash_signature": O_MINHASH_SIGNATURE,

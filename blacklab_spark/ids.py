@@ -213,3 +213,6 @@ def release_dense_id_cache(df: DataFrame) -> None:
     d = getattr(df, "_blspark_persisted", None)
     if d is not None:
         d.unpersist()
+    d2 = getattr(df, "_blspark_persisted_extra", None)
+    if d2 is not None:
+        d2.unpersist()

@@ -130,9 +130,35 @@ def tokenize(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     passed as a literal Column (not an embedded SQL string) so
     backslashes in \\p{L} survive verbatim."""
     pat = _case_expanded(cfg.token_pattern)
-    return df.withColumn(
+    out = df.withColumn(
         "tokens", F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
     ).withColumn("num_tokens", F.size("tokens"))
+    return split_multivalue_annotations(out)
+
+
+def split_multivalue_annotations(df: DataFrame) -> DataFrame:
+    """Multiple annotation values at one token position (reference
+    AnnotationWriter.java:246-263 addValueAtPosition with increment 0;
+    PayloadUtils.java:25-62 primary/secondary flags). Input encoding:
+    `|`-separated values inside an `ann_*` sidecar cell, first value
+    primary. The primary value stays in the dense `ann_X` array (the
+    forward index stores primaries only — concordances, sort and group
+    keys use it, like the reference FI); secondary values land in a
+    sparse `ann_X_extra: array<struct<pos,term>>` column that the
+    annotation scan unions in, so search matches ANY value at the
+    position. All codegen expressions — no shuffle, no Python."""
+    for c in df.columns:
+        if not c.startswith("ann_") or c.endswith("_extra"):
+            continue
+        df = df.withColumn(
+            f"{c}_extra",
+            F.expr(
+                f"filter(flatten(transform({c}, (v, i) -> "
+                f"transform(slice(split(v, '\\\\|'), 2, 2147483646), "
+                f"s -> struct(i AS pos, s AS term)))), x -> x.term <> '')"
+            ),
+        ).withColumn(c, F.expr(f"transform({c}, v -> substring_index(v, '|', 1))"))
+    return df
 
 
 def make_encoder(cfg: EngineConfig, avgdl: float):
@@ -320,19 +346,42 @@ def encode_postings(
     return rows.mapInArrow(encode_batches, schema=POSTINGS_SCHEMA)
 
 
+_SMALL_VOCAB = 2_000_000  # single-task sortable in seconds
+
+
 def terms_from_postings(postings: DataFrame) -> DataFrame:
     """Terms dictionary derived from posting blocks: df/cf are sums of
     per-block counts — a groupBy over block rows (~1/block_size of the
-    token count), not over exploded tokens."""
+    token count), not over exploded tokens.
+
+    The dense alphabetical term_id needs a global order over the vocab.
+    The vocab is persisted and counted first (ONE postings-agg pass —
+    letting with_dense_id's range sampling recompute the agg doubled
+    the stage), then: small vocabs (the overwhelmingly common case —
+    vocab is sublinear in corpus size) sort in one task, zero shuffle;
+    only a vocab past ~2M terms pays the scale path's range shuffle."""
+    from pyspark.storagelevel import StorageLevel
+
     stats = postings.groupBy("term").agg(
         F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
-    )
-    t = with_dense_id(stats, ("term",), "term_id")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = stats.count()
+    if n <= _SMALL_VOCAB:
+        # single cached partition: monotonically_increasing_id over the
+        # term-sorted rows IS the dense alphabetical rank
+        t = (
+            stats.coalesce(1)
+            .sortWithinPartitions("term")
+            .withColumn("term_id", F.monotonically_increasing_id())
+        )
+    else:
+        t = with_dense_id(stats, ("term",), "term_id")
     out = t.withColumn("sort_pos_s", F.col("term_id")).withColumn(
         "sort_pos_i", F.col("term_id")
     )
+    out._blspark_persisted = stats
     if hasattr(t, "_blspark_persisted"):
-        out._blspark_persisted = t._blspark_persisted
+        out._blspark_persisted_extra = t._blspark_persisted
     return out
 
 

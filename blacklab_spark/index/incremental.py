@@ -177,6 +177,7 @@ def add_documents(
     release_dense_id_cache(unseen_stamped)
     shutil.rmtree(terms_path)
     os.rename(tmp, terms_path)
+    spark.catalog.refreshByPath(terms_path)
     terms = spark.read.parquet(terms_path)
 
     # ---- spans ----------------------------------------------------------
@@ -274,6 +275,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         keep.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path)
         os.rename(tmp, path)
+        spark.catalog.refreshByPath(path)
     for grp in dirty_groups:
         grp_dir = os.path.join(tok_path, f"seg_group={grp}")
         part = spark.read.parquet(grp_dir)
@@ -282,6 +284,9 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         keep.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(grp_dir)
         os.rename(tmp, grp_dir)
+    # swapped partition dirs: drop the shared file-status cache entries
+    # (a later scan would otherwise try the removed files)
+    spark.catalog.refreshByPath(tok_path)
 
     tokenized = spark.read.parquet(tok_path)
     agg = tokenized.agg(
@@ -316,6 +321,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         if os.path.exists(src):
             os.rename(src, grp_dir)
     shutil.rmtree(tmp, ignore_errors=True)
+    spark.catalog.refreshByPath(post_path)
 
     terms_path = _stage_dir(index_dir, "terms")
     old_terms = spark.read.parquet(terms_path)
@@ -329,6 +335,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     merged.select(*old_terms.columns).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(terms_path)
     os.rename(tmp, terms_path)
+    spark.catalog.refreshByPath(terms_path)
     terms = spark.read.parquet(terms_path)
 
     shutil.rmtree(_stage_dir(index_dir, "deletes"), ignore_errors=True)

@@ -53,6 +53,23 @@ def _word_tokens_col(corpus, sens: str):
     return F.transform("tokens", lambda t: desensitize_col(t, sens))
 
 
+def _extra_col(corpus, annotation: str) -> str | None:
+    """Name of the secondary-values column for a multi-valued
+    annotation, or None if the annotation is single-valued."""
+    c = f"ann_{annotation}_extra"
+    return c if c in corpus.tokenized.columns else None
+
+
+def _uniq_positions(corpus, annotation: str, df: DataFrame) -> DataFrame:
+    """When an annotation is multi-valued, a query can match more than
+    one value at the SAME position (e.g. a regex matching both the
+    primary and a secondary) — the reference emits the position once,
+    so dedup; single-valued annotations skip the shuffle entirely."""
+    if _extra_col(corpus, annotation):
+        return df.dropDuplicates(["doc_id", "start", "end"])
+    return df
+
+
 def token_positions(
     corpus, annotation: str = "word", sensitive=False
 ) -> DataFrame:
@@ -70,6 +87,15 @@ def token_positions(
     tp = corpus.tokenized.select(
         "doc_id", F.posexplode(f"ann_{annotation}").alias("pos", "term")
     )
+    extra = _extra_col(corpus, annotation)
+    if extra:
+        # secondary values at the same position (reference
+        # PayloadUtils.java:25-62): search matches any value, the
+        # forward index / concordances keep only the primary
+        sec = corpus.tokenized.select(
+            "doc_id", F.explode(extra).alias("_x")
+        ).select("doc_id", F.col("_x.pos").alias("pos"), F.col("_x.term").alias("term"))
+        tp = tp.unionByName(sec)
     if sens == "s":
         return tp
     return tp.withColumn("term", desensitize_col(F.col("term"), sens))
@@ -148,9 +174,10 @@ def term_hits(
     # other sensitivities / sidecar annotations are not in the
     # postings: token scan over the desensitized view
     tp = token_positions(corpus, annotation, sens)
-    return tp.filter(F.col("term") == desensitize_value(term, sens)).select(
+    out = tp.filter(F.col("term") == desensitize_value(term, sens)).select(
         "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
     )
+    return _uniq_positions(corpus, annotation, out)
 
 
 def regex_hits(
@@ -182,9 +209,10 @@ def regex_hits(
         ).select("term")
         return postings_hits_for_terms(corpus, matching_df)
     tp = token_positions(corpus, annotation, sens)
-    return tp.filter(F.col("term").rlike(anchored)).select(
+    out = tp.filter(F.col("term").rlike(anchored)).select(
         "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
     )
+    return _uniq_positions(corpus, annotation, out)
 
 
 def any_token(corpus, min_len: int = 1, max_len: int = 1) -> DataFrame:
@@ -305,6 +333,8 @@ def probe_steps(
             cols.append(F.col("tokens_i").alias("_toks_word"))
         else:
             cols.append(F.col(f"ann_{a}").alias(f"_toks_{a}"))
+            if _extra_col(corpus, a):
+                cols.append(F.col(f"ann_{a}_extra").alias(f"_extra_{a}"))
     tk = corpus.tokenized.select(*cols)
     j = hits.join(tk, "doc_id")
 
@@ -317,6 +347,21 @@ def probe_steps(
         e = F.try_element_at(f"_toks_{a if a != '' else 'word'}", pos)
         # tokens_i is already desensitized; sidecar values fold here
         return e if a in ("word", "") else desensitize_col(e, "i")
+
+    def step_cond(ann: str, pos: Column, matcher: tuple) -> Column:
+        """One walk step: primary value matches, OR — for a
+        multi-valued annotation — any secondary value at the same
+        position matches (reference PayloadUtils.java secondary
+        values are searchable)."""
+        a = ann or "word"
+        c = _probe_match_col(elem(ann, pos), matcher)
+        if a not in ("word", "") and _extra_col(corpus, a):
+            m = _match_fn(matcher, a)
+            c = c | F.exists(
+                F.col(f"_extra_{a}"),
+                lambda x: (x["pos"] == pos - 1) & m(x["term"]),
+            )
+        return c
 
     var_idx = [i for i, s in enumerate(steps) if len(s) == 4]
     if len(var_idx) > 1:
@@ -332,7 +377,7 @@ def probe_steps(
                 pos = F.col("end") + k  # 1-based element_at
             else:
                 pos = F.col("start") - k + 1
-            cond = cond & _probe_match_col(elem(ann, pos), matcher)
+            cond = cond & step_cond(ann, pos, matcher)
         if direction == "right":
             return j.filter(cond).select(
                 "doc_id", "start", (F.col("end") + n).alias("end"), *_caps(hits)
@@ -357,7 +402,7 @@ def probe_steps(
             pos = F.col("end") + k
         else:
             pos = F.col("start") - k + 1
-        cond = cond & _probe_match_col(elem(ann, pos), matcher)
+        cond = cond & step_cond(ann, pos, matcher)
     j = j.filter(cond)
 
     # run length of consecutive matches from the repetition's first slot
@@ -400,7 +445,7 @@ def probe_steps(
             pos = F.col("end") + off + F.col("_n") + k
         else:
             pos = F.col("start") - off - F.col("_n") - k + 1
-        cond = cond & _probe_match_col(elem(ann, pos), matcher)
+        cond = cond & step_cond(ann, pos, matcher)
     j = j.filter(cond)
 
     total = off + len(post)
@@ -738,9 +783,10 @@ def fuzzy_hits(corpus, term: str, max_edits: int = 2,
     if annotation in ("word", ""):
         return postings_hits_for_terms(corpus, matching_df)
     tp = token_positions(corpus, annotation, sensitive=False)
-    return tp.join(F.broadcast(matching_df), "term").select(
+    out = tp.join(F.broadcast(matching_df), "term").select(
         "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
     )
+    return _uniq_positions(corpus, annotation, out)
 
 
 def filter_ngrams(

@@ -118,7 +118,14 @@ def generate_spark(spark, n_turns: int, seed: int = 42, n_partitions: int = 32):
         ]
     )
     per_part = -(-n_turns // n_partitions)
-    parts = spark.range(n_partitions).repartition(n_partitions, "id")
+    # one slice id per partition IN ID ORDER (spark.range slices
+    # evenly) — a hash repartition here would pack multiple disjoint
+    # conv slices into one output file, making file key-ranges overlap
+    # and forcing every downstream dense-id assignment through the
+    # range-shuffle path. Real transcript tables are written
+    # partitioned/sorted by conversation (the Iceberg layout the north
+    # rule assumes); the synthetic source mirrors that.
+    parts = spark.range(0, n_partitions, 1, n_partitions)
 
     def gen(iterator):
         for pdf in iterator:
