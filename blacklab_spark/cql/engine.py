@@ -662,7 +662,7 @@ def _cexpr_captures(expr) -> set[tuple[str, str]]:
     if isinstance(expr, P.CCompare):
         out = set()
         for v in (expr.left, expr.right):
-            if v.capture is not None:
+            if v is not None and v.capture is not None and expr.op != "defined":
                 out.add((v.capture, v.annotation or "word"))
         return out
     if isinstance(expr, P.CBool):
@@ -703,11 +703,22 @@ def _constrained(corpus, hits: DataFrame, expr) -> DataFrame:
 
     def compile_expr(e) -> Column:
         if isinstance(e, P.CCompare):
+            if e.op == "defined":
+                # bare capture: truthy iff the group matched (reference
+                # ConstraintValueUndefined is not truthy)
+                return F.col(f"cap_{e.left.capture}_start").isNotNull()
             c = val(e.left) == val(e.right)
             return c if e.op == "=" else ~c
         if isinstance(e, P.CBool):
             if e.op == "!":
                 return ~compile_expr(e.clauses[0])
+            if e.op == "->":
+                # a -> b: vacuously true when a is not truthy (null =
+                # undefined = falsy), else b's truthiness (reference
+                # MatchFilterImplication.java:62-66)
+                a = F.coalesce(compile_expr(e.clauses[0]), F.lit(False))
+                b = F.coalesce(compile_expr(e.clauses[1]), F.lit(False))
+                return ~a | b
             parts = [compile_expr(c) for c in e.clauses]
             out = parts[0]
             for p in parts[1:]:

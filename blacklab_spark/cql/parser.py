@@ -164,7 +164,7 @@ _TOKEN_RE = re.compile(
   | (?P<ctag></[a-zA-Z_][\w-]*\s*>)
   | (?P<num>\d+)
   | (?P<name>[a-zA-Z_][\w-]*)
-  | (?P<op>!=|[\[\]()|&!*+?{},=:<>/.])
+  | (?P<op>!=|->|[\[\]()|&!*+?{},=:<>/.])
     """,
     re.VERBOSE,
 )
@@ -449,6 +449,15 @@ class _Parser:
 
     # -- global constraint expression ----------------------------------------
     def parse_cexpr(self) -> CExpr:
+        node = self.parse_cor()
+        if self.at("->"):
+            # implication, lowest precedence, right-assoc (reference
+            # MatchFilterImplication.java: !a truthy -> true, else b)
+            self.next()
+            return CBool(op="->", clauses=[node, self.parse_cexpr()])
+        return node
+
+    def parse_cor(self) -> CExpr:
         node = self.parse_cand()
         while self.at("|"):
             self.next()
@@ -474,9 +483,12 @@ class _Parser:
             self.expect(")")
             return node
         left = self.parse_cval()
+        if not (self.at("=") or self.at("!=")):
+            # bare capture = "did the group match" truthiness test
+            # (reference MatchFilterTokenAnnotation.java:65-68 returns
+            # undefined for an unmatched group, which is not truthy)
+            return CCompare(left=left, right=None, op="defined")
         op = self.next()[1]
-        if op not in ("=", "!="):
-            raise ValueError(f"CQL parse error: bad constraint op {op!r}")
         right = self.parse_cval()
         return CCompare(left=left, right=right, op=op)
 

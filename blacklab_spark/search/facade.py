@@ -48,6 +48,7 @@ def search(
     facets: str | None = None,
     maxretrieve: int | None = None,
     outputformat: str | None = None,
+    fimatch: int | None = None,
 ) -> DataFrame:
     """Run one BLS-style request against the corpus.
 
@@ -62,7 +63,29 @@ def search(
     (content store, reference ConcordanceType / BlackLabServerParams
     .java:104,357); ``facets`` returns independent 1-D doc counts
     (facet, value, n_docs) for the comma-separated doc criteria
-    (Facets.java:9)."""
+    (Facets.java:9); ``fimatch`` overrides the forward-index strategy
+    threshold for this request — 0 disables FI probing, a positive
+    value is the df ratio above which a neighbor is probed over the
+    forward index instead of joined (the BLS fimatch / nfaFactor knob,
+    reference ClauseCombinerNfa.java:66-74, default 900)."""
+    if fimatch is not None:
+        import dataclasses
+
+        prev_cfg = corpus.cfg
+        corpus.cfg = dataclasses.replace(prev_cfg, fi_probe_ratio=fimatch)
+        try:
+            return search(
+                corpus, patt=patt, pattlang=pattlang, pattgapdata=pattgapdata,
+                filter=filter, filterlang=filterlang, sort=sort, group=group,
+                viewgroup=viewgroup, hitfiltercrit=hitfiltercrit,
+                hitfilterval=hitfilterval, sample=sample, samplenum=samplenum,
+                sampleseed=sampleseed, first=first, number=number,
+                wordsaroundhit=wordsaroundhit, usecontent=usecontent,
+                calc=calc, facets=facets, maxretrieve=maxretrieve,
+                outputformat=outputformat,
+            )
+        finally:
+            corpus.cfg = prev_cfg
     from pyspark.sql import functions as F
 
     from blacklab_spark.search.results import export_csv

@@ -22,6 +22,10 @@ SNIPPET_SCHEMA = (
 )
 
 
+def _esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
 def snippets(corpus, hits_df: DataFrame, context_chars: int = 40) -> DataFrame:
     """(doc_id, start, end, snippet, match_text) — snippet is original
     text around the hit with the matched span wrapped in <hl>…</hl>."""
@@ -47,14 +51,17 @@ def snippets(corpus, hits_df: DataFrame, context_chars: int = 40) -> DataFrame:
                 if start >= len(offs) or end > len(offs) or end <= start:
                     continue
                 cs, ce = offs[start][0], offs[end - 1][1]
-                left = text[max(0, cs - context_chars): cs]
-                right = text[ce: ce + context_chars]
+                # escape text content so <hl> is the only markup and
+                # the snippet stays well-formed (reference
+                # XmlHighlighter keeps highlighted XML well-formed)
+                left = _esc(text[max(0, cs - context_chars): cs])
+                right = _esc(text[ce: ce + context_chars])
                 rows.append(
                     (
                         did,
                         int(start),
                         int(end),
-                        f"{left}<hl>{text[cs:ce]}</hl>{right}",
+                        f"{left}<hl>{_esc(text[cs:ce])}</hl>{right}",
                         text[cs:ce],
                     )
                 )

@@ -330,3 +330,57 @@ def test_annotation_repetition_probe(micro):
     assert hits(micro.find('"the" [pos="adj"]+')) == [(0, 0, 2), (0, 0, 3), (0, 6, 8)]
     assert hits(micro.find('[pos="adj"]+ "dog"')) == [(0, 7, 9)]
     assert hits(micro.find('"the" [pos="adj"]{2} [pos="nou"]')) == [(0, 0, 4)]
+
+
+# --- constraint implication (reference TestSearches.java:356-379) ----------
+
+def test_constraint_implication(micro):
+    # if c matched, a.word must equal b.word; unmatched c passes
+    got = hits(micro.find('(c:"noot")? a:[] "aap" b:[] :: c -> (a.word = b.word)'))
+    assert got == [
+        (1, 0, 4), (1, 1, 4), (1, 7, 10), (1, 7, 11), (1, 8, 11), (1, 9, 12),
+    ]
+
+
+def test_constraint_implication_never_matched(micro):
+    # left side never matches -> right side ignored entirely
+    got = hits(
+        micro.find('(c:"notinindex")? a:[] "aap" b:[] :: c -> a.word = b.word')
+    )
+    assert got == [(1, 1, 4), (1, 7, 10), (1, 8, 11), (1, 9, 12)]
+
+
+# --- more TestSearches transliterations -------------------------------------
+
+def test_nfa_regex_repetition(micro):
+    # reference testNfa4: 'May' '.*e'+ 'with' -> [May the Force be with] you
+    assert hits(micro.find('"may" ".*e"+ "with"')) == [(2, 0, 5)]
+
+
+def test_ngram_containing_between_anytokens(micro):
+    # reference testConstraintSimple4a: a:[] ([]{1,5} containing 'brown') b:[]
+    got = hits(micro.find('a:[] ([]{1,5} containing "brown") b:[]'))
+    assert got == [
+        (0, 0, 4), (0, 0, 5), (0, 0, 6), (0, 0, 7),
+        (0, 1, 4), (0, 1, 5), (0, 1, 6), (0, 1, 7), (0, 1, 8),
+    ]
+
+
+def test_ngram_containing_with_adjustment(micro):
+    # reference testNGramContainingWithAdjustment: [] ([]{1,5} containing 'brown')
+    got = hits(micro.find('[] ([]{1,5} containing "brown")'))
+    assert got == [
+        (0, 0, 3), (0, 0, 4), (0, 0, 5), (0, 0, 6),
+        (0, 1, 3), (0, 1, 4), (0, 1, 5), (0, 1, 6), (0, 1, 7),
+    ]
+
+
+def test_constraint_with_fixed_infix(micro):
+    # reference testConstraintSimple3: a:[] 'aap' 'mier' b:[] :: a.word = b.word
+    got = hits(micro.find('a:[] "aap" "mier" b:[] :: a.word = b.word'))
+    assert got == [(1, 1, 5)]
+
+
+def test_expand_twice(micro):
+    # reference testExpandTwice: 'The' []{1,2} 'fox' []{1,2} 'over'
+    assert hits(micro.find('"the" []{1,2} "fox" []{1,2} "over"')) == [(0, 0, 6)]

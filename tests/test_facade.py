@@ -225,3 +225,40 @@ def test_search_facets(micro):
     # docs 0, 2, 3 contain "the"
     assert rows[("role", "user")] == 3
     assert rows[("decade", "2020")] == 3
+
+
+def test_search_fimatch_override(micro):
+    # fimatch=0 disables forward-index probing for the request; results
+    # must be identical to the probed plan (reference fimatch / nfaFactor,
+    # ClauseCombinerNfa.java:66-74)
+    probed = micro.search(patt='"the" "quick"')
+    joined = micro.search(patt='"the" "quick"', fimatch=0)
+    a = sorted((r["doc_id"], r["start"], r["end"]) for r in probed.collect())
+    b = sorted((r["doc_id"], r["start"], r["end"]) for r in joined.collect())
+    assert a == b == [(0, 0, 2)]
+    # the override is restored afterwards
+    assert micro.cfg.fi_probe_ratio not in (0,)
+
+
+def test_snippet_escapes_markup(spark, tmp_path_factory):
+    import pandas as pd
+
+    from blacklab_spark.config import EngineConfig
+    from blacklab_spark.corpus import Corpus
+    from blacklab_spark.search.snippets import snippets
+
+    d = str(tmp_path_factory.mktemp("esc") / "idx")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["e0"], "turn_idx": [0], "role": ["user"],
+            "text": ["use <b> fox & tag"], "tool": [""],
+            "ts": pd.to_datetime(["2024-01-01"]),
+        }
+    )
+    c = Corpus.build(spark, spark.createDataFrame(pdf), d,
+                     EngineConfig(segment_size=2, block_size=4))
+    h = c.find('"fox"')
+    row = snippets(c, h.df, context_chars=20).collect()[0]
+    assert "<hl>fox</hl>" in row["snippet"]
+    assert "&lt;b&gt;" in row["snippet"] and "&amp;" in row["snippet"]
+    assert "<b>" not in row["snippet"]
