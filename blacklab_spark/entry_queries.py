@@ -518,6 +518,81 @@ GROUP BY d.lang
 """
 
 
+def q_pattgapdata_hits(spark, sf_dir):
+    """@@-gap template filled from TSV rows, OR'd (reference
+    GapFiller.java:52-110 / BLS pattgapdata param)."""
+    c = _corpus(spark, sf_dir)
+    h = c.search(patt='"@@" "value"', pattgapdata="table\nkey").select(
+        "doc_id", "start", "end"
+    )
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_PATTGAPDATA_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.t IN ('table', 'key') AND b.t = 'value'
+"""
+
+
+def q_hitfilter_hits(spark, sf_dir):
+    """hitfiltercrit/hitfilterval: keep hits whose wordright property
+    equals the value (reference HitsFiltered.java)."""
+    c = _corpus(spark, sf_dir)
+    h = c.search(
+        patt='"table"', hitfiltercrit="wordright", hitfilterval="value"
+    ).select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_HITFILTER_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, a.pos + 1 AS "end"
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.t = 'table' AND b.t = 'value'
+"""
+
+
+def q_facets_multi(spark, sf_dir):
+    """facets= request param: independent 1-D doc counts for several
+    criteria in one response (reference Facets.java:9)."""
+    c = _corpus(spark, sf_dir)
+    return c.search(patt='"spark"', facets="role,field:tool")
+
+
+O_FACETS_MULTI = f"""
+WITH {_DUCK_TOKPOS},
+m AS (SELECT DISTINCT doc_id FROM tok WHERE t = 'spark')
+SELECT 'role' AS facet, d.lang AS value, count(*) AS n_docs
+FROM documents d JOIN m ON d.doc_id = m.doc_id GROUP BY d.lang
+UNION ALL
+SELECT 'field:tool' AS facet, d.source AS value, count(*) AS n_docs
+FROM documents d JOIN m ON d.doc_id = m.doc_id GROUP BY d.source
+"""
+
+
+def q_grouped_term_freq(spark, sf_dir):
+    """FrequencyTool analogue: (term x metadata) frequency table
+    (reference FrequencyTool.java:55-66), bounded to an 'sp' prefix."""
+    from blacklab_spark.search.results import grouped_term_frequencies
+
+    c = _corpus(spark, sf_dir)
+    out = grouped_term_frequencies(c, ["role"])
+    return out.filter(F.col("term").startswith("sp")).select(
+        "term", "role", "freq"
+    )
+
+
+O_GROUPED_TERM_FREQ = f"""
+WITH {_DUCK_TOKPOS}
+SELECT tok.t AS term, d.lang AS role, count(*) AS freq
+FROM tok JOIN documents d ON tok.doc_id = d.doc_id
+WHERE tok.t LIKE 'sp%'
+GROUP BY tok.t, d.lang
+"""
+
+
 def q_right_context_word(spark, sf_dir):
     """HitProperty wordright: first word right of each hit
     (reference resultproperty/HitProperty.java:41-110, Contexts.java)."""
@@ -1136,6 +1211,10 @@ QUERIES = {
     "hits_window": q_hits_window,
     "per_doc_hits": q_per_doc_hits,
     "facet_role": q_facet_role,
+    "facets_multi": q_facets_multi,
+    "pattgapdata_hits": q_pattgapdata_hits,
+    "hitfilter_hits": q_hitfilter_hits,
+    "grouped_term_freq": q_grouped_term_freq,
     "right_context_word": q_right_context_word,
     "capture_hits": q_capture_hits,
     "contextql_hits": q_contextql_hits,
@@ -1186,6 +1265,10 @@ ORACLES = {
     "hits_window": O_HITS_WINDOW,
     "per_doc_hits": O_PER_DOC_HITS,
     "facet_role": O_FACET_ROLE,
+    "facets_multi": O_FACETS_MULTI,
+    "pattgapdata_hits": O_PATTGAPDATA_HITS,
+    "hitfilter_hits": O_HITFILTER_HITS,
+    "grouped_term_freq": O_GROUPED_TERM_FREQ,
     "right_context_word": O_RIGHT_CONTEXT_WORD,
     "capture_hits": O_CAPTURE_HITS,
     "contextql_hits": O_CONTEXTQL_HITS,

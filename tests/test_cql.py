@@ -384,3 +384,30 @@ def test_constraint_with_fixed_infix(micro):
 def test_expand_twice(micro):
     # reference testExpandTwice: 'The' []{1,2} 'fox' []{1,2} 'over'
     assert hits(micro.find('"the" []{1,2} "fox" []{1,2} "over"')) == [(0, 0, 6)]
+
+
+def test_optional_both_clauses(micro):
+    # reference testOptional3: 'with|find'? [pos='pro']? (empty matches
+    # excluded)
+    got = hits(micro.find('"with|find"? [pos="pro"]?'))
+    assert got == [
+        (2, 4, 5), (2, 4, 6), (2, 5, 6),
+        (3, 1, 2), (3, 5, 6), (3, 5, 7), (3, 6, 7),
+    ]
+
+
+def test_token_or_across_annotations_uniq(micro):
+    # reference testUniq: both sides match the same position -> ONE hit
+    assert hits(micro.find('[word = "jumps" | lemma = "jump"]')) == [(0, 4, 5)]
+    # reference testOr
+    assert hits(micro.find('[word = "jumps" | lemma = "over"]')) == [
+        (0, 4, 5), (0, 5, 6),
+    ]
+
+
+def test_only_repetition_zero_min(micro):
+    # reference testOnlyRepetition: [lemma='.*he']{0,10} standalone —
+    # empty matches excluded, runs are all length 1
+    assert hits(micro.find('[lemma=".*he"]{0,10}')) == [
+        (0, 0, 1), (0, 6, 7), (2, 1, 2), (3, 8, 9),
+    ]
