@@ -248,12 +248,12 @@ def make_encoder(cfg: EngineConfig, avgdl: float):
 
         # per-block payloads via the grouped codec
         did_deltas = codec.delta_encode_grouped(g_did, block_starts)
-        doc_bytes = codec.varint_encode_grouped(did_deltas, block_lens)
-        tf_bytes = codec.varint_encode_grouped(tf, block_lens)
-        dl_bytes = codec.varint_encode_grouped(g_dl, block_lens)
+        doc_bytes = codec.varint_encode_grouped_arrow(did_deltas, block_lens)
+        tf_bytes = codec.varint_encode_grouped_arrow(tf, block_lens)
+        dl_bytes = codec.varint_encode_grouped_arrow(g_dl, block_lens)
         pos_deltas = codec.delta_encode_grouped(pos, td_starts)
         flat_block_lens = np.add.reduceat(tf, block_starts)
-        pos_bytes = codec.varint_encode_grouped(pos_deltas, flat_block_lens)
+        pos_bytes = codec.varint_encode_grouped_arrow(pos_deltas, flat_block_lens)
 
         n_blocks = len(block_starts)
         return pa.table(
@@ -273,10 +273,10 @@ def make_encoder(cfg: EngineConfig, avgdl: float):
                 "n_docs": pa.array(block_lens.astype(np.int32), pa.int32()),
                 "min_doc": pa.array(g_did[block_starts], pa.int64()),
                 "max_doc": pa.array(g_did[block_ends - 1], pa.int64()),
-                "doc_ids": pa.array(doc_bytes, pa.binary()),
-                "freqs": pa.array(tf_bytes, pa.binary()),
-                "dls": pa.array(dl_bytes, pa.binary()),
-                "positions": pa.array(pos_bytes, pa.binary()),
+                "doc_ids": doc_bytes,
+                "freqs": tf_bytes,
+                "dls": dl_bytes,
+                "positions": pos_bytes,
                 "block_max_tf": pa.array(
                     np.maximum.reduceat(tf, block_starts).astype(np.int32),
                     pa.int32(),

@@ -188,3 +188,46 @@ def delta_encode_grouped(sorted_vals: np.ndarray, group_starts: np.ndarray) -> n
     gs = np.asarray(group_starts, dtype=np.int64)
     out[gs] = v[gs]
     return out
+
+
+def varint_encode_grouped_arrow(values: np.ndarray, group_lens: np.ndarray):
+    """`varint_encode_grouped` returning an Arrow BinaryArray built
+    zero-copy from (offsets, data) buffers — at ~100k blocks per
+    segment the per-group Python `bytes` slices (and pyarrow's
+    list-of-bytes conversion) were ~25% of encoder core-time."""
+    import pyarrow as pa
+
+    gl = np.asarray(group_lens, dtype=np.int64)
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if v.size == 0:
+        offs = np.zeros(gl.size + 1, dtype=np.int32)
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), gl.size, [None, pa.py_buffer(offs), pa.py_buffer(b"")]
+        )
+    nbytes = np.ones(v.size, dtype=np.int64)
+    x = v >> _SEVEN
+    while x.any():
+        nbytes += (x > 0).astype(np.int64)
+        x >>= _SEVEN
+    offsets = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + nbytes[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    cur = v.copy()
+    for b in range(int(nbytes.max())):
+        mask = nbytes > b
+        idx = offsets[mask] + b
+        byte = (cur[mask] & _U64(0x7F)).astype(np.uint8)
+        more = (nbytes[mask] > (b + 1)).astype(np.uint8) << 7
+        out[idx] = byte | more
+        cur >>= _SEVEN
+    val_bounds = np.zeros(gl.size + 1, dtype=np.int64)
+    np.cumsum(gl, out=val_bounds[1:])
+    byte_bounds = np.zeros(gl.size + 1, dtype=np.int64)
+    cum_bytes = np.cumsum(nbytes)
+    byte_bounds[1:] = cum_bytes[val_bounds[1:] - 1]
+    byte_bounds[1:][gl == 0] = byte_bounds[:-1][gl == 0]
+    offs32 = byte_bounds.astype(np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), gl.size, [None, pa.py_buffer(offs32), pa.py_buffer(out)]
+    )
