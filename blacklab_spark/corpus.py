@@ -109,15 +109,25 @@ class Corpus:
             cache.clear()
             cache["_token"] = token
         missing = [t for t in set(terms) if t not in cache]
-        if missing:
-            rows = (
-                self.terms.filter(F.col("term").isin(missing))
-                .select("term", "df")
-                .collect()
-            )
-            found = {r["term"]: int(r["df"]) for r in rows}
-            for t in missing:
-                cache[t] = found.get(t)  # None = not in dict (cached too)
+        if missing and not cache.get("_full"):
+            if int(self.meta.get("n_terms") or 0) <= 5_000_000:
+                # small vocab (the overwhelmingly common case): load the
+                # whole (term, df) dict ONCE — zero further Spark jobs
+                # on any query, exactly the reference's in-memory Terms
+                # dict per reader. Arrow-collected: ~10 MB per 1M terms.
+                pdf = self.terms.select("term", "df").toPandas()
+                cache.update(zip(pdf["term"], (int(x) for x in pdf["df"])))
+                cache["_full"] = True
+                missing = []
+            else:
+                rows = (
+                    self.terms.filter(F.col("term").isin(missing))
+                    .select("term", "df")
+                    .collect()
+                )
+                found = {r["term"]: int(r["df"]) for r in rows}
+                for t in missing:
+                    cache[t] = found.get(t)  # None = not in dict (cached too)
         return {t: cache[t] for t in set(terms) if cache.get(t) is not None}
 
     def _t(self, name: str) -> DataFrame:
