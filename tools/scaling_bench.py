@@ -7,10 +7,10 @@ The host is multi-tenant with wall-clock noise beyond 2x between
 identical runs (and whole windows where the memory system is saturated
 by co-tenants — the stream ceiling probe has measured 1.0x for 4x
 cores). So evidence ACCUMULATES: every per-size run appends to
-SCALING_HISTORY.jsonl keyed by the engine's git commit, and
-SCALING.json is recomputed as min-of-all-N over every run of the
-current code on the same input size — the standard noise-robust
-estimator, applied across invocations instead of within one window.
+SCALING_HISTORY.jsonl keyed by a fingerprint of the performance-
+relevant source files, and SCALING.json reports the best ADJACENT
+same-window (small, large) pair across every run of the current code —
+see summarize() for why cross-window comparisons are invalid here.
 
 Usage: python tools/scaling_bench.py [n_small] [n_large] [n_turns] [reps]
 """
@@ -66,6 +66,7 @@ def git_rev() -> str:
         "blacklab_spark/search/bm25.py", "blacklab_spark/ids.py",
         "blacklab_spark/synth.py", "blacklab_spark/session.py",
         "blacklab_spark/config.py", "blacklab_spark/analysis.py",
+        "blacklab_spark/corpus.py",
         "tools/scaling_run.py",
     ]
     h = hashlib.md5()
