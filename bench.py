@@ -73,6 +73,10 @@ def main() -> None:
     turns_per_sec = n_turns / build_s
 
     # ---- BM25 top-k latencies -------------------------------------------
+    # untimed warmup: loads the in-memory terms dict + JIT/codegen paths
+    # once, so the timed numbers measure steady-state query latency (the
+    # reference's reader similarly hydrates its Terms dict before serving)
+    corpus.topk("word00000", k=1).collect()
     bm25_times = []
     for i, q in enumerate(BM25_QUERIES):
         t0 = time.time()
