@@ -573,14 +573,20 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
         rep = _probe_rep_spec(part, corpus) if spec is None else None
         step = spec if spec is not None else rep  # 2-tuple or 4-tuple
         df_t = dfs.get(i)
-        if df_t is None and step is not None and step[0] not in ("word", ""):
+        if (
+            ratio
+            and df_t is None
+            and step is not None
+            and step[0] not in ("word", "")
+        ):
             df_t = _ANN_COST  # annotation positions: always scan-expensive
 
         if current is None:
             # frequent leading clause directly followed by a rarer
             # part: defer it and probe backward from the rare anchor
             if (
-                step is not None
+                ratio
+                and step is not None
                 and df_t is not None
                 and pending_gap is None
                 and pending_left_probe is None
@@ -615,7 +621,8 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
             current = S.sequence_with_gap(current, translate(corpus, part), gmin, gmax)
             cur_df = None
         elif (
-            step is not None
+            ratio
+            and step is not None
             and df_t is not None
             and cur_df is not None
             and df_t >= ratio * max(cur_df, 1)

@@ -36,7 +36,9 @@ def fill_gaps(template: str, tsv_values: str) -> list[str]:
         if not row or (len(row) == 1 and not row[0]):
             continue
         vals = [
-            (row[i] if i < len(row) else "").replace('"', '\\"')
+            (row[i] if i < len(row) else "")
+            .replace("\\", "\\\\")
+            .replace('"', '\\"')
             for i in range(n_gaps)
         ]
         filled = "".join(

@@ -487,6 +487,11 @@ class _Parser:
             # bare capture = "did the group match" truthiness test
             # (reference MatchFilterTokenAnnotation.java:65-68 returns
             # undefined for an unmatched group, which is not truthy)
+            if left.capture is None:
+                raise ValueError(
+                    "CQL parse error: bare string literal in constraint "
+                    "(expected capture name or comparison)"
+                )
             return CCompare(left=left, right=None, op="defined")
         op = self.next()[1]
         right = self.parse_cval()

@@ -117,7 +117,8 @@ def _case_expanded(pat: str) -> str:
     return f"(?i){pat}"
 
 
-def tokenize(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+def tokenize(df: DataFrame, cfg: EngineConfig,
+             multivalue_cols: list[str] | None = None) -> DataFrame:
     """Vectorized tokenization, entirely JVM-side (regexp_extract_all in
     whole-stage codegen — the analogue of the reference's
     BLStandardAnalyzer, analysis/BLStandardAnalyzer.java). `tokens`
@@ -133,10 +134,33 @@ def tokenize(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     out = df.withColumn(
         "tokens", F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
     ).withColumn("num_tokens", F.size("tokens"))
-    return split_multivalue_annotations(out)
+    return split_multivalue_annotations(out, cols=multivalue_cols)
 
 
-def split_multivalue_annotations(df: DataFrame) -> DataFrame:
+def probe_multivalue_cols(df: DataFrame) -> list[str]:
+    """One column-pruned agg over the ann_* sidecars: which annotation
+    columns actually contain a `|` separator? Splitting EVERY ann column
+    would make single-valued annotations pay the multi-value query cost
+    forever (an always-empty secondary scan + dedup shuffle, and the
+    run-length repetition probe is rejected) just because an _extra
+    column exists."""
+    ann_cols = [
+        c for c in df.columns
+        if c.startswith("ann_") and not c.endswith("_extra")
+    ]
+    if not ann_cols:
+        return []
+    aggs = [
+        F.max(F.exists(c, lambda v: v.contains("|"))).alias(c)
+        for c in ann_cols
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return [c for c in ann_cols if row[c]]
+
+
+def split_multivalue_annotations(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
     """Multiple annotation values at one token position (reference
     AnnotationWriter.java:246-263 addValueAtPosition with increment 0;
     PayloadUtils.java:25-62 primary/secondary flags). Input encoding:
@@ -147,9 +171,12 @@ def split_multivalue_annotations(df: DataFrame) -> DataFrame:
     sparse `ann_X_extra: array<struct<pos,term>>` column that the
     annotation scan unions in, so search matches ANY value at the
     position. All codegen expressions — no shuffle, no Python."""
-    for c in df.columns:
-        if not c.startswith("ann_") or c.endswith("_extra"):
-            continue
+    targets = (
+        [c for c in df.columns if c.startswith("ann_") and not c.endswith("_extra")]
+        if cols is None
+        else cols
+    )
+    for c in targets:
         df = df.withColumn(
             f"{c}_extra",
             F.expr(
@@ -444,8 +471,9 @@ def build_index(
     tok_path = _stage_dir(index_dir, "tokenized")
     n_docs = total_tokens = None
     if not (resume and _stage_done(index_dir, "tokenized")):
+        mv_cols = probe_multivalue_cols(transcripts)
         with_ids = with_dense_id(transcripts, ("conv_id", "turn_idx"), "doc_id")
-        tokenized = tokenize(with_ids, cfg).withColumn(
+        tokenized = tokenize(with_ids, cfg, multivalue_cols=mv_cols).withColumn(
             "segment_id", F.expr(f"doc_id DIV {cfg.segment_size}")
         ).withColumn(
             "seg_group", F.expr(f"doc_id DIV {cfg.segment_size * cfg.segments_per_dir}")
@@ -521,11 +549,12 @@ def build_index(
     n_terms = None
     if not (resume and _stage_done(index_dir, "terms")):
         obs_t = Observation("terms_stats")
-        terms = terms_from_postings(postings).observe(
-            obs_t, F.count(F.lit(1)).alias("n_terms")
-        )
+        terms0 = terms_from_postings(postings)
+        terms = terms0.observe(obs_t, F.count(F.lit(1)).alias("n_terms"))
         terms.write.mode("overwrite").parquet(terms_path)
-        release_dense_id_cache(terms)
+        # release the PRE-observe handle: observe() returns a fresh
+        # DataFrame object without the _blspark_persisted attrs
+        release_dense_id_cache(terms0)
         n_terms = int(obs_t.get["n_terms"])
         _mark_done(index_dir, "terms")
     timer.mark("terms")

@@ -171,8 +171,10 @@ def varint_encode_grouped(values: np.ndarray, group_lens: np.ndarray) -> list[by
     np.cumsum(gl, out=val_bounds[1:])
     byte_bounds = np.zeros(gl.size + 1, dtype=np.int64)
     cum_bytes = np.cumsum(nbytes)
-    byte_bounds[1:] = cum_bytes[val_bounds[1:] - 1]
-    byte_bounds[1:][gl == 0] = byte_bounds[:-1][gl == 0]
+    # `ends == 0` guards leading empty groups (cum_bytes[-1] would wrap
+    # to the total); empty groups inherit the previous group's end
+    ends = val_bounds[1:]
+    byte_bounds[1:] = np.where(ends == 0, 0, cum_bytes[np.maximum(ends, 1) - 1])
     return [raw[byte_bounds[i]: byte_bounds[i + 1]] for i in range(gl.size)]
 
 
@@ -221,12 +223,21 @@ def varint_encode_grouped_arrow(values: np.ndarray, group_lens: np.ndarray):
         more = (nbytes[mask] > (b + 1)).astype(np.uint8) << 7
         out[idx] = byte | more
         cur >>= _SEVEN
+    if total > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"varint stream of {total} bytes exceeds BinaryArray's int32 "
+            f"offsets; split the segment"
+        )
     val_bounds = np.zeros(gl.size + 1, dtype=np.int64)
     np.cumsum(gl, out=val_bounds[1:])
     byte_bounds = np.zeros(gl.size + 1, dtype=np.int64)
     cum_bytes = np.cumsum(nbytes)
-    byte_bounds[1:] = cum_bytes[val_bounds[1:] - 1]
-    byte_bounds[1:][gl == 0] = byte_bounds[:-1][gl == 0]
+    # a group's end offset is the cumulative byte count at its last
+    # value; a group with NO values (possibly several in a row, possibly
+    # leading) ends where the previous group ended — `ends == 0` handles
+    # leading empties (cum_bytes[-1] would wrap to the total otherwise)
+    ends = val_bounds[1:]
+    byte_bounds[1:] = np.where(ends == 0, 0, cum_bytes[np.maximum(ends, 1) - 1])
     offs32 = byte_bounds.astype(np.int32)
     return pa.BinaryArray.from_buffers(
         pa.binary(), gl.size, [None, pa.py_buffer(offs32), pa.py_buffer(out)]

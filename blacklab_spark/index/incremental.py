@@ -102,7 +102,12 @@ def add_documents(
 
     stamped = with_dense_id(new_transcripts, ("conv_id", "turn_idx"), "doc_id")
     with_ids = stamped.withColumn("doc_id", F.col("doc_id") + F.lit(base))
-    tokenized = tokenize(with_ids, cfg).withColumn(
+    # conform the delta to the STORED schema: split exactly the ann
+    # columns the existing index treats as multi-valued (their _extra
+    # columns exist), so appended files never diverge from old ones —
+    # a mixed-schema dir reads nondeterministically without mergeSchema
+    mv_cols = [c[: -len("_extra")] for c in old_tok.columns if c.endswith("_extra")]
+    tokenized = tokenize(with_ids, cfg, multivalue_cols=mv_cols).withColumn(
         "segment_id", F.expr(f"doc_id DIV {seg_size}")
     ).withColumn("seg_group", F.expr(f"doc_id DIV {group_docs}"))
     n_out = max(spark.sparkContext.defaultParallelism // 2, 4)

@@ -67,7 +67,13 @@ def search(
     threshold for this request — 0 disables FI probing, a positive
     value is the df ratio above which a neighbor is probed over the
     forward index instead of joined (the BLS fimatch / nfaFactor knob,
-    reference ClauseCombinerNfa.java:66-74, default 900)."""
+    reference ClauseCombinerNfa.java:66-74, default 900).
+
+    Note: the fimatch override swaps the corpus handle's cfg for the
+    duration of plan construction — like the reference's per-request
+    parameter it is NOT safe to interleave with concurrent searches on
+    the SAME Corpus handle from other threads; use one handle per
+    thread (handles are cheap: Corpus.open reads one meta.json)."""
     if fimatch is not None:
         import dataclasses
 
@@ -148,13 +154,20 @@ def search(
         hits = hits.filter_by_property(hitfiltercrit, hitfilterval)
 
     # ---- facets (independent 1-D doc counts, Facets.java:9) --------
-    if facets is not None:
+    crits = (
+        [c.strip() for c in facets.split(",") if c.strip()]
+        if facets is not None
+        else []
+    )
+    if crits:
+        # the hit plan runs once: one distinct doc-id set feeds every
+        # facet branch (criteria are independent 1-D counts)
+        docs = hits.df.select("doc_id").distinct().join(
+            corpus.doc_stats, "doc_id"
+        )
         out = None
-        for crit in [c.strip() for c in facets.split(",") if c.strip()]:
+        for crit in crits:
             col = crit.split(":", 1)[1] if crit.startswith("field:") else crit
-            docs = hits.df.select("doc_id").distinct().join(
-                corpus.doc_stats, "doc_id"
-            )
             key = (
                 (F.year("ts") - F.year("ts") % 10) if col == "decade"
                 else F.col(col)
