@@ -411,3 +411,20 @@ def test_only_repetition_zero_min(micro):
     assert hits(micro.find('[lemma=".*he"]{0,10}')) == [
         (0, 0, 1), (0, 6, 7), (2, 1, 2), (3, 8, 9),
     ]
+
+
+def test_repetition_negation_capture_chain(micro):
+    # reference testNGramsNotContaining: 'noot'+ [word != 'noot']+
+    # group:('aap')+ filtered to hit text "noot aap aap"
+    out = micro.search(
+        patt='"noot"+ [word != "noot"]+ group:("aap")+',
+        hitfiltercrit="hit",
+        hitfilterval="noot aap aap",
+    )
+    got = sorted((r["doc_id"], r["start"], r["end"]) for r in out.collect())
+    assert got == [(1, 7, 10)]
+
+
+def test_token_and_with_regex(micro):
+    # reference testAnd: [pos = 'adj' & lemma = '.*u.*'] -> The [quick] brown
+    assert hits(micro.find('[pos = "adj" & lemma = ".*u.*"]')) == [(0, 1, 2)]
