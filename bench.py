@@ -153,13 +153,31 @@ def main() -> None:
         "bm25_p95_sec": round(p95, 3),
     }
     # latest two-cluster-size scaling evidence (tools/scaling_bench.py,
-    # pinned local[8] vs local[32], min-of-N over interleaved reps)
+    # pinned local[8] vs local[32], min-of-N over interleaved reps).
+    # COMPACT summary only — the full pair history lives in
+    # SCALING_HISTORY.jsonl / SCALING.json; embedding it here once blew
+    # past the driver's output tail buffer and truncated the JSON head
+    # (BENCH_r02 recorded parsed:null).
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling"] = json.load(f)
-    print(json.dumps(out))
+            s = json.load(f)
+        hw = s.get("hw_ceiling_latest_window") or {}
+        out["scaling"] = {
+            k: s.get(k)
+            for k in (
+                "pair", "n_pairs", "build_eff", "query_eff",
+                "build_speedup", "query_speedup",
+                "best_abs_build_turns_per_sec", "best_abs_queries_per_sec",
+            )
+        }
+        out["scaling"]["ceilings"] = {
+            k: (hw.get(k) or {}).get("ceiling_efficiency")
+            for k in ("cpu", "stream", "build")
+        }
+    line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

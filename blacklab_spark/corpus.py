@@ -104,12 +104,17 @@ class Corpus:
         mtime)."""
         tdir = os.path.join(self.index_dir, "terms")
         token = os.path.getmtime(tdir) if os.path.exists(tdir) else 0.0
-        cache = self.__dict__.setdefault("_term_stats", {})
-        if cache.get("_token") != token:
-            cache.clear()
-            cache["_token"] = token
+        # term entries live in a NESTED dict so corpus vocabulary can
+        # never collide with the cache's own bookkeeping keys (a corpus
+        # term literally named '_token' or '_full' must stay a term)
+        state = self.__dict__.setdefault(
+            "_term_stats", {"token": None, "full": False, "terms": {}}
+        )
+        if state["token"] != token:
+            state.update(token=token, full=False, terms={})
+        cache = state["terms"]
         missing = [t for t in set(terms) if t not in cache]
-        if missing and not cache.get("_full"):
+        if missing and not state["full"]:
             if int(self.meta.get("n_terms") or 0) <= 5_000_000:
                 # small vocab (the overwhelmingly common case): load the
                 # whole (term, df) dict ONCE — zero further Spark jobs
@@ -117,8 +122,7 @@ class Corpus:
                 # dict per reader. Arrow-collected: ~10 MB per 1M terms.
                 pdf = self.terms.select("term", "df").toPandas()
                 cache.update(zip(pdf["term"], (int(x) for x in pdf["df"])))
-                cache["_full"] = True
-                missing = []
+                state["full"] = True
             else:
                 rows = (
                     self.terms.filter(F.col("term").isin(missing))

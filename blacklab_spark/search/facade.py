@@ -69,29 +69,27 @@ def search(
     forward index instead of joined (the BLS fimatch / nfaFactor knob,
     reference ClauseCombinerNfa.java:66-74, default 900).
 
-    Note: the fimatch override swaps the corpus handle's cfg for the
-    duration of plan construction — like the reference's per-request
-    parameter it is NOT safe to interleave with concurrent searches on
-    the SAME Corpus handle from other threads; use one handle per
-    thread (handles are cheap: Corpus.open reads one meta.json)."""
+    The fimatch override runs the request against a SHALLOW COPY of the
+    corpus handle with the adjusted cfg — shared caches (tables, term
+    stats, search cache) are reused by reference, but the caller's
+    handle is never mutated, so concurrent searches on the same handle
+    plan with their own ratio."""
     if fimatch is not None:
+        import copy
         import dataclasses
 
-        prev_cfg = corpus.cfg
-        corpus.cfg = dataclasses.replace(prev_cfg, fi_probe_ratio=fimatch)
-        try:
-            return search(
-                corpus, patt=patt, pattlang=pattlang, pattgapdata=pattgapdata,
-                filter=filter, filterlang=filterlang, sort=sort, group=group,
-                viewgroup=viewgroup, hitfiltercrit=hitfiltercrit,
-                hitfilterval=hitfilterval, sample=sample, samplenum=samplenum,
-                sampleseed=sampleseed, first=first, number=number,
-                wordsaroundhit=wordsaroundhit, usecontent=usecontent,
-                calc=calc, facets=facets, maxretrieve=maxretrieve,
-                outputformat=outputformat,
-            )
-        finally:
-            corpus.cfg = prev_cfg
+        scoped = copy.copy(corpus)
+        scoped.cfg = dataclasses.replace(corpus.cfg, fi_probe_ratio=fimatch)
+        return search(
+            scoped, patt=patt, pattlang=pattlang, pattgapdata=pattgapdata,
+            filter=filter, filterlang=filterlang, sort=sort, group=group,
+            viewgroup=viewgroup, hitfiltercrit=hitfiltercrit,
+            hitfilterval=hitfilterval, sample=sample, samplenum=samplenum,
+            sampleseed=sampleseed, first=first, number=number,
+            wordsaroundhit=wordsaroundhit, usecontent=usecontent,
+            calc=calc, facets=facets, maxretrieve=maxretrieve,
+            outputformat=outputformat,
+        )
     from pyspark.sql import functions as F
 
     from blacklab_spark.search.results import export_csv
