@@ -29,7 +29,6 @@ from blacklab_spark.cql import parser as P
 from blacklab_spark.search import spans as S
 from blacklab_spark.search.results import Hits
 
-_REP_CAP = 64  # hard bound for unbounded repetition at test scale
 
 
 def find(corpus, cql: str) -> Hits:
@@ -268,13 +267,14 @@ def _internalize(parts: list) -> list:
     return parts
 
 
-def _anytoken_bounds(node) -> tuple[int, int] | None:
-    """(min,max) if node is pure any-token filler ([], []{n,m}); else None."""
+def _anytoken_bounds(node) -> tuple[int, int | None] | None:
+    """(min,max) if node is pure any-token filler ([], []{n,m}); else
+    None. An unbounded filler ([]* / []+) yields max=None — downstream
+    gap/expansion operators treat it as a data-driven doc-edge bound."""
     if isinstance(node, P.AnyToken):
         return (1, 1)
     if isinstance(node, P.Repeat) and isinstance(node.clause, P.AnyToken):
-        rmax = node.rmax if node.rmax >= 0 else _REP_CAP
-        return (node.rmin, rmax)
+        return (node.rmin, node.rmax if node.rmax >= 0 else None)
     return None
 
 
@@ -316,7 +316,9 @@ def translate(corpus, node) -> DataFrame:
         inner = translate(corpus, node.clause)
         if rmin == 1 and node.rmax == 1:
             return inner
-        return S.repetition(inner, rmin, rmax, hard_cap=_REP_CAP)
+        # unbounded repetition is DATA-DRIVEN: the chain kernel runs
+        # until no chain extends (no silent truncation cap)
+        return S.repetition(inner, rmin, rmax)
     if isinstance(node, P.Capture):
         return S.capture(translate(corpus, node.clause), node.name)
     if isinstance(node, P.Tag):
@@ -444,7 +446,8 @@ def _probe_rep_spec(part, corpus=None) -> tuple | None:
         if inner is not None:
             if corpus is not None and S._extra_col(corpus, inner[0] or "word"):
                 return None
-            rmax = part.rmax if part.rmax >= 0 else _REP_CAP
+            # unbounded: rmax=None -> the FI walk scans to the doc edge
+            rmax = part.rmax if part.rmax >= 0 else None
             return (inner[0], inner[1], max(1, part.rmin), rmax)
     return None
 
@@ -552,11 +555,15 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
     for i, part in enumerate(parts):
         at = _anytoken_bounds(part)
         if at is not None:
-            pending_gap = (
-                at
-                if pending_gap is None
-                else (pending_gap[0] + at[0], pending_gap[1] + at[1])
-            )
+            if pending_gap is None:
+                pending_gap = at
+            else:
+                hi = (
+                    None
+                    if pending_gap[1] is None or at[1] is None
+                    else pending_gap[1] + at[1]
+                )
+                pending_gap = (pending_gap[0] + at[0], hi)
             continue
         neg = _invertible_neg(part)
         if neg is not None and pending_gap is None and pending_left_probe is None:

@@ -797,6 +797,68 @@ FROM tok WHERE t = 'eht' OR reverse(t) = 'eht'
 """
 
 
+def _run_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    """Tiny deterministic corpus with LONG single-term runs (120
+    consecutive 'x' tokens) — exercises data-driven unbounded-repetition
+    termination (reference SpanQueryRepetition.java:18-25 emits every
+    sub-sequence; a silent engine cap at e.g. 64 would lose hits)."""
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{INDEX_VERSION}|rep".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/blspark_idx_{key}"
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        return Corpus.open(spark, index_dir)
+    rows = [
+        ("c00000000", 0, "en", " ".join(["x"] * 120), "synth"),
+        ("c00000001", 0, "en", "x x x y x x", "synth"),
+    ]
+    transcripts = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.lit("2025-01-01 00:00:00").cast("timestamp"))
+    return Corpus.build(
+        spark, transcripts, index_dir,
+        EngineConfig(segment_size=4096, block_size=128), resume=True,
+    )
+
+
+def q_repetition_exhaustive(spark, sf_dir):
+    """`"x"+` over a doc holding a 120-token run must return ALL
+    120·121/2 sub-sequences — the chain kernel terminates when chains
+    die out, never at an artificial level cap."""
+    c = _run_corpus(spark, sf_dir)
+    h = c.find('"x"+').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_REPETITION_EXHAUSTIVE = """
+SELECT CAST(0 AS BIGINT) AS doc_id, s.g AS start, e.g + 1 AS "end"
+FROM generate_series(0, 119) s(g), generate_series(0, 119) e(g)
+WHERE e.g >= s.g
+UNION ALL
+SELECT CAST(1 AS BIGINT), s.g, e.g + 1
+FROM generate_series(0, 2) s(g), generate_series(0, 2) e(g)
+WHERE e.g >= s.g
+UNION ALL
+SELECT CAST(1 AS BIGINT), s.g, e.g + 1
+FROM generate_series(4, 5) s(g), generate_series(4, 5) e(g)
+WHERE e.g >= s.g
+"""
+
+
+def q_no_hits(spark, sf_dir):
+    """A term absent from the corpus yields the canonical empty hits
+    relation (reference SpanQueryNoHits.java) — schema-stable zero rows,
+    not an error."""
+    c = _corpus(spark, sf_dir)
+    h = c.find('"zzqqxyzzyplugh"').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_NO_HITS = """
+SELECT doc_id, 0 AS start, 1 AS "end" FROM documents WHERE false
+"""
+
+
 def q_fuzzy_term_hits(spark, sf_dir):
     """Fuzzy term positions (reference SpanFuzzyQuery.java; Lucene
     expands over the dictionary — ours is a broadcast dict scan)."""
@@ -1193,6 +1255,8 @@ QUERIES = {
     "gap_sequence_hits": q_gap_sequence_hits,
     "repetition_hits": q_repetition_hits,
     "repetition_unbounded": q_repetition_unbounded,
+    "repetition_exhaustive": q_repetition_exhaustive,
+    "no_hits": q_no_hits,
     "regex_group_by_hit_text": q_regex_group_by_hit_text,
     "hits_grouped_multi": q_hits_grouped_multi,
     "term_frequencies": q_term_frequencies,
@@ -1247,6 +1311,8 @@ ORACLES = {
     "gap_sequence_hits": O_GAP_SEQUENCE_HITS,
     "repetition_hits": O_REPETITION_HITS,
     "repetition_unbounded": O_REPETITION_UNBOUNDED,
+    "repetition_exhaustive": O_REPETITION_EXHAUSTIVE,
+    "no_hits": O_NO_HITS,
     "regex_group_by_hit_text": O_REGEX_GROUP,
     "hits_grouped_multi": O_HITS_GROUPED_MULTI,
     "term_frequencies": O_TERM_FREQUENCIES,

@@ -215,15 +215,20 @@ def regex_hits(
     return _uniq_positions(corpus, annotation, out)
 
 
-def any_token(corpus, min_len: int = 1, max_len: int = 1) -> DataFrame:
+def any_token(corpus, min_len: int = 1, max_len: int | None = 1) -> DataFrame:
     """`[]{min,max}` — every n-gram window (reference SpanQueryAnyToken /
     SpansNGrams). The planner avoids materializing this next to another
     clause (expansion rewrite); standalone it derives windows from doc
-    lengths, not from a token scan."""
+    lengths, not from a token scan. ``max_len=None`` (`[]*` / `[]+`) is
+    data-driven: windows up to each doc's own length, no artificial cap."""
     ds = corpus.doc_stats.select("doc_id", "num_tokens")
-    n = F.explode(F.sequence(F.lit(min_len), F.lit(max_len))).alias("n")
-    with_n = ds.select("doc_id", "num_tokens", n).filter(
-        F.col("n") <= F.col("num_tokens")
+    hi = F.col("num_tokens") if max_len is None else F.least(
+        F.lit(max_len), F.col("num_tokens")
+    )
+    with_n = ds.filter(F.col("num_tokens") >= min_len).select(
+        "doc_id",
+        "num_tokens",
+        F.explode(F.sequence(F.lit(min_len), hi)).alias("n"),
     )
     return with_n.select(
         "doc_id",
@@ -405,21 +410,24 @@ def probe_steps(
         cond = cond & step_cond(ann, pos, matcher)
     j = j.filter(cond)
 
-    # run length of consecutive matches from the repetition's first slot
+    # run length of consecutive matches from the repetition's first slot.
+    # rmax=None (unbounded repetition) scans to the doc edge — slice()
+    # clamps the length to the array, so the window is data-driven.
     off = len(pre)
     if direction == "right":
-        window = F.slice(toks(ann_v), F.col("end") + off + 1, rmax)
+        wlen = F.size(toks(ann_v)) if rmax is None else F.lit(rmax)
+        window = F.slice(toks(ann_v), F.col("end") + off + 1, wlen)
     else:
         avail = F.col("start") - off
+        wfrom = (
+            F.lit(1)
+            if rmax is None
+            else F.greatest(F.lit(1), avail - rmax + 1)
+        )
+        wlen = avail if rmax is None else F.least(F.lit(rmax), avail)
         window = F.when(
             avail > 0,
-            F.reverse(
-                F.slice(
-                    toks(ann_v),
-                    F.greatest(F.lit(1), avail - rmax + 1),
-                    F.least(F.lit(rmax), avail),
-                )
-            ),
+            F.reverse(F.slice(toks(ann_v), wfrom, wlen)),
         ).otherwise(F.array().cast("array<string>"))
     acc0 = F.struct(F.lit(0).alias("r"), F.lit(False).alias("d"))
     runlen = F.aggregate(
@@ -433,10 +441,12 @@ def probe_steps(
         ),
     )["r"]
     j = j.withColumn("_run", runlen).filter(F.col("_run") >= rmin)
-    j = j.withColumn(
-        "_n",
-        F.explode(F.sequence(F.lit(rmin), F.least(F.lit(rmax), F.col("_run")))),
+    n_hi = (
+        F.col("_run")
+        if rmax is None
+        else F.least(F.lit(rmax), F.col("_run"))
     )
+    j = j.withColumn("_n", F.explode(F.sequence(F.lit(rmin), n_hi)))
 
     # fixed steps after the repetition (offsets shifted by _n)
     cond = F.lit(True)
@@ -475,15 +485,18 @@ def probe_neighbor(
     return probe_steps(corpus, hits, [(annotation, ("term", term))], direction)
 
 
-def sequence_with_gap(a: DataFrame, b: DataFrame, gmin: int, gmax: int) -> DataFrame:
+def sequence_with_gap(
+    a: DataFrame, b: DataFrame, gmin: int, gmax: int | None
+) -> DataFrame:
     """A, then a gap of [gmin,gmax] tokens, then B
-    (reference SpansSequenceWithGap.java:10-20)."""
+    (reference SpansSequenceWithGap.java:10-20). ``gmax=None`` is an
+    unbounded gap (`A []* B`) — no upper-bound predicate, data-driven."""
     L, R = a.alias("L"), b.alias("R")
-    cond = (
-        (F.col("L.doc_id") == F.col("R.doc_id"))
-        & (F.col("R.start") >= F.col("L.end") + gmin)
-        & (F.col("R.start") <= F.col("L.end") + gmax)
+    cond = (F.col("L.doc_id") == F.col("R.doc_id")) & (
+        F.col("R.start") >= F.col("L.end") + gmin
     )
+    if gmax is not None:
+        cond = cond & (F.col("R.start") <= F.col("L.end") + gmax)
     out_cols = [
         F.col("L.doc_id").alias("doc_id"),
         F.col("L.start").alias("start"),
@@ -594,23 +607,30 @@ def expand(
     corpus,
     direction: str,
     min_exp: int,
-    max_exp: int,
+    max_exp: int | None,
 ) -> DataFrame:
     """Stretch hits left/right by [min,max] `[]`s, one output hit per
     expansion length, clipped to doc bounds
-    (reference SpanQueryExpansion.java:21-33)."""
-    n = F.explode(F.sequence(F.lit(min_exp), F.lit(max_exp))).alias("n")
-    h = hits.select("*", n)
+    (reference SpanQueryExpansion.java:21-33). ``max_exp=None``
+    (`A []*`) expands to the doc edge — per-row data-driven bound."""
     if direction == "right":
-        h = h.join(corpus.doc_stats.select("doc_id", "num_tokens"), "doc_id")
-        h = h.filter(F.col("end") + F.col("n") <= F.col("num_tokens"))
+        h = hits.join(corpus.doc_stats.select("doc_id", "num_tokens"), "doc_id")
+        room = F.col("num_tokens") - F.col("end")
+        hi = room if max_exp is None else F.least(F.lit(max_exp), room)
+        h = h.filter(room >= min_exp).select(
+            "*", F.explode(F.sequence(F.lit(min_exp), hi)).alias("n")
+        )
         return h.select(
             "doc_id",
             "start",
             (F.col("end") + F.col("n")).alias("end"),
             *_caps(hits),
         )
-    h = h.filter(F.col("start") - F.col("n") >= 0)
+    room = F.col("start")
+    hi = room if max_exp is None else F.least(F.lit(max_exp), room)
+    h = hits.filter(room >= min_exp).select(
+        "*", F.explode(F.sequence(F.lit(min_exp), hi)).alias("n")
+    )
     return h.select(
         "doc_id",
         (F.col("start") - F.col("n")).alias("start"),
@@ -626,7 +646,9 @@ def expand(
 _REP_BATCH_DOCS = 4096
 
 
-def repetition(clause: DataFrame, rmin: int, rmax: int, hard_cap: int = 64) -> DataFrame:
+def repetition(
+    clause: DataFrame, rmin: int, rmax: int, hard_cap: int | None = None
+) -> DataFrame:
     """A{min,max}: consecutive self-concatenation; ALL sub-sequences
     emitted (reference SpanQueryRepetition.java:18-25 — B+ over 'ABBBA'
     yields 3+2+1 hits).
@@ -638,13 +660,19 @@ def repetition(clause: DataFrame, rmin: int, rmax: int, hard_cap: int = 64) -> D
     per-length Spark actions and no O(rmax²) join tree — the whole
     repetition is a single shuffle + Arrow pass. Capture columns carry
     the FIRST element's values, matching the former left-biased
-    sequence-join behavior."""
+    sequence-join behavior.
+
+    Unbounded (`rmax=-1`): the chain loop is DATA-DRIVEN — it runs
+    until no chain extends (a chain cannot outgrow its doc, so
+    termination is inherent; reference SpanQueryRepetition has no
+    artificial bound either). ``hard_cap`` is only a logged safety
+    valve, not a silent truncation."""
     import pandas as pd
 
     if rmin < 1:
         raise ValueError("use planner empty-sequence rewrite for min=0")
-    rmax_eff = min(rmax, hard_cap) if rmax >= 0 else hard_cap
-    if rmin > rmax_eff:
+    rmax_eff: int | None = rmax if rmax >= 0 else None
+    if rmax_eff is not None and rmin > rmax_eff:
         return clause.limit(0)
     if rmin == 1 and rmax_eff == 1:
         return clause
@@ -676,7 +704,17 @@ def repetition(clause: DataFrame, rmin: int, rmax: int, hard_cap: int = 64) -> D
         level = 1
         if rmin <= 1:
             parts.append((cur_d, cur_s, cur_e, cur_first))
-        while level < rmax_eff and len(cur_first):
+        while (rmax_eff is None or level < rmax_eff) and len(cur_first):
+            if hard_cap is not None and level >= hard_cap:
+                import sys
+
+                print(
+                    f"[blacklab_spark] repetition safety valve hit at "
+                    f"level {level} (hard_cap={hard_cap}); results "
+                    f"truncated",
+                    file=sys.stderr,
+                )
+                break
             tgt = cur_d * m + cur_e
             lo = np.searchsorted(key_start, tgt, "left")
             hi = np.searchsorted(key_start, tgt, "right")
