@@ -104,21 +104,25 @@ def topk_bm25(
 
     # tombstones (liveDocs analogue): excluded before per-segment top-k
     # selection so tombstoned docs can't crowd out live candidates.
-    # Deletes between compactions are assumed modest (Lucene parity).
+    # DISTRIBUTED: each segment's tombstones cogroup into that segment's
+    # scoring task (same pattern as the metadata filter) — the delete
+    # set never visits the driver, so a large tombstone table cannot
+    # bloat a broadcast. When a metadata filter is present, doc_stats
+    # already excludes tombstoned docs, so deletes need no handling.
     dels = corpus.deletes
-    dead: set[int] = (
-        {int(r["doc_id"]) for r in dels.collect()}
-        if (dels is not None and allowed_df is None)
-        else set()
-    )
+    dead_df = None
+    if dels is not None and allowed_df is None:
+        dead_df = dels.select(
+            F.expr(f"doc_id DIV {meta['segment_size']}").alias("segment_id"),
+            "doc_id",
+        )
 
     k1, b_ = meta["k1"], meta["b"]
     avgdl = meta["avgdl"]
     seg_size = meta["segment_size"]
     b_idf = spark.sparkContext.broadcast(idf_by_term)
-    b_dead = spark.sparkContext.broadcast(dead)
 
-    def _score_segment(pdf: pd.DataFrame, allow_arr) -> pd.DataFrame:
+    def _score_segment(pdf: pd.DataFrame, allow_arr, dead_arr=None) -> pd.DataFrame:
         idf = b_idf.value
         seg = int(pdf["segment_id"].iloc[0])
         base = seg * seg_size
@@ -145,9 +149,10 @@ def topk_bm25(
         r_after = dict(zip(term_u.index, suffix_r))
         # tombstoned docs must never contribute to θ (they'd cause
         # over-pruning of live candidates); zero them as we go
-        seg_dead_arr = np.asarray(
-            [d - base for d in b_dead.value if base <= d < base + seg_size],
-            dtype=np.int64,
+        seg_dead_arr = (
+            np.asarray([], dtype=np.int64)
+            if dead_arr is None
+            else (dead_arr[(dead_arr >= base) & (dead_arr < base + seg_size)] - base)
         )
         theta = 0.0
         for term, grp in pdf.groupby("term", sort=False):
@@ -186,9 +191,8 @@ def topk_bm25(
             if nz_now.size >= k:
                 s = scores[nz_now]
                 theta = float(np.partition(s, nz_now.size - k)[nz_now.size - k])
-        seg_dead = [d - base for d in b_dead.value if base <= d < base + seg_size]
-        if seg_dead:
-            scores[np.asarray(seg_dead, dtype=np.int64)] = 0.0
+        if seg_dead_arr.size:
+            scores[seg_dead_arr] = 0.0
         nz = np.flatnonzero(scores)
         if nz.size == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
@@ -225,6 +229,23 @@ def topk_bm25(
             posts.groupBy("segment_id")
             .cogroup(allowed_df.groupBy("segment_id"))
             .applyInPandas(score_cogrouped, schema=out_schema)
+        )
+    elif dead_df is not None:
+
+        def score_with_dead(posts_pdf: pd.DataFrame,
+                            dead_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(posts_pdf) == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype=np.int64),
+                     "score": pd.Series([], dtype=np.float64)}
+                )
+            dead_arr = dead_pdf["doc_id"].to_numpy(np.int64)
+            return _score_segment(posts_pdf, None, dead_arr)
+
+        per_seg = (
+            posts.groupBy("segment_id")
+            .cogroup(dead_df.groupBy("segment_id"))
+            .applyInPandas(score_with_dead, schema=out_schema)
         )
     else:
         # single-arg wrapper: applyInPandas treats a two-arg function
@@ -299,12 +320,18 @@ def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
     )
     k1, b_, avgdl = meta["k1"], meta["b"], meta["avgdl"]
     seg_size = meta["segment_size"]
+    # tombstones cogroup per segment (no driver collect / broadcast)
     dels = corpus.deletes
-    dead = {int(r["doc_id"]) for r in dels.collect()} if dels is not None else set()
+    dead_df = (
+        dels.select(
+            F.expr(f"doc_id DIV {seg_size}").alias("segment_id"), "doc_id"
+        )
+        if dels is not None
+        else None
+    )
     b_q = spark.sparkContext.broadcast(idf_by_query)
-    b_dead = spark.sparkContext.broadcast(dead)
 
-    def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_segment(pdf: pd.DataFrame, dead_arr=None) -> pd.DataFrame:
         seg = int(pdf["segment_id"].iloc[0])
         base = seg * seg_size
         # decode each term's blocks once, reuse across queries
@@ -321,7 +348,11 @@ def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
                 w_.append(tf / (tf + k1 * (1.0 - b_ + b_ * dl / avgdl)))
             decoded[term] = (np.concatenate(dids_), np.concatenate(w_))
         out_q, out_d, out_s = [], [], []
-        dead_local = [d - base for d in b_dead.value if base <= d < base + seg_size]
+        dead_local = (
+            None
+            if dead_arr is None
+            else (dead_arr[(dead_arr >= base) & (dead_arr < base + seg_size)] - base)
+        )
         for qid, idf_map in enumerate(b_q.value):
             if not idf_map:
                 continue
@@ -335,8 +366,8 @@ def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
                 touched = True
             if not touched:
                 continue
-            if dead_local:
-                scores[np.asarray(dead_local, dtype=np.int64)] = 0.0
+            if dead_local is not None and dead_local.size:
+                scores[dead_local] = 0.0
             nz = np.flatnonzero(scores)
             if nz.size == 0:
                 continue
@@ -364,9 +395,32 @@ def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
              "score": np.concatenate(out_s)}
         )
 
-    per_seg = _seg_partitioned(corpus, posts).groupBy("segment_id").applyInPandas(
-        score_segment, schema=out_schema
-    )
+    if dead_df is not None:
+        _empty_b = pd.DataFrame(
+            {"query_id": pd.Series([], dtype=np.int32),
+             "doc_id": pd.Series([], dtype=np.int64),
+             "score": pd.Series([], dtype=np.float64)}
+        )
+
+        def score_with_dead(posts_pdf: pd.DataFrame,
+                            dead_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(posts_pdf) == 0:
+                return _empty_b
+            return score_segment(
+                posts_pdf, dead_pdf["doc_id"].to_numpy(np.int64)
+            )
+
+        per_seg = (
+            posts.groupBy("segment_id")
+            .cogroup(dead_df.groupBy("segment_id"))
+            .applyInPandas(score_with_dead, schema=out_schema)
+        )
+    else:
+        # single-arg wrapper: applyInPandas treats a two-arg function
+        # as (key, pdf)
+        per_seg = _seg_partitioned(corpus, posts).groupBy(
+            "segment_id"
+        ).applyInPandas(lambda pdf: score_segment(pdf), schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_seg.withColumn("_rn", F.row_number().over(w))
