@@ -47,6 +47,20 @@ class EngineConfig:
     # (reference BLStandardAnalyzer.java + RemoveAllAccentsFilter.java).
     token_pattern: str = r"[\p{L}\p{N}]+"
 
+    # Postings fields: which annotation×sensitivity views get their own
+    # inverted-index postings (reference indexes every annotation
+    # sensitivity as a separate Lucene field —
+    # AnnotatedFieldNameUtil.java:47 `contents%word@i`,
+    # AnnotationSensitivities.java:8-13). `word@i` is mandatory (BM25,
+    # the terms dict and regex expansion read it). Add `word@s` to
+    # serve case/diacritics-sensitive queries from postings instead of
+    # token-table scans, and `<ann>@i` / `<ann>@s` (e.g. `pos@i`) to
+    # give sidecar annotations postings-backed leaf queries. Each extra
+    # field costs one more per-segment lexsort+encode in the build and
+    # proportional postings bytes; queries it serves drop from a
+    # full-corpus scan to a pruned postings read.
+    index_fields: tuple = ("word@i",)
+
     # Default KWIC / collocation context size (reference BlackLabIndex.java:74).
     context_size: int = 5
 

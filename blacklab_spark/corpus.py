@@ -30,6 +30,7 @@ class Corpus:
             block_size=self.meta["block_size"],
             token_pattern=self.meta["token_pattern"],
             segments_per_dir=self.meta.get("segments_per_dir", 64),
+            index_fields=tuple(self.meta.get("index_fields", ("word@i",))),
         )
 
     # ---- build/open ---------------------------------------------------
@@ -159,12 +160,45 @@ class Corpus:
         return self._t("tokenized")
 
     @property
+    def index_fields(self) -> tuple[str, ...]:
+        """Postings fields present in this index, one per indexed
+        annotation×sensitivity (reference AnnotatedFieldNameUtil.java:47
+        field naming). Legacy (pre-field) indexes hold only word@i."""
+        return tuple(self.meta.get("index_fields", ("word@i",)))
+
+    @property
+    def multivalue_anns(self) -> set[str] | None:
+        """Annotations that actually carry secondary values, from build
+        metadata; None for legacy indexes (fall back to column sniff)."""
+        mv = self.meta.get("multivalue_anns")
+        return None if mv is None else set(mv)
+
+    def terms_for(self, field: str) -> DataFrame:
+        """Terms dict rows of one postings field."""
+        t = self._t("terms")
+        if "field" in t.columns:
+            return t.filter(F.col("field") == field)
+        return t if field == "word@i" else t.limit(0)
+
+    def postings_for(self, field: str) -> DataFrame:
+        """Posting blocks of one field — the field predicate prunes the
+        scan next to the term predicate (row-group stats: files are
+        sorted by (segment_id, field, term))."""
+        p = self._t("postings")
+        if "field" in p.columns:
+            return p.filter(F.col("field") == field)
+        return p if field == "word@i" else p.limit(0)
+
+    @property
     def terms(self) -> DataFrame:
-        return self._t("terms")
+        """The primary (word@i) terms dict — what BM25 idf, regex/fuzzy
+        expansion, autocomplete and term stats read."""
+        return self.terms_for("word@i")
 
     @property
     def postings(self) -> DataFrame:
-        return self._t("postings")
+        """The primary (word@i) posting blocks."""
+        return self.postings_for("word@i")
 
     @property
     def doc_stats(self) -> DataFrame:

@@ -452,9 +452,11 @@ def _probe_rep_spec(part, corpus=None) -> tuple | None:
     return None
 
 
-_ANN_COST = float("inf")  # non-word annotations have no postings list:
-# materializing their positions is a full token-table scan, so the cost
-# model treats them as infinitely frequent — always probed when anchored
+_ANN_COST = float("inf")  # an annotation with NO postings field:
+# materializing its positions is a full token-table scan, so the cost
+# model treats it as infinitely frequent — always probed when anchored.
+# Annotations that DO have postings (cfg.index_fields) get real df
+# estimates from their own terms dict instead.
 
 _MAX_FI_WALK = 8  # bounded multi-step walk length
 
@@ -506,31 +508,46 @@ def _fi_seq(corpus, node: P.FISeq) -> DataFrame:
 
 
 def _seq_part_dfs(corpus, parts: list) -> dict[int, int]:
-    """Per-part df estimate for the sequence's probe-able word parts —
-    ONE tiny agg over the terms dict (the planner's cost-model input,
-    like the reference's term-frequency cost source,
+    """Per-part df estimate for the sequence's probe-able parts — one
+    tiny agg over each involved field's terms dict (the planner's
+    cost-model input, like the reference's term-frequency cost source,
     BLSpanQuery.reverseMatchingCost via ClauseCombinerNfa.java:144-282).
-    Regex / OR parts estimate df as the sum over matching dict terms."""
-    from blacklab_spark.analysis import desensitize_py, fold_py
+    Regex / OR parts estimate df as the sum over matching dict terms.
+    Annotation parts whose annotation has a postings field get REAL df
+    estimates (they are no longer unconditionally 'infinitely
+    frequent')."""
+    from blacklab_spark.analysis import desensitize_col, desensitize_py, fold_py
 
-    aggs, idxs = [], []
+    per_field: dict[str, list[tuple[int, "F.Column"]]] = {}
     for i, part in enumerate(parts):
         spec = _probe_spec(part)
-        if spec is None or spec[0] not in ("word", ""):
+        if spec is None:
             continue
+        route = S._postings_route(corpus, spec[0] or "word", "i")
+        if route is None:
+            continue
+        kind_r, field = route
+        tcol = (
+            F.col("term") if kind_r == "direct"
+            else desensitize_col(F.col("term"), "i")
+        )
         kind, val = spec[1]
         if kind == "term":
-            cond = F.col("term") == desensitize_py(val)
+            cond = tcol == desensitize_py(val)
         elif kind == "set":
-            cond = F.col("term").isin([desensitize_py(v) for v in val])
+            cond = tcol.isin([desensitize_py(v) for v in val])
         else:
-            cond = F.col("term").rlike(f"(?i)^(?:{fold_py(val)})$")
-        aggs.append(F.sum(F.when(cond, F.col("df"))).alias(f"p{i}"))
-        idxs.append(i)
-    if not aggs:
-        return {}
-    row = corpus.terms.agg(*aggs).collect()[0]
-    return {i: int(row[f"p{i}"]) for i in idxs if row[f"p{i}"] is not None}
+            cond = tcol.rlike(f"(?i)^(?:{fold_py(val)})$")
+        per_field.setdefault(field, []).append(
+            (i, F.sum(F.when(cond, F.col("df"))).alias(f"p{i}"))
+        )
+    out: dict[int, int] = {}
+    for field, items in per_field.items():
+        row = corpus.terms_for(field).agg(*[a for _, a in items]).collect()[0]
+        for i, _ in items:
+            if row[f"p{i}"] is not None:
+                out[i] = int(row[f"p{i}"])
+    return out
 
 
 def _sequence_one(corpus, parts: list) -> DataFrame:
@@ -585,8 +602,9 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
             and df_t is None
             and step is not None
             and step[0] not in ("word", "")
+            and S._postings_route(corpus, step[0], "i") is None
         ):
-            df_t = _ANN_COST  # annotation positions: always scan-expensive
+            df_t = _ANN_COST  # no postings field: positions = full scan
 
         if current is None:
             # frequent leading clause directly followed by a rarer
@@ -603,7 +621,11 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
                 if df_n is None:
                     nxt = parts[i + 1]
                     s2 = _probe_spec(nxt) or _probe_rep_spec(nxt, corpus)
-                    if s2 is not None and s2[0] not in ("word", ""):
+                    if (
+                        s2 is not None
+                        and s2[0] not in ("word", "")
+                        and S._postings_route(corpus, s2[0], "i") is None
+                    ):
                         df_n = _ANN_COST
                 if df_n is not None and df_t >= ratio * max(df_n, 1):
                     pending_left_probe = (part, step)

@@ -27,7 +27,7 @@ from blacklab_spark.pipeline import similarity as SIM
 from blacklab_spark.pipeline import text as T
 from blacklab_spark.search.results import autocomplete, term_frequencies
 
-INDEX_VERSION = "v5"  # bump when the on-disk index layout changes
+INDEX_VERSION = "v6"  # bump when the on-disk index layout changes
 
 # shared tokenizer expressions
 _SPARK_TOKS = f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)"
@@ -859,6 +859,127 @@ SELECT doc_id, 0 AS start, 1 AS "end" FROM documents WHERE false
 """
 
 
+_CASED_TEXT = "CASE WHEN doc_id % 2 = 0 THEN replace(text, 'key', 'Key') ELSE text END"
+
+
+def _cased_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    """Corpus with case-varied text AND a sensitive postings field
+    (index_fields word@i + word@s): case-sensitive term queries resolve
+    from postings, never a token-table scan (reference indexes the
+    sensitive view as its own Lucene field,
+    AnnotationSensitivities.java:8-13, AnnotatedFieldNameUtil.java:47)."""
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{INDEX_VERSION}|cased".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/blspark_idx_{key}"
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        return Corpus.open(spark, index_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    transcripts = docs.select(
+        F.format_string("c%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        F.expr(_CASED_TEXT).alias("text"),
+        F.col("source").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    return Corpus.build(
+        spark, transcripts, index_dir,
+        EngineConfig(
+            segment_size=4096, block_size=128,
+            index_fields=("word@i", "word@s"),
+        ),
+        resume=True,
+    )
+
+
+def q_sensitive_term_hits(spark, sf_dir):
+    """(?c) case-sensitive 'Key' finds only the even docs' capitalized
+    occurrences — answered from the word@s postings field (the plan
+    never scans the token table; see tests/test_fields.py explain
+    assertions)."""
+    c = _cased_corpus(spark, sf_dir)
+    h = c.find('"(?c)Key"').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_SENSITIVE_TERM_HITS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all({_CASED_TEXT}, '{TOKEN_PATTERN}')) AS t,
+         generate_subscripts(regexp_extract_all({_CASED_TEXT}, '{TOKEN_PATTERN}'), 1) - 1 AS pos
+  FROM documents
+)
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM tok WHERE t = 'Key'
+"""
+
+
+_POS_ANN = (
+    f"transform({_SPARK_TOKS}, t -> case when length(t) > 6 then 'long' "
+    f"when length(t) > 3 then 'mid' else 'short' end)"
+)
+
+
+def _pos_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    """Corpus with a pos-style sidecar annotation AND per-annotation
+    postings (index_fields word@i + pos@i): annotation-leaf queries
+    like `[pos="long"]` resolve from postings instead of scanning every
+    token array (reference: every annotation×sensitivity is a Lucene
+    postings field, AnnotatedFieldNameUtil.java:47)."""
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{INDEX_VERSION}|pos".encode()
+    ).hexdigest()[:12]
+    index_dir = f"/tmp/blspark_idx_{key}"
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        return Corpus.open(spark, index_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    transcripts = docs.select(
+        F.format_string("c%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        "text",
+        F.col("source").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.expr(_POS_ANN).alias("ann_pos"),
+    )
+    return Corpus.build(
+        spark, transcripts, index_dir,
+        EngineConfig(
+            segment_size=4096, block_size=128,
+            index_fields=("word@i", "pos@i"),
+        ),
+        resume=True,
+    )
+
+
+def q_annotation_leaf_hits(spark, sf_dir):
+    """Standalone annotation leaf `[pos="long"]` from the pos@i
+    postings field — formerly a full token-table scan."""
+    c = _pos_corpus(spark, sf_dir)
+    h = c.find('[pos="long"]').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_ANNOTATION_LEAF_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM tok WHERE length(t) > 6
+"""
+
+
+def q_annotation_regex_hits(spark, sf_dir):
+    """Annotation regex leaf `[pos="sh.*"]`: dict expansion over the
+    pos@i terms, then a pruned postings decode."""
+    c = _pos_corpus(spark, sf_dir)
+    h = c.find('[pos="sh.*"]').df.select("doc_id", "start", "end")
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_ANNOTATION_REGEX_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT doc_id, pos AS start, pos + 1 AS "end" FROM tok WHERE length(t) <= 3
+"""
+
+
 def q_fuzzy_term_hits(spark, sf_dir):
     """Fuzzy term positions (reference SpanFuzzyQuery.java; Lucene
     expands over the dictionary — ours is a broadcast dict scan)."""
@@ -1287,6 +1408,9 @@ QUERIES = {
     "unicode_fold_hits": q_unicode_fold_hits,
     "unicode_sensitive_hits": q_unicode_sensitive_hits,
     "multivalue_annotation_hits": q_multivalue_annotation_hits,
+    "sensitive_term_hits": q_sensitive_term_hits,
+    "annotation_leaf_hits": q_annotation_leaf_hits,
+    "annotation_regex_hits": q_annotation_regex_hits,
     "streaming_index_hits": q_streaming_index_hits,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
@@ -1343,6 +1467,9 @@ ORACLES = {
     "unicode_fold_hits": O_UNICODE_FOLD_HITS,
     "unicode_sensitive_hits": O_UNICODE_SENSITIVE_HITS,
     "multivalue_annotation_hits": O_MULTIVALUE_ANNOTATION_HITS,
+    "sensitive_term_hits": O_SENSITIVE_TERM_HITS,
+    "annotation_leaf_hits": O_ANNOTATION_LEAF_HITS,
+    "annotation_regex_hits": O_ANNOTATION_REGEX_HITS,
     "streaming_index_hits": O_STREAMING_INDEX_HITS,
     "exact_dedup": O_EXACT_DEDUP,
     "minhash_signature": O_MINHASH_SIGNATURE,

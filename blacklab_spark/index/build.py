@@ -60,11 +60,42 @@ from blacklab_spark.ids import release_dense_id_cache, with_dense_id
 from blacklab_spark.index import codec
 
 POSTINGS_SCHEMA = (
-    "segment_id long, term string, block_id int, n_docs int, "
+    "field string, segment_id long, term string, block_id int, n_docs int, "
     "min_doc long, max_doc long, doc_ids binary, freqs binary, "
     "dls binary, positions binary, block_max_tf int, sum_tf long, "
     "block_max_wtf_raw double"
 )
+
+# the always-present primary postings field: the insensitive view of
+# the main `word` annotation (reference AnnotatedFieldNameUtil.java:47
+# names Lucene fields `contents%word@i`; AnnotationSensitivities.java:8-13
+# enumerates which sensitivities get indexed per annotation)
+PRIMARY_FIELD = "word@i"
+
+
+def parse_field(field: str) -> tuple[str, str]:
+    """'pos@i' -> ('pos', 'i'); bare 'pos' defaults to insensitive."""
+    ann, _, sens = field.partition("@")
+    sens = sens or "i"
+    if sens not in ("s", "i"):
+        raise ValueError(f"indexable sensitivities are s/i, got {field!r}")
+    return ann, sens
+
+
+def field_tokens_col(field: str) -> "F.Column":
+    """Expression producing the per-doc token array of a postings field
+    from the tokenized table (word@s = stored tokens; word@i = derived
+    insensitive view; ann X reads the ann_X primary-value sidecar,
+    desensitized for @i)."""
+    from blacklab_spark.analysis import desensitize_col
+
+    ann, sens = parse_field(field)
+    if ann == "word":
+        return F.col("tokens") if sens == "s" else F.col("tokens_i")
+    base = F.col(f"ann_{ann}")
+    if sens == "s":
+        return base
+    return F.transform(base, lambda t: desensitize_col(t, "i"))
 
 SEGMENTS_META_SCHEMA = (
     "stage string, partition_id long, rows long, tokens long, checksum string"
@@ -137,27 +168,6 @@ def tokenize(df: DataFrame, cfg: EngineConfig,
     return split_multivalue_annotations(out, cols=multivalue_cols)
 
 
-def probe_multivalue_cols(df: DataFrame) -> list[str]:
-    """One column-pruned agg over the ann_* sidecars: which annotation
-    columns actually contain a `|` separator? Splitting EVERY ann column
-    would make single-valued annotations pay the multi-value query cost
-    forever (an always-empty secondary scan + dedup shuffle, and the
-    run-length repetition probe is rejected) just because an _extra
-    column exists."""
-    ann_cols = [
-        c for c in df.columns
-        if c.startswith("ann_") and not c.endswith("_extra")
-    ]
-    if not ann_cols:
-        return []
-    aggs = [
-        F.max(F.exists(c, lambda v: v.contains("|"))).alias(c)
-        for c in ann_cols
-    ]
-    row = df.agg(*aggs).collect()[0]
-    return [c for c in ann_cols if row[c]]
-
-
 def split_multivalue_annotations(
     df: DataFrame, cols: list[str] | None = None
 ) -> DataFrame:
@@ -188,7 +198,7 @@ def split_multivalue_annotations(
     return df
 
 
-def make_encoder(cfg: EngineConfig, avgdl: float):
+def make_encoder(cfg: EngineConfig, avgdl: float, fields: list[str] | None = None):
     """Posting-block encoder for one segment — an ARROW kernel
     (applyInArrow): flatten token lists and factorize terms inside
     Arrow C++ (ListArray.flatten + dictionary_encode), then a single
@@ -210,9 +220,11 @@ def make_encoder(cfg: EngineConfig, avgdl: float):
 
     k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
     avgdl_b = avgdl
+    fields = list(fields) if fields is not None else [PRIMARY_FIELD]
 
     out_schema = pa.schema(
         [
+            ("field", pa.string()),
             ("segment_id", pa.int64()),
             ("term", pa.string()),
             ("block_id", pa.int32()),
@@ -229,14 +241,14 @@ def make_encoder(cfg: EngineConfig, avgdl: float):
         ]
     )
 
-    def encode_segment(table: "pa.Table") -> "pa.Table":
-        seg = table.column("segment_id")[0].as_py()
-        lens = table.column("num_tokens").to_numpy().astype(np.int64)
-        docs = table.column("doc_id").to_numpy().astype(np.int64)
+    def encode_field(seg: int, docs: "np.ndarray", toks, fname: str):
+        """Posting blocks of ONE field over one segment slice. ``toks``
+        is the field's list<string> Arrow array; per-doc lengths come
+        from the list offsets (null sidecar arrays encode as empty)."""
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy().astype(np.int64)
         total = int(lens.sum())
         if total == 0:
-            return out_schema.empty_table()
-        toks = table.column("tokens_i").combine_chunks()
+            return None
         de = pc.dictionary_encode(toks.flatten())
         codes = de.indices.to_numpy().astype(np.int64)
         dictionary = de.dictionary
@@ -285,6 +297,7 @@ def make_encoder(cfg: EngineConfig, avgdl: float):
         n_blocks = len(block_starts)
         return pa.table(
             {
+                "field": pa.array([fname] * n_blocks, pa.string()),
                 "segment_id": pa.array(
                     np.full(n_blocks, seg, dtype=np.int64), pa.int64()
                 ),
@@ -316,6 +329,19 @@ def make_encoder(cfg: EngineConfig, avgdl: float):
             schema=out_schema,
         )
 
+    def encode_segment(table: "pa.Table") -> "pa.Table":
+        seg = table.column("segment_id")[0].as_py()
+        docs = table.column("doc_id").to_numpy().astype(np.int64)
+        parts = []
+        for fi, fname in enumerate(fields):
+            toks = table.column(f"_fld_{fi}").combine_chunks()
+            out = encode_field(seg, docs, toks, fname)
+            if out is not None:
+                parts.append(out)
+        if not parts:
+            return out_schema.empty_table()
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
     return encode_segment
 
 
@@ -323,6 +349,8 @@ def encode_postings(
     tokenized: DataFrame,
     cfg: EngineConfig,
     avgdl: float,
+    fields: list[str] | None = None,
+    legacy_layout: bool = False,
 ) -> DataFrame:
     """tokenized -> posting blocks (term-string keyed, final form).
 
@@ -332,13 +360,26 @@ def encode_postings(
     grouping happens inside the vectorized kernel. No term_id join
     exists anywhere: queries filter blocks on the term string with the
     same parquet predicate pushdown, and the terms dictionary is
-    aggregated FROM these blocks."""
+    aggregated FROM these blocks.
+
+    ``fields``: postings fields to emit — one annotation×sensitivity
+    per entry (reference indexes every annotation sensitivity as its
+    own Lucene postings field, AnnotatedFieldNameUtil.java:47,
+    AnnotationSensitivities.java:8-13). All fields encode in ONE pass
+    over the tokenized scan (the per-field lexsort is the work; the
+    scan and shuffle-free layout are shared). ``legacy_layout`` drops
+    the field column for appends into pre-field index dirs."""
+    fields = list(fields) if fields is not None else list(cfg.index_fields)
     src = tokenized
-    if "tokens_i" not in src.columns:
+    if any(parse_field(f) == ("word", "i") for f in fields) and (
+        "tokens_i" not in src.columns
+    ):
         from blacklab_spark.analysis import insensitive_tokens_col
 
         src = src.withColumn("tokens_i", insensitive_tokens_col("tokens"))
-    rows = src.select("segment_id", "doc_id", "num_tokens", "tokens_i")
+    cols = [F.col("segment_id"), F.col("doc_id")]
+    cols += [field_tokens_col(f).alias(f"_fld_{i}") for i, f in enumerate(fields)]
+    rows = src.select(*cols)
     # ZERO-shuffle encode: posting blocks are correct under ANY row
     # placement — each doc contributes its (term, doc) groups to
     # exactly one kernel call, and partial blocks of the same
@@ -352,7 +393,7 @@ def encode_postings(
     # out-of-order layout would still be CORRECT, just produce more
     # partial blocks. Head-term skew cannot exist by construction:
     # work is partitioned by storage splits, never by term.
-    enc = make_encoder(cfg, avgdl)
+    enc = make_encoder(cfg, avgdl, fields)
 
     def encode_batches(batches):
         import numpy as np
@@ -370,7 +411,8 @@ def encode_postings(
                 if out.num_rows:
                     yield from out.to_batches()
 
-    return rows.mapInArrow(encode_batches, schema=POSTINGS_SCHEMA)
+    out = rows.mapInArrow(encode_batches, schema=POSTINGS_SCHEMA)
+    return out.drop("field") if legacy_layout else out
 
 
 _SMALL_VOCAB = 2_000_000  # single-task sortable in seconds
@@ -379,36 +421,43 @@ _SMALL_VOCAB = 2_000_000  # single-task sortable in seconds
 def terms_from_postings(postings: DataFrame) -> DataFrame:
     """Terms dictionary derived from posting blocks: df/cf are sums of
     per-block counts — a groupBy over block rows (~1/block_size of the
-    token count), not over exploded tokens.
+    token count), not over exploded tokens. One dict row per
+    (field, term): every postings field keeps its own vocabulary, like
+    the reference's per-Lucene-field Terms (forwardindex/Terms.java).
 
     The dense alphabetical term_id needs a global order over the vocab.
     The vocab is persisted and counted first (ONE postings-agg pass —
     letting with_dense_id's range sampling recompute the agg doubled
     the stage), then: small vocabs (the overwhelmingly common case —
     vocab is sublinear in corpus size) sort in one task, zero shuffle;
-    only a vocab past ~2M terms pays the scale path's range shuffle."""
+    only a vocab past ~2M terms pays the scale path's range shuffle.
+
+    NOTE: the former sort_pos_s/sort_pos_i columns are GONE — they were
+    term_id aliases the sort path never read. Collated result sorting
+    is the documented two-strength expression sort in results.py
+    (fold+lower primary, raw secondary; cf. reference Collators.java)."""
     from pyspark.storagelevel import StorageLevel
 
-    stats = postings.groupBy("term").agg(
+    keys = ["field", "term"] if "field" in postings.columns else ["term"]
+    stats = postings.groupBy(*keys).agg(
         F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n = stats.count()
     if n <= _SMALL_VOCAB:
         # single cached partition: monotonically_increasing_id over the
-        # term-sorted rows IS the dense alphabetical rank
-        t = (
+        # (field, term)-sorted rows IS the dense alphabetical rank
+        # (unique across fields, alphabetical within each field)
+        out = (
             stats.coalesce(1)
-            .sortWithinPartitions("term")
+            .sortWithinPartitions(*keys)
             .withColumn("term_id", F.monotonically_increasing_id())
         )
     else:
-        t = with_dense_id(stats, ("term",), "term_id")
-    out = t.withColumn("sort_pos_s", F.col("term_id")).withColumn(
-        "sort_pos_i", F.col("term_id")
-    )
+        out = with_dense_id(stats, tuple(keys), "term_id")
+    prior = getattr(out, "_blspark_persisted", None)
     out._blspark_persisted = stats
-    if hasattr(t, "_blspark_persisted"):
-        out._blspark_persisted_extra = t._blspark_persisted
+    if prior is not None:
+        out._blspark_persisted_extra = prior
     return out
 
 
@@ -469,11 +518,21 @@ def build_index(
 
     # ---- stage 1: forward index (tokenized table) --------------------
     tok_path = _stage_dir(index_dir, "tokenized")
+    ann_cols = [
+        c for c in transcripts.columns
+        if c.startswith("ann_") and not c.endswith("_extra")
+    ]
     n_docs = total_tokens = None
+    multivalue_anns: list[str] | None = None
     if not (resume and _stage_done(index_dir, "tokenized")):
-        mv_cols = probe_multivalue_cols(transcripts)
+        # EVERY ann column gets the `|` split (cheap codegen transform);
+        # which annotations are genuinely multi-valued is detected FOR
+        # FREE via observe() on this same write (empty _extra arrays
+        # cost ~nothing to store) — no dedicated probe pass over the
+        # raw input. Readers consult meta['multivalue_anns'] so
+        # single-valued annotations never pay the secondary-scan cost.
         with_ids = with_dense_id(transcripts, ("conv_id", "turn_idx"), "doc_id")
-        tokenized = tokenize(with_ids, cfg, multivalue_cols=mv_cols).withColumn(
+        tokenized = tokenize(with_ids, cfg).withColumn(
             "segment_id", F.expr(f"doc_id DIV {cfg.segment_size}")
         ).withColumn(
             "seg_group", F.expr(f"doc_id DIV {cfg.segment_size * cfg.segments_per_dir}")
@@ -483,6 +542,10 @@ def build_index(
             obs,
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("num_tokens").alias("total_tokens"),
+            *[
+                F.max(F.size(f"{c}_extra")).alias(f"mv_{c}")
+                for c in ann_cols
+            ],
         )
         # with_dense_id emits partitions that are already contiguous
         # doc_id ranges (range-partitioned by the stable sort order),
@@ -502,16 +565,35 @@ def build_index(
         release_dense_id_cache(with_ids)
         got = obs.get
         n_docs, total_tokens = int(got["n_docs"]), int(got["total_tokens"] or 0)
-        _mark_done(index_dir, "tokenized")
+        multivalue_anns = sorted(
+            c[len("ann_"):] for c in ann_cols if int(got[f"mv_{c}"] or 0) > 0
+        )
+        _mark_done(index_dir, "tokenized", {"multivalue_anns": multivalue_anns})
     timer.mark("tokenized")
     tokenized = spark.read.parquet(tok_path)
 
     if n_docs is None:  # resumed past stage 1: one pruned-column agg
-        agg = tokenized.agg(
+        aggs = [
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("num_tokens").alias("total_tokens"),
-        ).collect()[0]
+        ]
+        with open(os.path.join(tok_path, "_STAGE_DONE")) as f:
+            stage_payload = json.load(f)
+        multivalue_anns = stage_payload.get("multivalue_anns")
+        if multivalue_anns is None:
+            aggs += [
+                F.max(F.size(f"{c}_extra")).alias(f"mv_{c}")
+                for c in ann_cols
+                if f"{c}_extra" in tokenized.columns
+            ]
+        agg = tokenized.agg(*aggs).collect()[0]
         n_docs, total_tokens = int(agg["n_docs"]), int(agg["total_tokens"] or 0)
+        if multivalue_anns is None:
+            multivalue_anns = sorted(
+                c[len("ann_"):]
+                for c in ann_cols
+                if f"mv_{c}" in agg.asDict() and int(agg[f"mv_{c}"] or 0) > 0
+            )
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     timer.mark("global_stats")
 
@@ -528,7 +610,7 @@ def build_index(
             # min/max stats on `term`, so term-filtered query scans
             # skip most row groups (the pushdown's skipping actually
             # bites instead of reading hash-ordered rows)
-            postings.sortWithinPartitions("segment_id", "term")
+            postings.sortWithinPartitions("segment_id", "field", "term")
             .write.mode("overwrite")
             .partitionBy("seg_group")
             .parquet(post_path)
@@ -590,6 +672,8 @@ def build_index(
         "block_size": cfg.block_size,
         "segments_per_dir": cfg.segments_per_dir,
         "token_pattern": cfg.token_pattern,
+        "index_fields": list(cfg.index_fields),
+        "multivalue_anns": multivalue_anns or [],
         "n_terms": n_terms,
         "n_posting_blocks": n_blocks,
     }

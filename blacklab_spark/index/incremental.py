@@ -85,10 +85,12 @@ def add_documents(
 ) -> dict:
     """Append new docs as fresh segments. Returns updated meta."""
     meta = _load_meta(index_dir)
+    new_layout = "index_fields" in meta
     cfg = EngineConfig(
         k1=meta["k1"], b=meta["b"], segment_size=meta["segment_size"],
         block_size=meta["block_size"], token_pattern=meta["token_pattern"],
         segments_per_dir=meta.get("segments_per_dir", 64),
+        index_fields=tuple(meta.get("index_fields", ("word@i",))),
     )
     seg_size = cfg.segment_size
     group_docs = seg_size * cfg.segments_per_dir
@@ -102,11 +104,18 @@ def add_documents(
 
     stamped = with_dense_id(new_transcripts, ("conv_id", "turn_idx"), "doc_id")
     with_ids = stamped.withColumn("doc_id", F.col("doc_id") + F.lit(base))
-    # conform the delta to the STORED schema: split exactly the ann
-    # columns the existing index treats as multi-valued (their _extra
-    # columns exist), so appended files never diverge from old ones —
-    # a mixed-schema dir reads nondeterministically without mergeSchema
-    mv_cols = [c[: -len("_extra")] for c in old_tok.columns if c.endswith("_extra")]
+    # conform the delta to the STORED schema. New-layout indexes split
+    # EVERY ann column (same as a fresh build), so a delta that
+    # introduces '|' values in a previously single-valued annotation is
+    # indexed exactly like a rebuild would index it — which annotations
+    # are live-multivalue is re-detected below and merged into meta.
+    # Legacy indexes keep splitting only the columns whose _extra
+    # already exists (a mixed-schema dir reads nondeterministically).
+    mv_cols = (
+        None
+        if new_layout
+        else [c[: -len("_extra")] for c in old_tok.columns if c.endswith("_extra")]
+    )
     tokenized = tokenize(with_ids, cfg, multivalue_cols=mv_cols).withColumn(
         "segment_id", F.expr(f"doc_id DIV {seg_size}")
     ).withColumn("seg_group", F.expr(f"doc_id DIV {group_docs}"))
@@ -131,17 +140,34 @@ def add_documents(
         # legacy index with a stored doc_stats table: keep it complete
         new_stats.write.mode("append").parquet(_stage_dir(index_dir, "doc_stats"))
 
+    # ---- multivalue re-detection over the delta (new layout) ----------
+    ann_cols = [
+        c for c in delta.columns
+        if c.startswith("ann_") and not c.endswith("_extra")
+    ]
+    if new_layout and ann_cols:
+        agg = delta.agg(
+            *[F.max(F.size(f"{c}_extra")).alias(c) for c in ann_cols]
+        ).collect()[0]
+        delta_mv = {c[len("ann_"):] for c in ann_cols if int(agg[c] or 0) > 0}
+        meta["multivalue_anns"] = sorted(
+            set(meta.get("multivalue_anns") or []) | delta_mv
+        )
+
     # ---- delta postings (new segments only; term-string keyed) -------
     n_docs = meta["n_docs"] + delta.count()
     total_tokens = meta["total_tokens"] + int(
         delta.agg(F.sum("num_tokens")).collect()[0][0] or 0
     )
     avgdl = total_tokens / max(n_docs, 1)
-    postings = encode_postings(delta, cfg, avgdl).withColumn(
-        "seg_group", F.expr(f"segment_id DIV {cfg.segments_per_dir}")
+    postings = encode_postings(
+        delta, cfg, avgdl, legacy_layout=not new_layout
+    ).withColumn("seg_group", F.expr(f"segment_id DIV {cfg.segments_per_dir}"))
+    sort_cols = (
+        ["segment_id", "field", "term"] if new_layout else ["segment_id", "term"]
     )
     (
-        postings.sortWithinPartitions("segment_id", "term")
+        postings.sortWithinPartitions(*sort_cols)
         .write.mode("append")
         .partitionBy("seg_group")
         .parquet(_stage_dir(index_dir, "postings"))
@@ -150,32 +176,35 @@ def add_documents(
     # ---- terms merge with stable ids (stats from the delta blocks) ---
     terms_path = _stage_dir(index_dir, "terms")
     old_terms = spark.read.parquet(terms_path)
+    keys = ["field", "term"] if "field" in old_terms.columns else ["term"]
     delta_stats = (
         spark.read.parquet(_stage_dir(index_dir, "postings"))
         .filter(F.col("min_doc") >= base)
-        .groupBy("term")
+        .groupBy(*keys)
         .agg(F.sum("n_docs").alias("df_new"), F.sum("sum_tf").alias("cf_new"))
     )
-    joined = old_terms.join(delta_stats, "term", "full_outer")
+    carry_cols = [
+        c for c in old_terms.columns if c not in (*keys, "df", "cf")
+    ]
+    joined = old_terms.join(delta_stats, keys, "full_outer")
     existing = joined.filter(F.col("term_id").isNotNull()).select(
-        "term",
+        *keys,
         (F.col("df") + F.coalesce(F.col("df_new"), F.lit(0))).alias("df"),
         (F.col("cf") + F.coalesce(F.col("cf_new"), F.lit(0))).alias("cf"),
-        "term_id",
-        "sort_pos_s",
-        "sort_pos_i",
+        *carry_cols,
     )
     max_tid = int(old_terms.agg(F.max("term_id")).collect()[0][0])
     unseen = joined.filter(F.col("term_id").isNull()).select(
-        "term", F.col("df_new").alias("df"), F.col("cf_new").alias("cf")
+        *keys, F.col("df_new").alias("df"), F.col("cf_new").alias("cf")
     )
-    unseen_stamped = with_dense_id(unseen, ("term",), "term_id")
+    unseen_stamped = with_dense_id(unseen, tuple(keys), "term_id")
     unseen = unseen_stamped.withColumn(
         "term_id", F.col("term_id") + F.lit(max_tid + 1)
     )
-    unseen = unseen.withColumn("sort_pos_s", F.col("term_id")).withColumn(
-        "sort_pos_i", F.col("term_id")
-    )
+    for c in carry_cols:
+        if c != "term_id":
+            # legacy sort_pos_* columns: keep their term_id-alias shape
+            unseen = unseen.withColumn(c, F.col("term_id"))
     merged = existing.unionByName(unseen.select(*existing.columns))
     tmp = terms_path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
@@ -249,10 +278,12 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     tombstone table. Clean segments' files are untouched (the analogue
     of Lucene merging only segments with deletions)."""
     meta = _load_meta(index_dir)
+    new_layout = "index_fields" in meta
     cfg = EngineConfig(
         k1=meta["k1"], b=meta["b"], segment_size=meta["segment_size"],
         block_size=meta["block_size"], token_pattern=meta["token_pattern"],
         segments_per_dir=meta.get("segments_per_dir", 64),
+        index_fields=tuple(meta.get("index_fields", ("word@i",))),
     )
     deletes = load_deletes(spark, index_dir)
     if deletes is None or deletes.isEmpty():
@@ -308,16 +339,19 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     # over unchanged; dirty segments are re-encoded from the forward
     # index (which no longer contains the deleted docs)
     dirty_tok = tokenized.filter(F.col("segment_id").isin(dirty))
-    new_posts = encode_postings(dirty_tok, cfg, avgdl).withColumn(
-        "seg_group", F.expr(f"segment_id DIV {cfg.segments_per_dir}")
-    )
+    new_posts = encode_postings(
+        dirty_tok, cfg, avgdl, legacy_layout=not new_layout
+    ).withColumn("seg_group", F.expr(f"segment_id DIV {cfg.segments_per_dir}"))
     tmp = post_path + ".rewrite"
     old_posts = spark.read.parquet(post_path)
     carry = old_posts.filter(
         F.col("seg_group").isin(dirty_groups) & ~F.col("segment_id").isin(dirty)
     )
+    sort_cols = (
+        ["segment_id", "field", "term"] if new_layout else ["segment_id", "term"]
+    )
     carry.unionByName(new_posts.select(*carry.columns)).sortWithinPartitions(
-        "segment_id", "term"
+        *sort_cols
     ).write.mode("overwrite").partitionBy("seg_group").parquet(tmp)
     for grp in dirty_groups:
         grp_dir = os.path.join(post_path, f"seg_group={grp}")
@@ -330,12 +364,13 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
 
     terms_path = _stage_dir(index_dir, "terms")
     old_terms = spark.read.parquet(terms_path)
+    keys = ["field", "term"] if "field" in old_terms.columns else ["term"]
     fresh = (
         spark.read.parquet(post_path)
-        .groupBy("term")
+        .groupBy(*keys)
         .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf"))
     )
-    merged = old_terms.drop("df", "cf").join(fresh, "term", "inner")
+    merged = old_terms.drop("df", "cf").join(fresh, keys, "inner")
     tmp = terms_path + ".tmp"
     merged.select(*old_terms.columns).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(terms_path)

@@ -55,9 +55,51 @@ def _word_tokens_col(corpus, sens: str):
 
 def _extra_col(corpus, annotation: str) -> str | None:
     """Name of the secondary-values column for a multi-valued
-    annotation, or None if the annotation is single-valued."""
+    annotation, or None if the annotation is single-valued. New-layout
+    indexes stamp the genuinely multi-valued annotations into meta
+    (build-time observe detection) — single-valued annotations whose
+    _extra column exists but is always empty never pay the
+    secondary-scan cost; legacy indexes fall back to column presence."""
     c = f"ann_{annotation}_extra"
-    return c if c in corpus.tokenized.columns else None
+    if c not in corpus.tokenized.columns:
+        return None
+    mv = corpus.multivalue_anns
+    if mv is not None and annotation not in mv:
+        return None
+    return c
+
+
+def _postings_route(corpus, annotation: str, sens: str):
+    """How to answer a (annotation, sensitivity) leaf from postings:
+    ('direct', field)  — the exact field exists; filter blocks on the
+                         normalized term string (parquet pushdown);
+    ('expand', field)  — serve from the SENSITIVE field via a terms-dict
+                         expansion (all raw terms whose sens-normalized
+                         form matches), like the reference answering a
+                         ci/di query against its indexed sensitivities;
+    None               — no postings field can serve it: token scan.
+    Reference: AnnotationSensitivities.java:8-13 — each indexed
+    sensitivity is its own postings field."""
+    a = annotation or "word"
+    fields = set(corpus.index_fields)
+    if sens in ("s", "i") and f"{a}@{sens}" in fields:
+        return ("direct", f"{a}@{sens}")
+    if f"{a}@s" in fields:
+        return ("expand", f"{a}@s")
+    return None
+
+
+def _secondary_positions(corpus, annotation: str) -> DataFrame:
+    """(doc_id, pos, term) rows of a multi-valued annotation's secondary
+    values — a SPARSE column-pruned scan (doc_id + the _extra column
+    only), unioned next to postings hits because postings index primary
+    values."""
+    extra = f"ann_{annotation}_extra"
+    return corpus.tokenized.select(
+        "doc_id", F.explode(extra).alias("_x")
+    ).select(
+        "doc_id", F.col("_x.pos").alias("pos"), F.col("_x.term").alias("term")
+    )
 
 
 def _uniq_positions(corpus, annotation: str, df: DataFrame) -> DataFrame:
@@ -135,27 +177,29 @@ def _decode_posting_positions(corpus, posts: DataFrame) -> DataFrame:
     return out
 
 
-def postings_hits(corpus, terms: list[str]) -> DataFrame:
-    """(doc_id, start, end) for every occurrence of the given
-    insensitive word terms, decoded FROM THE POSTINGS — the reverse
-    index is the leaf scan (reference BLSpanTermQuery.java reads Lucene
+def postings_hits(corpus, terms: list[str], field: str = "word@i") -> DataFrame:
+    """(doc_id, start, end) for every occurrence of the given terms in
+    one postings field, decoded FROM THE POSTINGS — the reverse index
+    is the leaf scan (reference BLSpanTermQuery.java reads Lucene
     postings), so only the query terms' blocks are read (parquet
-    predicate pushdown on the term column); the token table is never
+    predicate pushdown on field + term); the token table is never
     scanned. For EXPLICIT small term lists only (query terms, phrase
     parts) — dictionary expansions (regex/fuzzy) must stay distributed,
     use postings_hits_for_terms."""
-    posts = corpus.postings.filter(F.col("term").isin(list(terms)))
+    posts = corpus.postings_for(field).filter(F.col("term").isin(list(terms)))
     return _decode_posting_positions(corpus, posts)
 
 
-def postings_hits_for_terms(corpus, terms_df: DataFrame) -> DataFrame:
+def postings_hits_for_terms(
+    corpus, terms_df: DataFrame, field: str = "word@i"
+) -> DataFrame:
     """postings_hits with the term set as a DataFrame: broadcast
     semi-join into the postings scan. The matched-terms set never
     visits the driver (reference BLSpanMultiTermQueryWrapper rewrites
     to an OR over dict matches segment-side, never driver-global) —
     the terms dict is tiny relative to the corpus, so broadcasting the
     matched subset is always cheap."""
-    posts = corpus.postings.join(
+    posts = corpus.postings_for(field).join(
         F.broadcast(terms_df.select("term")), "term", "leftsemi"
     )
     return _decode_posting_positions(corpus, posts)
@@ -165,14 +209,48 @@ def term_hits(
     corpus, term: str, annotation: str = "word", sensitive=False
 ) -> DataFrame:
     """All positions of one term (reference BLSpanTermQuery.java).
-    ``sensitive`` is a bool (s / i) or one of 's'/'i'/'ci'/'di'."""
-    from blacklab_spark.analysis import desensitize_value, norm_sensitivity
+    ``sensitive`` is a bool (s / i) or one of 's'/'i'/'ci'/'di'.
+
+    Leaf plan, in preference order (reference resolves every
+    annotation×sensitivity from its own Lucene postings field,
+    AnnotatedFieldNameUtil.java:47): exact postings field -> sensitive
+    field + terms-dict expansion -> token-table scan (only when the
+    index has no field that can serve the request)."""
+    from blacklab_spark.analysis import (
+        desensitize_col, desensitize_value, norm_sensitivity,
+    )
 
     sens = norm_sensitivity(sensitive)
-    if annotation in ("word", "") and sens == "i":
-        return postings_hits(corpus, [desensitize_value(term, "i")])
-    # other sensitivities / sidecar annotations are not in the
-    # postings: token scan over the desensitized view
+    a = annotation if annotation not in ("word", "") else "word"
+    route = _postings_route(corpus, a, sens)
+    if route is not None:
+        kind, field = route
+        want = desensitize_value(term, sens)
+        if kind == "direct":
+            # @i fields store desensitized terms, @s fields raw terms —
+            # `want` is normalized the same way on both routes
+            out = postings_hits(corpus, [want], field=field)
+        else:
+            # ci/di (or i) from the sensitive field: tiny dict filter,
+            # then a broadcast semi-join into the postings scan
+            tdf = corpus.terms_for(field).filter(
+                desensitize_col(F.col("term"), sens) == F.lit(want)
+            ).select("term")
+            out = postings_hits_for_terms(corpus, tdf, field=field)
+        if a != "word" and _extra_col(corpus, a):
+            # postings hold primary values only; secondary values ride
+            # a sparse column-pruned scan of the _extra sidecar
+            sec = _secondary_positions(corpus, a).filter(
+                desensitize_col(F.col("term"), sens) == F.lit(want)
+            ).select(
+                "doc_id",
+                F.col("pos").alias("start"),
+                (F.col("pos") + 1).alias("end"),
+            )
+            out = out.unionByName(sec).dropDuplicates(["doc_id", "start", "end"])
+        return out
+    # no postings field can serve this (ann, sens): token scan over the
+    # desensitized view
     tp = token_positions(corpus, annotation, sens)
     out = tp.filter(F.col("term") == desensitize_value(term, sens)).select(
         "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
@@ -192,22 +270,41 @@ def regex_hits(
     over the pattern in desensitized searches) and adds the (?i) flag;
     the pattern is never lowercased, which would invert escape classes
     (\\W -> \\w)."""
-    from blacklab_spark.analysis import fold_py, norm_sensitivity
+    from blacklab_spark.analysis import desensitize_col, fold_py, norm_sensitivity
 
     sens = norm_sensitivity(sensitive)
     pat = pattern if sens in ("s", "ci") else fold_py(pattern)
     anchored = f"^(?:{pat})$"
     if sens in ("i", "ci"):
         anchored = f"(?i){anchored}"
-    if annotation in ("word", "") and sens == "i":
+    a = annotation if annotation not in ("word", "") else "word"
+    route = _postings_route(corpus, a, sens)
+    if route is not None:
         # matched-terms set stays DISTRIBUTED: broadcast semi-join into
         # the postings scan (no driver collect, no giant isin). The
         # terms dict is tiny relative to the corpus, so the broadcast
-        # is always small even for wide regexes.
-        matching_df = corpus.terms.filter(
-            F.col("term").rlike(anchored)
+        # is always small even for wide regexes. A 'direct' field's dict
+        # terms are already sens-normalized; the 'expand' route matches
+        # the sensitive field's raw terms through the sens fold.
+        kind, field = route
+        tcol = (
+            F.col("term") if kind == "direct"
+            else desensitize_col(F.col("term"), sens)
+        )
+        matching_df = corpus.terms_for(field).filter(
+            tcol.rlike(anchored)
         ).select("term")
-        return postings_hits_for_terms(corpus, matching_df)
+        out = postings_hits_for_terms(corpus, matching_df, field=field)
+        if a != "word" and _extra_col(corpus, a):
+            sec = _secondary_positions(corpus, a).filter(
+                desensitize_col(F.col("term"), sens).rlike(anchored)
+            ).select(
+                "doc_id",
+                F.col("pos").alias("start"),
+                (F.col("pos") + 1).alias("end"),
+            )
+            out = out.unionByName(sec).dropDuplicates(["doc_id", "start", "end"])
+        return out
     tp = token_positions(corpus, annotation, sens)
     out = tp.filter(F.col("term").rlike(anchored)).select(
         "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
@@ -813,13 +910,36 @@ def fuzzy_hits(corpus, term: str, max_edits: int = 2,
     (reference SpanFuzzyQuery.java — Lucene expands the fuzzy term to
     an OR over dictionary matches; our matched set stays distributed
     as a broadcast semi-join, never a driver roundtrip)."""
-    from blacklab_spark.analysis import desensitize_py
+    from blacklab_spark.analysis import desensitize_col, desensitize_py
 
+    a = annotation if annotation not in ("word", "") else "word"
+    route = _postings_route(corpus, a, "i")
+    if route is not None:
+        kind, field = route
+        tcol = (
+            F.col("term") if kind == "direct"
+            else desensitize_col(F.col("term"), "i")
+        )
+        matching_df = corpus.terms_for(field).filter(
+            F.levenshtein(tcol, F.lit(desensitize_py(term))) <= max_edits
+        ).select("term")
+        out = postings_hits_for_terms(corpus, matching_df, field=field)
+        if a != "word" and _extra_col(corpus, a):
+            sec = _secondary_positions(corpus, a).filter(
+                F.levenshtein(
+                    desensitize_col(F.col("term"), "i"),
+                    F.lit(desensitize_py(term)),
+                ) <= max_edits
+            ).select(
+                "doc_id",
+                F.col("pos").alias("start"),
+                (F.col("pos") + 1).alias("end"),
+            )
+            out = out.unionByName(sec).dropDuplicates(["doc_id", "start", "end"])
+        return out
     matching_df = corpus.terms.filter(
         F.levenshtein(F.col("term"), F.lit(desensitize_py(term))) <= max_edits
     ).select("term")
-    if annotation in ("word", ""):
-        return postings_hits_for_terms(corpus, matching_df)
     tp = token_positions(corpus, annotation, sensitive=False)
     out = tp.join(F.broadcast(matching_df), "term").select(
         "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")

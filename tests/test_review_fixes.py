@@ -84,7 +84,19 @@ def test_bare_literal_constraint_rejected(micro):
         micro.find('"aap" :: "x"')
 
 
-def test_single_valued_annotation_has_no_extra_column(micro):
-    # probe-gated split: micro's lemma/pos sidecars contain no '|', so
-    # no _extra columns exist and the run-length probe stays available
-    assert not [c for c in micro.tokenized.columns if c.endswith("_extra")]
+def test_single_valued_annotation_pays_no_multivalue_cost(micro):
+    # always-split layout: _extra columns exist for every ann sidecar,
+    # but build-time observe detection records that micro's lemma/pos
+    # contain no '|' — so readers treat them as single-valued (no
+    # secondary scan, no dedup shuffle) and the run-length repetition
+    # probe stays available
+    from blacklab_spark.search import spans as S
+
+    assert micro.meta["multivalue_anns"] == []
+    assert S._extra_col(micro, "lemma") is None
+    assert S._extra_col(micro, "pos") is None
+    from blacklab_spark.cql import engine as E
+    from blacklab_spark.cql import parser as P
+
+    node = P.parse('[pos="vrb"]+')
+    assert E._probe_rep_spec(node, micro) is not None
