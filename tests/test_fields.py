@@ -144,3 +144,33 @@ def test_scan_fallback_matches_postings_answers(fcorpus, spark, tmp_path_factory
         assert hits(S.term_hits(mini, term, sensitive=sens)) == hits(
             S.term_hits(fcorpus, term, sensitive=sens)
         ), (term, sens)
+
+
+def test_collated_sort_diverges_from_codepoint(spark, tmp_path_factory):
+    """Golden collation test (reference Collators.java:14-82 /
+    Terms.java:69-95 RuleBasedCollator orders): sorting hits by text
+    groups case/accent variants together — 'apple' family before
+    'Zebra' — where raw codepoint order would put every capital first.
+    Our two-strength scheme: primary = fold(lower(text)), secondary =
+    raw text; documented divergence from ICU tertiary is the
+    case-variant tie order inside one group."""
+    rows = [
+        ("d0", 0, "u", "Zebra ápple apple Apple zebra Ärger anger", "t"),
+    ]
+    d = str(tmp_path_factory.mktemp("coll") / "idx")
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit("2025-01-01").cast("timestamp"))
+    c = Corpus.build(spark, df, d, EngineConfig(segment_size=4, block_size=4))
+    toks = "Zebra ápple apple Apple zebra Ärger anger".split()
+    rows = c.find('".*"').sort_by_hit_text().df.collect()
+    texts = [toks[r["start"]] for r in rows]
+    # collated: anger < apple-group < Ärger(=arger) < zebra-group;
+    # within the apple group the secondary (raw) key gives codepoint
+    # order Apple < apple < ápple
+    assert texts == [
+        "anger", "Apple", "apple", "ápple", "Ärger", "Zebra", "zebra",
+    ], texts
+    # raw codepoint order would differ (capitals/accents regrouped)
+    assert sorted(texts) != texts
