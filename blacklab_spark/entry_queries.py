@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from blacklab_spark.config import EngineConfig
 from blacklab_spark.corpus import Corpus
-from blacklab_spark.pipeline import SQL_TOKEN_PATTERN, TOKEN_PATTERN, duck_hash32
+from blacklab_spark.pipeline import (
+    SQL_TOKEN_PATTERN, TOKEN_PATTERN, duck_hash32, duck_hash60,
+)
 from blacklab_spark.pipeline import dedup as D
 from blacklab_spark.pipeline import similarity as SIM
 from blacklab_spark.pipeline import text as T
@@ -1092,7 +1094,12 @@ def _duck_bands():
 
 O_LSH_CANDIDATE_PAIRS = f"""
 WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
-bands AS ({_duck_bands()})
+bands0 AS ({_duck_bands()}),
+ok AS (
+  SELECT band_idx, band_key FROM bands0
+  GROUP BY band_idx, band_key HAVING count(*) <= {D.DEFAULT_MAX_BUCKET}
+),
+bands AS (SELECT b.* FROM bands0 b JOIN ok USING (band_idx, band_key))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -1105,7 +1112,12 @@ def q_ngram_jaccard(spark, sf_dir):
 
 O_NGRAM_JACCARD = f"""
 WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
-bands AS ({_duck_bands()}),
+bands0 AS ({_duck_bands()}),
+ok AS (
+  SELECT band_idx, band_key FROM bands0
+  GROUP BY band_idx, band_key HAVING count(*) <= {D.DEFAULT_MAX_BUCKET}
+),
+bands AS (SELECT b.* FROM bands0 b JOIN ok USING (band_idx, band_key)),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -1132,8 +1144,8 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
 
-def _duck_simhash(bits: int = 32):
-    h = duck_hash32("tok")
+def _duck_simhash(bits: int = D.SIMHASH_BITS):
+    h = duck_hash60("tok") if bits > 32 else duck_hash32("tok")
     sums = ", ".join(
         f"sum(((h >> {b}) & 1)::INT * 2 - 1) AS s{b}" for b in range(bits)
     )
@@ -1289,25 +1301,27 @@ def q_lsh_neardup_vectors(spark, sf_dir):
     """SRP-LSH near-dup pairs. The ±1 hyperplanes derive from an md5
     parity rule, so the DuckDB oracle regenerates the SAME planes and
     replicates the bucketing + candidate set + cosine verify exactly —
-    the approximation itself is value-gated, not rows-only."""
-    return SIM.lsh_neardup_pairs(_emb(spark, sf_dir), threshold=0.5)
-
-
-def _srp_oracle_sql(threshold: float = 0.5, dim: int = 64) -> str:
-    from blacklab_spark.pipeline.similarity import (
-        N_PLANES,
-        N_TABLES,
-        rademacher_signs,
+    the approximation itself is value-gated, not rows-only. The entry
+    pins 8 planes × 6 tables explicitly (enough recall at this small
+    sf to produce non-empty, value-checked output); the library
+    DEFAULTS are the scale-tuned 16×16."""
+    return SIM.lsh_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.5, n_planes=8, n_tables=6
     )
 
+
+def _srp_oracle_sql(threshold: float = 0.5, dim: int = 64,
+                    n_planes: int = 8, n_tables: int = 6) -> str:
+    from blacklab_spark.pipeline.similarity import rademacher_signs
+
     per_table = []
-    for t in range(N_TABLES):
-        s = rademacher_signs(dim, N_PLANES, t)
+    for t in range(n_tables):
+        s = rademacher_signs(dim, n_planes, t)
         bits = " + ".join(
             "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
             + ", ".join(str(int(x)) for x in s[:, p])
             + f"]::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
-            for p in range(N_PLANES)
+            for p in range(n_planes)
         )
         per_table.append(
             f"SELECT vec_id, {t} AS table_id, ({bits}) AS bucket FROM embeddings"

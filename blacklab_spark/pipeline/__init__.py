@@ -31,3 +31,19 @@ def spark_hash32(expr: str, salt: str = "") -> str:
 def duck_hash32(expr: str, salt: str = "") -> str:
     s = f"('{salt}|' || {expr})" if salt else expr
     return f"('0x' || substr(md5({s}),1,8))::BIGINT"
+
+
+# portable 60-bit hash (15 md5 hex digits): the widest md5 prefix that
+# fits a SIGNED 64-bit integer in both engines (16 digits can exceed
+# 2^63-1 and overflow the BIGINT cast). Used for SimHash fingerprints
+# wide enough to band at scale.
+
+
+def spark_hash60(expr: str, salt: str = "") -> str:
+    s = f"concat('{salt}|', {expr})" if salt else expr
+    return f"cast(conv(substr(md5({s}),1,15),16,10) as bigint)"
+
+
+def duck_hash60(expr: str, salt: str = "") -> str:
+    s = f"('{salt}|' || {expr})" if salt else expr
+    return f"('0x' || substr(md5({s}),1,15))::BIGINT"

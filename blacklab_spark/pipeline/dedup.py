@@ -17,11 +17,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from blacklab_spark.pipeline import SQL_TOKEN_PATTERN, spark_hash32
+from blacklab_spark.pipeline import SQL_TOKEN_PATTERN, spark_hash32, spark_hash60
 
 N_HASHES = 12
 BAND_ROWS = 3  # 12 hashes / 3 rows = 4 bands
 SHINGLE_K = 3
+SIMHASH_BITS = 60  # widest md5-prefix hash that fits a signed BIGINT
+#                    in both Spark and the DuckDB oracle; 60 bits give
+#                    2^(60/(d+1))-sized band spaces instead of the old
+#                    32-bit / 256-buckets-per-band degeneracy at scale
+# degenerate-bucket guard default: buckets above this size are dropped
+# before pairing (boilerplate/empty-doc families that exact_dedup
+# already collapses); bounds the candidate join at O(n * cap) instead
+# of O(n^2 / bucket_space)
+DEFAULT_MAX_BUCKET = 2000
 
 
 def _toks(col: str = "text") -> str:
@@ -67,18 +76,21 @@ def minhash_signature(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
                         band_rows: int = BAND_ROWS,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Banded LSH: docs sharing any band of their MinHash signature.
     Shuffle key = (band_idx, band_key): bucket sizes are bounded by
     collision probability, not corpus size — the scale path that
     replaces the O(n²) self-join.
 
-    ``max_bucket`` guards the degenerate-bucket failure mode (a band
-    key shared by e.g. millions of empty/boilerplate docs turns one
-    bucket into an O(n²) join): buckets above the cap are dropped
-    before pairing — at scale such buckets are exact-dup families that
-    exact_dedup already collapses, so dropping them loses no near-dup
-    signal. Leave None for exhaustive (oracle-parity) output."""
+    ``max_bucket`` (default ON) guards the degenerate-bucket failure
+    mode (a band key shared by e.g. millions of empty/boilerplate docs
+    turns one bucket into an O(n²) join): buckets above the cap are
+    dropped before pairing — at scale such buckets are exact-dup
+    families that exact_dedup already collapses, so dropping them loses
+    no near-dup signal. The dropped buckets ride along as the returned
+    DataFrame's ``_blspark_dropped_buckets`` attribute (band_idx,
+    band_key, size) so callers can log/audit them; the oracle applies
+    the same cap. Pass None for exhaustive output."""
     sigs = minhash_signature(docs, n_hashes)
     n_bands = n_hashes // band_rows
     bands = sigs.select(
@@ -97,16 +109,18 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    dropped = None
     if max_bucket is not None:
-        ok = (
-            bands.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .filter(F.col("_bsz") <= max_bucket)
-            .select("band_idx", "band_key")
+        sizes = bands.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("size")
         )
+        ok = sizes.filter(F.col("size") <= max_bucket).select(
+            "band_idx", "band_key"
+        )
+        dropped = sizes.filter(F.col("size") > max_bucket)
         bands = bands.join(ok, ["band_idx", "band_key"], "leftsemi")
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -116,6 +130,9 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    if dropped is not None:
+        out._blspark_dropped_buckets = dropped
+    return out
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame | None = None,
@@ -148,11 +165,15 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame | None = None,
     return out
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash fingerprint: bit b is set when the tf-weighted
-    sum of (2·bit_b(h(token)) − 1) over tokens is positive."""
+    sum of (2·bit_b(h(token)) − 1) over tokens is positive. 60-bit
+    default (md5-derived, signed-BIGINT-safe in Spark AND the DuckDB
+    oracle) — wide enough that banded near-dup search keeps
+    2^(bits/(d+1)) bucket values per band at scale."""
     toks = docs.select("doc_id", F.explode(F.expr(_toks())).alias("tok"))
-    h = toks.withColumn("h", F.expr(spark_hash32("tok")))
+    hash_fn = spark_hash60 if bits > 32 else spark_hash32
+    h = toks.withColumn("h", F.expr(hash_fn("tok")))
     aggs = [
         F.sum(F.expr(f"(cast(shiftright(h, {b}) & 1 as int)) * 2 - 1")).alias(f"s{b}")
         for b in range(bits)
@@ -165,14 +186,16 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
-                          bits: int = 32) -> DataFrame:
+                          bits: int = SIMHASH_BITS) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
     the classic block-permutation trick: split the fingerprint into
-    (max_hamming+1) bands — any pair within distance shares one exact
-    band, so the join key is (band_idx, band_bits), never all-pairs."""
+    (max_hamming+1) bands COVERING ALL BITS (pigeonhole: ≤d differing
+    bits leave ≥1 of d+1 bands identical) — the join key is
+    (band_idx, band_bits), never all-pairs. Band boundaries are spread
+    evenly so every fingerprint bit lands in exactly one band."""
     fps = simhash(docs, bits)
     n_bands = max_hamming + 1
-    w = bits // n_bands
+    bounds = [i * bits // n_bands for i in range(n_bands + 1)]
     bands = fps.select(
         "doc_id",
         "simhash",
@@ -181,9 +204,10 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.expr(f"shiftright(simhash, {i * w}) & {(1 << w) - 1}").alias(
-                            "band_bits"
-                        ),
+                        F.expr(
+                            f"shiftright(simhash, {bounds[i]}) & "
+                            f"{(1 << (bounds[i + 1] - bounds[i])) - 1}"
+                        ).alias("band_bits"),
                     )
                     for i in range(n_bands)
                 ]

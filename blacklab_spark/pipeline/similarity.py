@@ -68,8 +68,14 @@ def exact_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
-N_PLANES = 8
-N_TABLES = 6
+# 16 planes give 65,536 buckets per table (the old 8 -> 256 buckets
+# degenerates into O(n²/256) candidate joins at 10^8+ vectors); 16
+# independent tables hold near-dup recall: P(collide in one table) at
+# cos 0.95 is (1-θ/π)^16 = 0.898^16 ≈ 0.179, miss = (1-0.179)^16 ≈
+# 0.043 -> ≥0.95 expected recall. Planes stay a deterministic md5
+# parity so the DuckDB oracle replicates the bucketing bit-for-bit.
+N_PLANES = 16
+N_TABLES = 16
 
 
 def rademacher_signs(dim: int, n_planes: int, table: int) -> np.ndarray:
@@ -135,15 +141,28 @@ def srp_signatures(embeddings: DataFrame, n_planes: int = N_PLANES,
 
 def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                       n_planes: int = N_PLANES,
-                      n_tables: int = N_TABLES) -> DataFrame:
+                      n_tables: int = N_TABLES,
+                      max_bucket: int | None = None) -> DataFrame:
     """Approximate near-dup pairs: candidates share an SRP bucket in at
     least one of ``n_tables`` independent tables, then exact cosine
     verification on candidates only. The shuffle key is (table_id,
     bucket) — never all-pairs — and the candidate join moves only
     (vec_id, bucket) signature rows; embedding vectors are joined back
-    for the candidate pairs alone. Default 8 planes × 6 tables gives
-    ≥0.95 expected recall at cos 0.95 (miss = (1−0.898^8)^6 ≈ 0.04)."""
+    for the candidate pairs alone. Default 16 planes × 16 tables gives
+    ≥0.95 expected recall at cos 0.95 (miss = (1−0.898^16)^16 ≈ 0.043)
+    with 2^16 bucket values per table — sized for 10^8+ vectors.
+    ``max_bucket`` optionally drops degenerate buckets (e.g. a zero
+    vector family) before pairing; dropped buckets are exposed on the
+    result's ``_blspark_dropped_buckets`` attribute."""
     sigs = srp_signatures(embeddings, n_planes, n_tables)
+    dropped = None
+    if max_bucket is not None:
+        sizes = sigs.groupBy("table_id", "bucket").agg(
+            F.count(F.lit(1)).alias("size")
+        )
+        ok = sizes.filter(F.col("size") <= max_bucket).select("table_id", "bucket")
+        dropped = sizes.filter(F.col("size") > max_bucket)
+        sigs = sigs.join(ok, ["table_id", "bucket"], "leftsemi")
     a = sigs.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
     b = sigs.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
     cand = (
@@ -169,7 +188,7 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
             "vec_b",
         )
     )
-    return (
+    out = (
         cand.withColumn("cos", F.expr(f"{_dot('va', 'vb')} / (na * nb)"))
         .filter(F.col("cos") >= threshold)
         .select(
@@ -178,3 +197,6 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
             F.expr("cast(floor(cos * 10000 + 0.5) as bigint)").alias("cos_x10000"),
         )
     )
+    if dropped is not None:
+        out._blspark_dropped_buckets = dropped
+    return out

@@ -160,3 +160,51 @@ def test_lsh_recall_vs_exact(spark):
     assert lsh <= exact | lsh  # sanity
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(lsh)}/{len(exact)})"
+
+
+def test_lsh_dropped_buckets_logged(spark):
+    """Default-on bucket cap records WHAT it dropped (auditable), and a
+    degenerate corpus (every doc identical) yields zero candidate pairs
+    with the whole family in the drop log."""
+    import pandas as pd
+
+    from blacklab_spark.pipeline.dedup import N_HASHES, BAND_ROWS, lsh_candidate_pairs
+
+    rows = [{"doc_id": i, "text": "same same same text in all docs"} for i in range(50)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = lsh_candidate_pairs(docs, max_bucket=10)
+    assert out.count() == 0
+    dropped = out._blspark_dropped_buckets.collect()
+    n_bands = N_HASHES // BAND_ROWS
+    assert len(dropped) == n_bands  # one degenerate bucket per band
+    assert all(r["size"] == 50 for r in dropped)
+
+
+def test_simhash_60bit_bands_cover_all_bits(spark):
+    """60-bit fingerprints actually use the high bits, and the
+    block-permutation bands partition ALL fingerprint bits (pigeonhole
+    guarantee needs d+1 disjoint bands; coverage keeps buckets wide)."""
+    import pandas as pd
+
+    from blacklab_spark.pipeline.dedup import SIMHASH_BITS, simhash
+
+    assert SIMHASH_BITS == 60
+    rows = [
+        {"doc_id": i, "text": f"document number {i} with words w{i} x{i} y{i}"}
+        for i in range(40)
+    ]
+    fps = [r["simhash"] for r in simhash(spark.createDataFrame(pd.DataFrame(rows))).collect()]
+    assert all(fp >= 0 for fp in fps)  # signed-BIGINT-safe
+    assert any(fp >> 32 for fp in fps), "high 28 bits never set: hash too narrow"
+    # band boundaries partition [0, bits)
+    for d in (3, 6):
+        n_bands = d + 1
+        bounds = [i * 60 // n_bands for i in range(n_bands + 1)]
+        assert bounds[0] == 0 and bounds[-1] == 60
+        assert all(b2 > b1 for b1, b2 in zip(bounds, bounds[1:]))
+
+
+def test_srp_constants_scaled():
+    from blacklab_spark.pipeline import similarity as SIM
+
+    assert SIM.N_PLANES >= 16 and SIM.N_TABLES >= 15
