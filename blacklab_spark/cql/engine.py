@@ -459,29 +459,45 @@ _ANN_COST = float("inf")  # an annotation with NO postings field:
 # estimates from their own terms dict instead.
 
 _MAX_FI_WALK = 8  # bounded multi-step walk length
+_MAX_FI_ALTS = 8  # bounded OR-of-sequence alternation branches
 
 
-def _probe_specs_for(node, corpus=None) -> list[tuple[str, tuple]] | None:
-    """Walk specs for a whole clause: one spec-able part, or a Seq of
-    spec-able parts (a bounded LINEAR NFA — each state consumes exactly
-    one token, so the walk is a chain of element_at predicates)."""
+def _probe_walks_for(node, corpus=None) -> list[list[tuple]] | None:
+    """Alternative walk specs for a whole clause, or None when any part
+    is not probe-able. A Seq of probe-able parts is ONE walk — any
+    number of single-token states and repetition states (the linear NFA
+    fragment, reference NfaState.java:96-121 token/or/repetition
+    states); an Or whose clauses all yield walks is their UNION
+    (alternation of different-length sequences — reference NFAs branch;
+    we run each branch's walk from the same anchor and union)."""
+    if isinstance(node, (P.TokenOr, P.Or)):
+        # single-token OR collapses to one 'set' state when possible
+        st = _probe_spec(node)
+        if st is not None:
+            return [[st]]
+        if isinstance(node, P.Or):
+            walks: list[list[tuple]] = []
+            for c in node.clauses:
+                w = _probe_walks_for(c, corpus)
+                if w is None:
+                    return None
+                walks.extend(w)
+            # bounded alternation: each branch is one more probe pass
+            return walks if 0 < len(walks) <= _MAX_FI_ALTS else None
+        return None
     if isinstance(node, P.Seq):
         parts = _flatten_seq(node.parts)
-        specs, n_var = [], 0
+        specs = []
         for p in parts:
-            s = _probe_spec(p)
-            if s is None:
-                s = _probe_rep_spec(p, corpus)
-                if s is not None:
-                    n_var += 1
-            if s is None:
+            st = _probe_spec(p) or _probe_rep_spec(p, corpus)
+            if st is None:
                 return None
-            specs.append(s)
-        if specs and n_var <= 1 and len(specs) <= _MAX_FI_WALK:
-            return specs
+            specs.append(st)
+        if specs and len(specs) <= _MAX_FI_WALK:
+            return [specs]
         return None
-    s = _probe_spec(node) or _probe_rep_spec(node, corpus)
-    return [s] if s is not None else None
+    st = _probe_spec(node) or _probe_rep_spec(node, corpus)
+    return [[st]] if st is not None else None
 
 
 def _fi_seq(corpus, node: P.FISeq) -> DataFrame:
@@ -489,21 +505,34 @@ def _fi_seq(corpus, node: P.FISeq) -> DataFrame:
     TextPatternQueryFunction.java:38-61 → SpanQueryFiSeq): _FI1 anchors
     on the RIGHT clause and probes the left backward over the token
     arrays; _FI2 anchors LEFT and probes right. The probed clause may
-    be a plain term, a regex, an OR of terms, or a bounded sequence of
-    those (a linear NFA walk, reference NfaState.java:96-121 /
+    be a plain term, a regex, an OR of terms, a bounded sequence of
+    those with any number of repetition states, or an OR of such
+    sequences (each alternative walks from the same anchor, results
+    unioned — reference NfaState.java:96-121 branch states /
     ClauseCombinerNfa.java:144-282); anything else falls back to the
     adjacency join."""
     if node.fi_clause == 1:
-        specs = _probe_specs_for(node.left, corpus)
-        if specs is not None:
+        walks = _probe_walks_for(node.left, corpus)
+        if walks is not None:
             anchor = translate(corpus, node.right)
             # left walk moves away from the anchor: reverse clause order
-            return S.probe_steps(corpus, anchor, list(reversed(specs)), "left")
+            outs = [
+                S.probe_steps(corpus, anchor, list(reversed(w)), "left")
+                for w in walks
+            ]
+            out = outs[0]
+            for d in outs[1:]:
+                out = S.union(out, d)
+            return out
     else:
-        specs = _probe_specs_for(node.right, corpus)
-        if specs is not None:
+        walks = _probe_walks_for(node.right, corpus)
+        if walks is not None:
             anchor = translate(corpus, node.left)
-            return S.probe_steps(corpus, anchor, specs, "right")
+            outs = [S.probe_steps(corpus, anchor, w, "right") for w in walks]
+            out = outs[0]
+            for d in outs[1:]:
+                out = S.union(out, d)
+            return out
     return _sequence(corpus, [node.left, node.right])
 
 

@@ -414,10 +414,12 @@ def probe_steps(
 
     A step is ``(annotation, matcher)`` — consumes exactly one token —
     or ``(annotation, matcher, rmin, rmax)`` — a REPETITION state
-    consuming rmin..rmax consecutive matching tokens (at most one such
-    step per walk). The variable step runs as one run-length scan
-    (`aggregate` over the sliced token window) plus an explode of the
-    valid lengths only — never a per-length Spark job.
+    consuming rmin..rmax consecutive matching tokens (``rmax=None`` =
+    unbounded, scans to the doc edge). ANY number of repetition states
+    is supported: the walk threads a consumed-token-count Column
+    through the steps, each variable step contributing one run-length
+    scan (`aggregate` over the sliced token window) plus an explode of
+    its valid lengths — never a per-length Spark job.
 
     The reference's cost-based NFA strategy (ClauseCombinerNfa.java:144-282,
     SpanQueryFiSeq.java:20-24, NfaState.java:96-121 — repetition states
@@ -439,6 +441,7 @@ def probe_steps(
                 cols.append(F.col(f"ann_{a}_extra").alias(f"_extra_{a}"))
     tk = corpus.tokenized.select(*cols)
     j = hits.join(tk, "doc_id")
+    right = direction == "right"
 
     def toks(ann: str) -> Column:
         a = ann or "word"
@@ -465,110 +468,68 @@ def probe_steps(
             )
         return c
 
-    var_idx = [i for i, s in enumerate(steps) if len(s) == 4]
-    if len(var_idx) > 1:
-        raise ValueError("probe walk supports at most one repetition step")
-
-    # steps are in WALK order, moving away from the anchor (for a left
-    # walk over the clause sequence `s1 s2 ANCHOR` pass [s2, s1])
-    if not var_idx:
-        n = len(steps)
-        cond = F.lit(True)
-        for k, (ann, matcher) in enumerate(steps, start=1):
-            if direction == "right":
-                pos = F.col("end") + k  # 1-based element_at
-            else:
-                pos = F.col("start") - k + 1
-            cond = cond & step_cond(ann, pos, matcher)
-        if direction == "right":
-            return j.filter(cond).select(
-                "doc_id", "start", (F.col("end") + n).alias("end"), *_caps(hits)
-            )
-        return (
-            j.filter(cond)
-            .select(
-                "doc_id", (F.col("start") - n).alias("start"), "end", *_caps(hits)
-            )
-            .filter(F.col("start") >= 0)
-        )
-
-    iv = var_idx[0]
-    pre, post = steps[:iv], steps[iv + 1 :]
-    ann_v, m_v, rmin, rmax = steps[iv]
-    match_v = _match_fn(m_v, ann_v)
-
-    # fixed steps before the repetition
-    cond = F.lit(True)
-    for k, (ann, matcher) in enumerate(pre, start=1):
-        if direction == "right":
-            pos = F.col("end") + k
+    # `off` = tokens consumed by the walk so far, as a Column (fixed
+    # steps add 1 each; each repetition adds its exploded length)
+    off: Column = F.lit(0)
+    n_var = 0
+    for step in steps:
+        if len(step) == 2:
+            ann, matcher = step
+            pos = (F.col("end") + off + 1) if right else (F.col("start") - off)
+            j = j.filter(step_cond(ann, pos, matcher))
+            off = off + F.lit(1)
+            continue
+        # repetition state: run length of consecutive matches from the
+        # current slot; rmax=None scans to the doc edge (slice clamps)
+        ann_v, m_v, rmin, rmax = step
+        match_v = _match_fn(m_v, ann_v)
+        if right:
+            wlen = F.size(toks(ann_v)) if rmax is None else F.lit(rmax)
+            window = F.slice(toks(ann_v), F.col("end") + off + 1, wlen)
         else:
-            pos = F.col("start") - k + 1
-        cond = cond & step_cond(ann, pos, matcher)
-    j = j.filter(cond)
-
-    # run length of consecutive matches from the repetition's first slot.
-    # rmax=None (unbounded repetition) scans to the doc edge — slice()
-    # clamps the length to the array, so the window is data-driven.
-    off = len(pre)
-    if direction == "right":
-        wlen = F.size(toks(ann_v)) if rmax is None else F.lit(rmax)
-        window = F.slice(toks(ann_v), F.col("end") + off + 1, wlen)
-    else:
-        avail = F.col("start") - off
-        wfrom = (
-            F.lit(1)
+            avail = F.col("start") - off
+            wfrom = (
+                F.lit(1)
+                if rmax is None
+                else F.greatest(F.lit(1), avail - rmax + 1)
+            )
+            wlen = avail if rmax is None else F.least(F.lit(rmax), avail)
+            window = F.when(
+                avail > 0,
+                F.reverse(F.slice(toks(ann_v), wfrom, wlen)),
+            ).otherwise(F.array().cast("array<string>"))
+        acc0 = F.struct(F.lit(0).alias("r"), F.lit(False).alias("d"))
+        runlen = F.aggregate(
+            window,
+            acc0,
+            lambda a, x: F.struct(
+                F.when(a["d"] | ~F.coalesce(match_v(x), F.lit(False)), a["r"])
+                .otherwise(a["r"] + 1)
+                .alias("r"),
+                (a["d"] | ~F.coalesce(match_v(x), F.lit(False))).alias("d"),
+            ),
+        )["r"]
+        run_c, n_c = f"_run{n_var}", f"_n{n_var}"
+        j = j.withColumn(run_c, runlen).filter(F.col(run_c) >= rmin)
+        n_hi = (
+            F.col(run_c)
             if rmax is None
-            else F.greatest(F.lit(1), avail - rmax + 1)
+            else F.least(F.lit(rmax), F.col(run_c))
         )
-        wlen = avail if rmax is None else F.least(F.lit(rmax), avail)
-        window = F.when(
-            avail > 0,
-            F.reverse(F.slice(toks(ann_v), wfrom, wlen)),
-        ).otherwise(F.array().cast("array<string>"))
-    acc0 = F.struct(F.lit(0).alias("r"), F.lit(False).alias("d"))
-    runlen = F.aggregate(
-        window,
-        acc0,
-        lambda a, x: F.struct(
-            F.when(a["d"] | ~F.coalesce(match_v(x), F.lit(False)), a["r"])
-            .otherwise(a["r"] + 1)
-            .alias("r"),
-            (a["d"] | ~F.coalesce(match_v(x), F.lit(False))).alias("d"),
-        ),
-    )["r"]
-    j = j.withColumn("_run", runlen).filter(F.col("_run") >= rmin)
-    n_hi = (
-        F.col("_run")
-        if rmax is None
-        else F.least(F.lit(rmax), F.col("_run"))
-    )
-    j = j.withColumn("_n", F.explode(F.sequence(F.lit(rmin), n_hi)))
+        j = j.withColumn(n_c, F.explode(F.sequence(F.lit(rmin), n_hi)))
+        off = off + F.col(n_c)
+        n_var += 1
 
-    # fixed steps after the repetition (offsets shifted by _n)
-    cond = F.lit(True)
-    for k, (ann, matcher) in enumerate(post, start=1):
-        if direction == "right":
-            pos = F.col("end") + off + F.col("_n") + k
-        else:
-            pos = F.col("start") - off - F.col("_n") - k + 1
-        cond = cond & step_cond(ann, pos, matcher)
-    j = j.filter(cond)
-
-    total = off + len(post)
-    if direction == "right":
+    if right:
         return j.select(
-            "doc_id",
-            "start",
-            (F.col("end") + total + F.col("_n")).alias("end"),
-            *_caps(hits),
+            "doc_id", "start", (F.col("end") + off).alias("end"), *_caps(hits)
         )
-    return j.select(
-        "doc_id",
-        (F.col("start") - total - F.col("_n")).alias("start"),
-        "end",
-        *_caps(hits),
-    ).filter(F.col("start") >= 0)
+    return (
+        j.select(
+            "doc_id", (F.col("start") - off).alias("start"), "end", *_caps(hits)
+        )
+        .filter(F.col("start") >= 0)
+    )
 
 
 def probe_neighbor(

@@ -160,3 +160,61 @@ def test_cql_repetition_probe_equals_join(small_corpus, probing_corpus):
         probing_corpus.cfg = dataclasses.replace(corpus.cfg, fi_probe_ratio=1.01)
         assert with_probe == without, q
         assert with_probe, q
+
+
+# ---------------------------------------------------------------------------
+# extended NFA walks: multiple repetition states, OR-of-sequence alternation
+# (reference NfaState.java branch/repetition states via ClauseCombinerNfa)
+# ---------------------------------------------------------------------------
+
+def _join_plan(corpus, q):
+    """Ground truth: the same pattern through the position-join planner."""
+    orig = corpus.cfg
+    try:
+        corpus.cfg = dataclasses.replace(orig, fi_probe_ratio=0.0)
+        return hits(corpus.find(q).df)
+    finally:
+        corpus.cfg = orig
+
+
+MULTI_SHAPES = [
+    # (forced-FI query, equivalent plain sequence)
+    ('_FI2("word00123", "word00001"+ "word00002"{1,2})',
+     '"word00123" "word00001"+ "word00002"{1,2}'),
+    ('_FI2("word00123", "word00001"{1,3} "word00005" "word00002"+)',
+     '"word00123" "word00001"{1,3} "word00005" "word00002"+'),
+    ('_FI1("word00001"+ "word00002"{1,2}, "word00123")',
+     '"word00001"+ "word00002"{1,2} "word00123"'),
+    ('_FI2("word00123", ("word00001" "word00002" | "word00005"))',
+     '"word00123" ("word00001" "word00002" | "word00005")'),
+    ('_FI1(("word00001" "word00002" | "word00005" | "word0000." "word00001"), "word00123")',
+     '("word00001" "word00002" | "word00005" | "word0000." "word00001") "word00123"'),
+    ('_FI2("word00123", ("word00001"+ | "word00002" "word00005"))',
+     '"word00123" ("word00001"+ | "word00002" "word00005")'),
+]
+
+
+def test_fi_walk_multi_repetition_and_alternation(small_corpus):
+    corpus, _ = small_corpus
+    from blacklab_spark.cql import engine as E
+    from blacklab_spark.cql import parser as P
+
+    failures = []
+    for fi_q, plain_q in MULTI_SHAPES:
+        node = P.parse(fi_q)
+        # the walk must actually engage (no silent join fallback)
+        probed_clause = node.left if node.fi_clause == 1 else node.right
+        assert E._probe_walks_for(probed_clause, corpus) is not None, fi_q
+        got = hits(corpus.find(fi_q).df)
+        want = _join_plan(corpus, plain_q)
+        if got != want:
+            failures.append((fi_q, len(got), len(want)))
+    assert not failures, failures
+
+
+def test_fi_walk_unbounded_repetition(small_corpus):
+    corpus, _ = small_corpus
+    q = '_FI2("word00123", "word00001"+)'
+    assert hits(corpus.find(q).df) == _join_plan(
+        corpus, '"word00123" "word00001"+'
+    )
