@@ -196,12 +196,27 @@ def read_chat(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _read_xml(spark: SparkSession, path: str, **kw) -> DataFrame:
+    from blacklab_spark.index.xml_ingest import read_xml
+
+    return read_xml(spark, path, **kw)
+
+
+def _read_tei(spark: SparkSession, path: str, **kw) -> DataFrame:
+    from blacklab_spark.index.xml_ingest import read_xml
+
+    kw.setdefault("cfg", "tei-p5")
+    return read_xml(spark, path, **kw)
+
+
 READERS = {
     "txt": read_plaintext,
     "csv": read_tabular,
     "tsv": read_tsv,
     "jsonl": read_jsonl,
     "chat": read_chat,
+    "xml": _read_xml,
+    "tei": _read_tei,
 }
 
 

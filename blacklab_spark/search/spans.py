@@ -125,7 +125,17 @@ def token_positions(
         src = corpus.tokenized.select(
             "doc_id", _word_tokens_col(corpus, sens).alias("_toks")
         )
-        return src.select("doc_id", F.posexplode("_toks").alias("pos", "term"))
+        tp = src.select("doc_id", F.posexplode("_toks").alias("pos", "term"))
+        if _extra_col(corpus, "word"):
+            # a multi-valued MAIN annotation (reference TestIndex's
+            # "The|DOH|ZZZ", AnnotationWriter.java:246-263): secondary
+            # word values ride the ann_word_extra sidecar and are
+            # searchable like any secondary annotation value
+            sec = _secondary_positions(corpus, "word")
+            if sens != "s":
+                sec = sec.withColumn("term", desensitize_col(F.col("term"), sens))
+            return tp.unionByName(sec)
+        return tp
     tp = corpus.tokenized.select(
         "doc_id", F.posexplode(f"ann_{annotation}").alias("pos", "term")
     )
@@ -237,9 +247,11 @@ def term_hits(
                 desensitize_col(F.col("term"), sens) == F.lit(want)
             ).select("term")
             out = postings_hits_for_terms(corpus, tdf, field=field)
-        if a != "word" and _extra_col(corpus, a):
+        if _extra_col(corpus, a):
             # postings hold primary values only; secondary values ride
-            # a sparse column-pruned scan of the _extra sidecar
+            # a sparse column-pruned scan of the _extra sidecar (for
+            # the main annotation too: multivalue word rows land in
+            # ann_word_extra at build)
             sec = _secondary_positions(corpus, a).filter(
                 desensitize_col(F.col("term"), sens) == F.lit(want)
             ).select(
@@ -295,7 +307,7 @@ def regex_hits(
             tcol.rlike(anchored)
         ).select("term")
         out = postings_hits_for_terms(corpus, matching_df, field=field)
-        if a != "word" and _extra_col(corpus, a):
+        if _extra_col(corpus, a):
             sec = _secondary_positions(corpus, a).filter(
                 desensitize_col(F.col("term"), sens).rlike(anchored)
             ).select(
@@ -435,6 +447,8 @@ def probe_steps(
     for a in anns:
         if a in ("word", ""):
             cols.append(F.col("tokens_i").alias("_toks_word"))
+            if _extra_col(corpus, "word"):
+                cols.append(F.col("ann_word_extra").alias("_extra_word"))
         else:
             cols.append(F.col(f"ann_{a}").alias(f"_toks_{a}"))
             if _extra_col(corpus, a):
@@ -460,8 +474,10 @@ def probe_steps(
         values are searchable)."""
         a = ann or "word"
         c = _probe_match_col(elem(ann, pos), matcher)
-        if a not in ("word", "") and _extra_col(corpus, a):
-            m = _match_fn(matcher, a)
+        if _extra_col(corpus, a):
+            # sidecar values are stored RAW (for the word annotation
+            # too) — force the desensitizing matcher variant
+            m = _match_fn(matcher, "_raw_sidecar")
             c = c | F.exists(
                 F.col(f"_extra_{a}"),
                 lambda x: (x["pos"] == pos - 1) & m(x["term"]),
@@ -885,7 +901,7 @@ def fuzzy_hits(corpus, term: str, max_edits: int = 2,
             F.levenshtein(tcol, F.lit(desensitize_py(term))) <= max_edits
         ).select("term")
         out = postings_hits_for_terms(corpus, matching_df, field=field)
-        if a != "word" and _extra_col(corpus, a):
+        if _extra_col(corpus, a):
             sec = _secondary_positions(corpus, a).filter(
                 F.levenshtein(
                     desensitize_col(F.col("term"), "i"),

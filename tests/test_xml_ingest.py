@@ -1,0 +1,201 @@
+"""XML ingestion goldens: the reference's OWN test corpus, parsed from
+its native XML (reference testutil/TestIndex.java:117-170 TEST_DATA —
+4 docs of `<doc pid=.. title=..><s><entity><w l=.. p=..>word</w>...`),
+must index to the same doc lengths {9,12,6,10}, annotations, inline-tag
+spans, and TestSearches-style query results, including the multi-value
+token position "The|DOH|ZZZ" (searchable secondaries DOH/ZZZ, primary
+`The` in the forward index / concordances)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.index.xml_ingest import (
+    XmlFormat, load_blf_config, parse_xml_files, read_xml, xml_spans,
+)
+
+TEST_DATA = [
+    "<doc pid='0' title='Pangram'><s><entity>"
+    "<w l='the'   p='art'>The|DOH|ZZZ</w> "
+    "<w l='quick' p='adj'>quick</w> "
+    "<w l='brown' p='adj'>brown</w> "
+    "<w l='fox'   p='nou'>fox</w></entity> "
+    "<w l='jump'  p='vrb' >jumps</w> "
+    "<w l='over'  p='pre' >over</w> "
+    "<entity><w l='the'   p='art' >the</w> "
+    "<w l='lazy'  p='adj'>lazy</w> "
+    "<w l='dog'   p='nou'>dog</w></entity>.</s></doc>",
+    "<doc pid='1' title='Learning words'> <w l='noot'>noot</w> "
+    "<w l='mier'>mier</w> <w l='aap'>aap</w> <w l='mier'>mier</w> "
+    "<w l='mier'>mier</w> <w l='mier'>mier</w> <w l='noot'>noot</w> "
+    "<w l='noot'>noot</w> <w l='aap'>aap</w> <w l='aap'>aap</w> "
+    "<w l='aap'>aap</w> <w l='aap'>aap</w> </doc>",
+    "<doc pid='2' title='Star Wars'> <s><w l='may' p='vrb'>May</w> "
+    "<entity><w l='the' p='art'>the</w> "
+    "<w l='force' p='nou'>Force</w></entity> "
+    "<w l='be' p='vrb'>be</w> <w l='with' p='pre'>with</w> "
+    "<w l='you' p='pro'>you</w>.</s></doc>",
+    "<doc pid='3' title='Bastardized Shakespeare'> <s><w l='to' p='pre'>To</w> "
+    "<w l='find' p='vrb'>find</w> <w l='or' p='con'>or</w> "
+    "<w l='be' p='adv'>not</w> <w l='to' p='pre'>to</w> "
+    "<w l='find' p='vrb'>find</w>.</s>"
+    "<s><w l='that' p='pro'>That</w> <w l='be' p='vrb'>is</w> "
+    "<w l='the' p='art'>the</w> <w l='question' p='nou'>question</w>."
+    "</s></doc>",
+]
+
+FMT = XmlFormat(
+    document_tag="doc",
+    word_tag="w",
+    annotations={"lemma": "@l", "pos": "@p"},
+    inline_tags=("s", "entity"),
+    metadata={"conv_id": "@pid"},
+)
+
+
+@pytest.fixture(scope="module")
+def xml_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("refxml")
+    for i, doc in enumerate(TEST_DATA):
+        (d / f"doc{i}.xml").write_text(doc)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, xml_dir):
+    return parse_xml_files(spark, xml_dir, FMT).cache()
+
+
+def test_doc_lengths_and_text(spark, xml_dir, parsed):
+    tr = read_xml(spark, xml_dir, FMT, parsed=parsed)
+    rows = {r["conv_id"]: r for r in tr.collect()}
+    assert set(rows) == {"0", "1", "2", "3"}
+    # reference DOC_LENGTHS_TOKENS = {9, 12, 6, 10}
+    lengths = {cid: len(r["text"].split()) for cid, r in rows.items()}
+    assert lengths == {"0": 9, "1": 12, "2": 6, "3": 10}
+    # primary value of the multi-valued position
+    assert rows["0"]["text"].split()[0] == "The"
+    assert rows["0"]["ann_lemma"] == [
+        "the", "quick", "brown", "fox", "jump", "over", "the", "lazy", "dog",
+    ]
+    assert rows["0"]["ann_pos"] == [
+        "art", "adj", "adj", "nou", "vrb", "pre", "art", "adj", "nou",
+    ]
+    # doc1 has no p annotations at all (position-aligned empties)
+    assert rows["1"]["ann_pos"] == [""] * 12
+    # full multivalue string lands in the ann_word sidecar
+    assert rows["0"]["ann_word"][0] == "The|DOH|ZZZ"
+
+
+def test_inline_tag_spans(spark, xml_dir, parsed):
+    sp = xml_spans(spark, xml_dir, FMT, parsed=parsed)
+    got = {
+        (r["conv_id"], r["tag"], r["start"], r["end"])
+        for r in sp.collect()
+    }
+    assert got == {
+        ("0", "s", 0, 9), ("0", "entity", 0, 4), ("0", "entity", 6, 9),
+        ("2", "s", 0, 6), ("2", "entity", 1, 3),
+        ("3", "s", 0, 6), ("3", "s", 6, 10),
+    }
+
+
+@pytest.fixture(scope="module")
+def xml_corpus(spark, xml_dir, parsed, small_cfg, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("xmlidx") / "idx")
+    tr = read_xml(spark, xml_dir, FMT, parsed=parsed)
+    sp = xml_spans(spark, xml_dir, FMT, parsed=parsed)
+    return Corpus.build(spark, tr, d, small_cfg, extra_spans=sp)
+
+
+def _hits(corpus, cql: str) -> set[tuple]:
+    return {
+        (r["doc_id"], r["start"], r["end"])
+        for r in corpus.find(cql).df.select("doc_id", "start", "end").collect()
+    }
+
+
+def test_queries_on_xml_corpus(xml_corpus):
+    c = xml_corpus
+    # docs get dense ids in conv_id order 0..3
+    assert _hits(c, '"quick" "brown"') == {(0, 1, 3)}
+    assert _hits(c, '[pos="nou"]') == {
+        (0, 3, 4), (0, 8, 9), (2, 2, 3), (3, 9, 10),
+    }
+    # within inline tags from the XML
+    assert _hits(c, '"fox" within <entity/>') == {(0, 3, 4)}
+    assert _hits(c, '<entity/> containing "force"') == {(2, 1, 3)}
+
+
+def test_multivalue_word_searchable(xml_corpus):
+    """Reference TestIndex.java:118-121: all values at the position are
+    searchable in the reverse index; the forward index keeps the first."""
+    c = xml_corpus
+    assert _hits(c, '"doh"') == {(0, 0, 1)}
+    assert _hits(c, '"zzz"') == {(0, 0, 1)}
+    assert _hits(c, '"the"') == {(0, 0, 1), (0, 6, 7), (2, 1, 2), (3, 8, 9)}
+    # sequence through a secondary value
+    assert _hits(c, '"doh" "quick"') == {(0, 0, 2)}
+    # concordance shows the PRIMARY value (forward index keeps first)
+    kw = c.find('"doh"').kwic(1).collect()
+    assert len(kw) == 1 and kw[0]["match"] == "the"
+
+
+def test_blf_yaml_config(tmp_path, spark, xml_dir):
+    cfg_path = tmp_path / "testformat.blf.yaml"
+    cfg_path.write_text(
+        """
+name: testformat
+fileType: xml
+documentPath: //doc
+annotatedFields:
+  contents:
+    wordPath: .//w
+    annotations:
+    - name: lemma
+      valuePath: "@l"
+    - name: pos
+      valuePath: "@p"
+    inlineTags:
+    - path: .//s
+    - path: .//entity
+metadata:
+  fields:
+  - name: conv_id
+    valuePath: "@pid"
+"""
+    )
+    fmt = load_blf_config(str(cfg_path))
+    assert fmt.document_tag == "doc"
+    assert fmt.word_tag == "w"
+    assert fmt.annotations == {"lemma": "@l", "pos": "@p"}
+    assert fmt.inline_tags == ("s", "entity")
+    tr = read_xml(spark, xml_dir, fmt)
+    assert tr.count() == 4
+
+
+def test_tei_namespace(tmp_path_factory, spark):
+    """TEI P5 with namespaces: local-name matching needs no config."""
+    d = tmp_path_factory.mktemp("tei")
+    (d / "sample.xml").write_text(
+        """<TEI xmlns="http://www.tei-c.org/ns/1.0">
+  <teiHeader><fileDesc/></teiHeader>
+  <text><body>
+    <s><w lemma="hello" pos="INT">Hello</w>
+       <w lemma="world" pos="NOU">world</w></s>
+    <s><w lemma="good" pos="ADJ">Good</w>
+       <w lemma="day" pos="NOU">day</w></s>
+  </body></text>
+</TEI>"""
+    )
+    tr = read_xml(spark, str(d), "tei-p5")
+    rows = tr.collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "Hello world Good day"
+    assert rows[0]["ann_lemma"] == ["hello", "world", "good", "day"]
+    sp = xml_spans(spark, str(d), "tei-p5")
+    got = {(r["tag"], r["start"], r["end"]) for r in sp.collect()}
+    assert got == {("s", 0, 2), ("s", 2, 4)}
