@@ -82,21 +82,6 @@ def parse_field(field: str) -> tuple[str, str]:
     return ann, sens
 
 
-def field_tokens_col(field: str) -> "F.Column":
-    """Expression producing the per-doc token array of a postings field
-    from the tokenized table (word@s = stored tokens; word@i = derived
-    insensitive view; ann X reads the ann_X primary-value sidecar,
-    desensitized for @i)."""
-    from blacklab_spark.analysis import desensitize_col
-
-    ann, sens = parse_field(field)
-    if ann == "word":
-        return F.col("tokens") if sens == "s" else F.col("tokens_i")
-    base = F.col(f"ann_{ann}")
-    if sens == "s":
-        return base
-    return F.transform(base, lambda t: desensitize_col(t, "i"))
-
 SEGMENTS_META_SCHEMA = (
     "stage string, partition_id long, rows long, tokens long, checksum string"
 )
@@ -241,10 +226,22 @@ def make_encoder(cfg: EngineConfig, avgdl: float, fields: list[str] | None = Non
         ]
     )
 
-    def encode_field(seg: int, docs: "np.ndarray", toks, fname: str):
+    from blacklab_spark.analysis import desensitize_py
+
+    def encode_field(seg: int, docs: "np.ndarray", toks, fname: str, fold: bool):
         """Posting blocks of ONE field over one segment slice. ``toks``
-        is the field's list<string> Arrow array; per-doc lengths come
-        from the list offsets (null sidecar arrays encode as empty)."""
+        is the field's RAW list<string> Arrow array; per-doc lengths
+        come from the list offsets (null sidecar arrays encode as
+        empty). ``fold``: desensitize for an @i field — applied to the
+        segment DICTIONARY (unique terms) instead of every token: the
+        former JVM-side per-token transform(lower+translate) was ~2/5
+        of the whole postings stage; folding ~10-100k unique strings
+        per segment costs milliseconds for the identical result (the
+        desensitize_py table IS the codegen fold's table, analysis.py).
+        The dictionary is also SORTED (codes remapped) so each slice's
+        blocks leave the kernel term-ordered — parquet row-group
+        min/max stats on `term` stay tight with almost no work for the
+        downstream per-file sort."""
         lens = pc.list_value_length(toks).fill_null(0).to_numpy().astype(np.int64)
         total = int(lens.sum())
         if total == 0:
@@ -252,6 +249,20 @@ def make_encoder(cfg: EngineConfig, avgdl: float, fields: list[str] | None = Non
         de = pc.dictionary_encode(toks.flatten())
         codes = de.indices.to_numpy().astype(np.int64)
         dictionary = de.dictionary
+        if fold:
+            folded = pa.array(
+                [desensitize_py(s) if s is not None else None
+                 for s in dictionary.to_pylist()],
+                pa.string(),
+            )
+            fd = pc.dictionary_encode(folded)
+            codes = fd.indices.to_numpy().astype(np.int64)[codes]
+            dictionary = fd.dictionary
+        sort_idx = pc.sort_indices(dictionary).to_numpy().astype(np.int64)
+        inv = np.empty_like(sort_idx)
+        inv[sort_idx] = np.arange(len(sort_idx))
+        codes = inv[codes]
+        dictionary = dictionary.take(pa.array(sort_idx))
         did = np.repeat(docs, lens)
         dl = np.repeat(lens, lens)
         starts = np.zeros(len(lens), dtype=np.int64)
@@ -329,13 +340,15 @@ def make_encoder(cfg: EngineConfig, avgdl: float, fields: list[str] | None = Non
             schema=out_schema,
         )
 
+    folds = [parse_field(f)[1] != "s" for f in fields]
+
     def encode_segment(table: "pa.Table") -> "pa.Table":
         seg = table.column("segment_id")[0].as_py()
         docs = table.column("doc_id").to_numpy().astype(np.int64)
         parts = []
         for fi, fname in enumerate(fields):
             toks = table.column(f"_fld_{fi}").combine_chunks()
-            out = encode_field(seg, docs, toks, fname)
+            out = encode_field(seg, docs, toks, fname, folds[fi])
             if out is not None:
                 parts.append(out)
         if not parts:
@@ -370,16 +383,15 @@ def encode_postings(
     scan and shuffle-free layout are shared). ``legacy_layout`` drops
     the field column for appends into pre-field index dirs."""
     fields = list(fields) if fields is not None else list(cfg.index_fields)
-    src = tokenized
-    if any(parse_field(f) == ("word", "i") for f in fields) and (
-        "tokens_i" not in src.columns
-    ):
-        from blacklab_spark.analysis import insensitive_tokens_col
-
-        src = src.withColumn("tokens_i", insensitive_tokens_col("tokens"))
+    # ship the RAW token arrays — desensitization for @i fields happens
+    # at the segment-dictionary level inside the kernel (see
+    # make_encoder.encode_field), not as a per-token JVM transform
     cols = [F.col("segment_id"), F.col("doc_id")]
-    cols += [field_tokens_col(f).alias(f"_fld_{i}") for i, f in enumerate(fields)]
-    rows = src.select(*cols)
+    for i, f in enumerate(fields):
+        ann, _sens = parse_field(f)
+        src_col = F.col("tokens") if ann == "word" else F.col(f"ann_{ann}")
+        cols.append(src_col.alias(f"_fld_{i}"))
+    rows = tokenized.select(*cols)
     # ZERO-shuffle encode: posting blocks are correct under ANY row
     # placement — each doc contributes its (term, doc) groups to
     # exactly one kernel call, and partial blocks of the same

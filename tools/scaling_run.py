@@ -75,8 +75,13 @@ def main() -> None:
     tr.limit(1000).count()
 
     t0 = time.time()
+    # 32k-doc segments: the block-row count (the per-row overhead that
+    # dominates postings write + terms agg) scales with
+    # segments x vocab-per-segment, and each kernel slice still peaks
+    # well under 100MB — fewer, larger segments move less memory per
+    # turn at identical query semantics
     corpus = Corpus.build(
-        spark, tr, idx, EngineConfig(segment_size=1 << 13, block_size=128)
+        spark, tr, idx, EngineConfig(segment_size=1 << 15, block_size=128)
     )
     build_s = time.time() - t0
 
