@@ -50,7 +50,8 @@ _EPOCH = "1970-01-01 00:00:00"
 _PARSED_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
     "ts string, anns map<string,array<string>>, "
-    "spans array<struct<tag:string,start:int,end:int,attrs:map<string,string>>>"
+    "spans array<struct<tag:string,start:int,end:int,attrs:map<string,string>>>, "
+    "xml string"
 )
 
 
@@ -101,7 +102,8 @@ def _ann_value(el, spec: str) -> str:
     return ""
 
 
-def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int) -> dict:
+def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
+               keep_xml: bool = False) -> dict:
     words: list[str] = []
     word_full: list[str] = []
     anns: dict[str, list[str]] = {name: [] for name in cfg.annotations}
@@ -155,6 +157,11 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int) -> dict:
             out_anns[name] = vals
     if has_multivalue:
         out_anns["word"] = word_full
+    xml = None
+    if keep_xml:
+        import xml.etree.ElementTree as ET
+
+        xml = ET.tostring(doc_el, encoding="unicode")
     return {
         "conv_id": conv_id,
         "turn_idx": 0,
@@ -164,11 +171,13 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int) -> dict:
         "ts": _EPOCH,
         "anns": out_anns,
         "spans": spans,
+        "xml": xml,
     }
 
 
 def parse_xml_files(
-    spark: SparkSession, path: str, cfg: XmlFormat | str | None = None
+    spark: SparkSession, path: str, cfg: XmlFormat | str | None = None,
+    keep_xml: bool = False,
 ) -> DataFrame:
     """Whole-file XML scan -> one parsed row per document element, with
     annotation arrays and inline-tag span rows still nested (split into
@@ -205,12 +214,12 @@ def parse_xml_files(
                     ]
                 )
                 for i, doc_el in enumerate(docs):
-                    rows.append(_parse_doc(doc_el, cfg, file_id, i))
+                    rows.append(_parse_doc(doc_el, cfg, file_id, i, keep_xml))
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "conv_id", "turn_idx", "role", "text", "tool", "ts",
-                    "anns", "spans",
+                    "anns", "spans", "xml",
                 ],
             )
 
@@ -219,15 +228,22 @@ def parse_xml_files(
 
 def read_xml(
     spark: SparkSession, path: str, cfg: XmlFormat | str | None = None,
-    parsed: DataFrame | None = None,
+    parsed: DataFrame | None = None, keep_xml: bool = False,
 ) -> DataFrame:
     """XML files -> canonical transcript rows (+ ``ann_*`` sidecars).
     Pass ``parsed=parse_xml_files(...)`` (optionally persisted) to share
-    one parse with ``xml_spans``."""
+    one parse with ``xml_spans``. ``keep_xml=True`` carries the raw
+    document XML through as an ``xml_text`` column — the build stores
+    it alongside the text (our content store keeps original XML like
+    the reference's, ContentStoreIntegrated.java:14), and snippets then
+    highlight the XML well-formed (util XmlHighlighter.java)."""
     if isinstance(cfg, str):
         cfg = FORMATS[cfg]
     cfg = cfg or XmlFormat()
-    df = parsed if parsed is not None else parse_xml_files(spark, path, cfg)
+    df = (
+        parsed if parsed is not None
+        else parse_xml_files(spark, path, cfg, keep_xml=keep_xml)
+    )
     ann_names = list(cfg.annotations) + ["word"]
     cols = [
         "conv_id",
@@ -235,6 +251,8 @@ def read_xml(
         "role", "text", "tool",
         F.col("ts").cast("timestamp").alias("ts"),
     ]
+    if keep_xml:
+        cols.append(F.col("xml").alias("xml_text"))
     ann_cols = []
     for name in ann_names:
         c = f"ann_{name}"
@@ -246,7 +264,10 @@ def read_xml(
         *[F.max(F.size(F.coalesce(c, F.array()))).alias(c) for c in ann_cols]
     ).collect()[0]
     keep = [c for c in ann_cols if (present[c] or 0) > 0]
-    out = out.select("conv_id", "turn_idx", "role", "text", "tool", "ts", *keep)
+    base_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    if keep_xml:
+        base_cols.append("xml_text")
+    out = out.select(*base_cols, *keep)
     # absent sidecar cells must still be position-aligned arrays
     for c in keep:
         n_tok = F.size(F.split(F.trim("text"), r"\s+"))

@@ -199,3 +199,42 @@ def test_tei_namespace(tmp_path_factory, spark):
     sp = xml_spans(spark, str(d), "tei-p5")
     got = {(r["tag"], r["start"], r["end"]) for r in sp.collect()}
     assert got == {("s", 0, 2), ("s", 2, 4)}
+
+
+def test_keep_xml_well_formed_highlight(spark, xml_dir, small_cfg, tmp_path_factory):
+    """read_xml(keep_xml=True) stores the original XML; snippets split
+    <hl> at element boundaries so output stays well-formed even when
+    the hit straddles tags (reference util XmlHighlighter.java)."""
+    import xml.etree.ElementTree as ET
+
+    from blacklab_spark.search.snippets import snippets, xml_highlight_region
+
+    d = str(tmp_path_factory.mktemp("xmlhl") / "idx")
+    tr = read_xml(spark, xml_dir, FMT, keep_xml=True)
+    assert "xml_text" in tr.columns
+    c = Corpus.build(spark, tr, d, small_cfg)
+    # "fox jumps" straddles the </entity> boundary in doc 0
+    sn = snippets(c, c.find('"fox" "jumps"').df, context_chars=20).collect()
+    assert len(sn) == 1
+    s = sn[0]["snippet"]
+    assert sn[0]["match_text"] == "fox jumps"
+    # both words highlighted, markup preserved; the dangling </entity>
+    # closer (opener left of the window) was removed by make_well_formed
+    assert "<hl>fox</hl>" in s and "<hl>jumps</hl>" in s and "<w" in s
+    assert "</entity>" not in s
+    # well-formed: hl tags never cross element boundaries
+    ET.fromstring(f"<root>{s}</root>")
+    # multivalue word position: one token, primary+secondaries in one span
+    sn2 = snippets(c, c.find('"doh"').df, context_chars=5).collect()
+    assert len(sn2) == 1
+    assert "The|DOH|ZZZ" in sn2[0]["match_text"] or "The|DOH|ZZZ" in sn2[0]["snippet"]
+    ET.fromstring(f"<root>{sn2[0]['snippet']}</root>")
+
+
+def test_xml_highlight_region_splits_at_tags():
+    from blacklab_spark.search.snippets import xml_highlight_region
+
+    text = "<s>ab <b>cd</b> ef</s>"
+    # highlight "ab <b>cd</b> ef" (chars 3..18)
+    out = xml_highlight_region(text, 3, 18)
+    assert out == "<hl>ab </hl><b><hl>cd</hl></b><hl> ef</hl>"
