@@ -400,14 +400,36 @@ def _invertible_neg(part) -> P.TermNode | None:
 
 def _probe_spec(part) -> tuple[str, tuple] | None:
     """(annotation, matcher) when the part is matchable by a single
-    forward-index token probe: a plain term, a regex term, or an OR of
-    plain terms (insensitive, non-negated) — the single-token NFA
-    states of the reference's matcher (NfaState.java:96-121)."""
-    if isinstance(part, P.TermNode) and not part.negate and not part.sensitive:
+    forward-index token probe: a plain term, a regex term, an OR of
+    plain terms, a NEGATED term/regex ('n*' matcher kinds — the
+    reference's NOT NFA states), or an AND of such conditions at one
+    position ('and' composite — reference AND states; fimatch
+    NfaState.java:96-121). All insensitive-only."""
+    if isinstance(part, P.TermNode) and not part.sensitive:
         ann = part.annotation or "word"
-        if P.is_plain_term(part.value):
-            return (ann, ("term", part.value))
-        return (ann, ("regex", part.value))
+        kind = "regex" if not P.is_plain_term(part.value) else "term"
+        if part.negate:
+            kind = "n" + kind
+        return (ann, (kind, part.value))
+    if isinstance(part, P.TokenAnd):
+        specs: list[tuple[str, tuple]] = []
+        for ckind, clause in part.clauses:
+            st = _probe_spec(clause)
+            if st is None or st[1][0] == "and":
+                return None
+            if ckind == "not":  # [a & !b] / &-chained negation:
+                # ¬term/¬regex flip to n-kinds; ¬(a|b) = nset (exists
+                # and not in the set) — De Morgan stays one state
+                m = st[1]
+                neg = (
+                    (m[0][1:], m[1]) if m[0].startswith("n")
+                    else ("n" + m[0], m[1])
+                )
+                st = (st[0], neg)
+            specs.append(st)
+        if specs:
+            return (specs[0][0], ("and", specs))
+        return None
     if isinstance(part, (P.TokenOr, P.Or)):
         vals: list[str] = []
         ann0 = None
@@ -444,6 +466,10 @@ def _probe_rep_spec(part, corpus=None) -> tuple | None:
     if isinstance(part, P.Repeat):
         inner = _probe_spec(part.clause)
         if inner is not None:
+            if inner[1][0] == "and":
+                # composite state inside the run-length aggregate would
+                # need one window per conjunct annotation: fall back
+                return None
             if corpus is not None and S._extra_col(corpus, inner[0] or "word"):
                 return None
             # unbounded: rmax=None -> the FI walk scans to the doc edge
@@ -547,35 +573,74 @@ def _seq_part_dfs(corpus, parts: list) -> dict[int, int]:
     frequent')."""
     from blacklab_spark.analysis import desensitize_col, desensitize_py, fold_py
 
-    per_field: dict[str, list[tuple[int, "F.Column"]]] = {}
+    def base_cond(tcol, kind: str, val) -> "F.Column":
+        if kind == "term":
+            return tcol == desensitize_py(val)
+        if kind == "set":
+            return tcol.isin([desensitize_py(v) for v in val])
+        return tcol.rlike(f"(?i)^(?:{fold_py(val)})$")
+
+    # (part_idx, conj_idx) -> estimable aggregate; 'and' composites
+    # contribute one estimate per conjunct and take the MIN (the
+    # conjunction is at most as frequent as its rarest condition);
+    # negated kinds estimate total_df - matching_df (a NOT state is
+    # frequent — exactly what the probe walk is for,
+    # reference ClauseCombinerNfa + NfaState NOT)
+    per_field: dict[str, list[tuple[int, int, "F.Column"]]] = {}
+    need_total: set[str] = set()
     for i, part in enumerate(parts):
         spec = _probe_spec(part)
         if spec is None:
             continue
-        route = S._postings_route(corpus, spec[0] or "word", "i")
-        if route is None:
+        conjs = spec[1][1] if spec[1][0] == "and" else [spec]
+        for j, (ann, matcher) in enumerate(conjs):
+            route = S._postings_route(corpus, ann or "word", "i")
+            if route is None:
+                continue
+            kind_r, field = route
+            tcol = (
+                F.col("term") if kind_r == "direct"
+                else desensitize_col(F.col("term"), "i")
+            )
+            kind, val = matcher
+            negated = kind.startswith("n") and kind[1:] in ("term", "set", "regex")
+            cond = base_cond(tcol, kind[1:] if negated else kind, val)
+            agg = F.sum(F.when(cond, F.col("df"))).alias(f"p{i}_{j}")
+            per_field.setdefault(field, []).append((i, j, agg))
+            if negated:
+                need_total.add(field)
+    ests: dict[tuple[int, int], int] = {}
+    negs: dict[tuple[int, int], bool] = {}
+    for i, part in enumerate(parts):
+        spec = _probe_spec(part)
+        if spec is None:
             continue
-        kind_r, field = route
-        tcol = (
-            F.col("term") if kind_r == "direct"
-            else desensitize_col(F.col("term"), "i")
-        )
-        kind, val = spec[1]
-        if kind == "term":
-            cond = tcol == desensitize_py(val)
-        elif kind == "set":
-            cond = tcol.isin([desensitize_py(v) for v in val])
-        else:
-            cond = tcol.rlike(f"(?i)^(?:{fold_py(val)})$")
-        per_field.setdefault(field, []).append(
-            (i, F.sum(F.when(cond, F.col("df"))).alias(f"p{i}"))
-        )
-    out: dict[int, int] = {}
+        conjs = spec[1][1] if spec[1][0] == "and" else [spec]
+        for j, (_ann, matcher) in enumerate(conjs):
+            negs[(i, j)] = matcher[0].startswith("n") and matcher[0][1:] in (
+                "term", "set", "regex",
+            )
     for field, items in per_field.items():
-        row = corpus.terms_for(field).agg(*[a for _, a in items]).collect()[0]
-        for i, _ in items:
-            if row[f"p{i}"] is not None:
-                out[i] = int(row[f"p{i}"])
+        aggs = [a for _, _, a in items]
+        if field in need_total:
+            aggs.append(F.sum("df").alias("_tot"))
+        row = corpus.terms_for(field).agg(*aggs).collect()[0]
+        total = int(row["_tot"] or 0) if field in need_total else None
+        for i, j, _ in items:
+            v = row[f"p{i}_{j}"]
+            match_df = int(v) if v is not None else 0
+            ests[(i, j)] = (
+                max(total - match_df, 1) if negs.get((i, j)) and total is not None
+                else match_df if v is not None
+                else None
+            )
+    out: dict[int, int] = {}
+    by_part: dict[int, list[int]] = {}
+    for (i, _j), v in ests.items():
+        if v is not None:
+            by_part.setdefault(i, []).append(v)
+    for i, vals in by_part.items():
+        out[i] = min(vals)
     return out
 
 

@@ -386,9 +386,14 @@ def sequence(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def _probe_match_col(elem: Column, matcher: tuple) -> Column:
+    """Positive single-annotation matcher kinds; negated kinds
+    ('nterm'/'nset'/'nregex' — the reference's NOT NFA states,
+    fimatch NfaState) require the token to EXIST and not match."""
     from blacklab_spark.analysis import desensitize_py, fold_py
 
     kind, val = matcher
+    if kind.startswith("n"):
+        return elem.isNotNull() & ~_probe_match_col(elem, (kind[1:], val))
     if kind == "term":
         return elem == F.lit(desensitize_py(val))
     if kind == "set":
@@ -399,18 +404,25 @@ def _probe_match_col(elem: Column, matcher: tuple) -> Column:
 
 def _match_fn(matcher: tuple, ann: str):
     """Element-wise matcher as a lambda usable inside higher-order
-    functions (forall/aggregate) — same semantics as _probe_match_col."""
+    functions (forall/aggregate) — same semantics as _probe_match_col.
+    (Elements inside a sliced window always exist, so negated kinds
+    reduce to plain negation here.)"""
     from blacklab_spark.analysis import desensitize_col, desensitize_py, fold_py
 
     kind, val = matcher
+    neg = kind.startswith("n") and kind[1:] in ("term", "set", "regex")
+    if neg:
+        kind = kind[1:]
 
     def f(x: Column) -> Column:
         e = x if ann in ("word", "") else desensitize_col(x, "i")
         if kind == "term":
-            return e == F.lit(desensitize_py(val))
-        if kind == "set":
-            return e.isin([desensitize_py(v) for v in val])
-        return e.rlike(f"(?i)^(?:{fold_py(val)})$")
+            out = e == F.lit(desensitize_py(val))
+        elif kind == "set":
+            out = e.isin([desensitize_py(v) for v in val])
+        else:
+            out = e.rlike(f"(?i)^(?:{fold_py(val)})$")
+        return ~out if neg else out
 
     return f
 
@@ -442,7 +454,13 @@ def probe_steps(
     corpus) are never materialized or shuffled."""
     from blacklab_spark.analysis import desensitize_col
 
-    anns = sorted({(s[0] or "word") for s in steps})
+    anns = set()
+    for s in steps:
+        if s[1][0] == "and":  # composite state: one ann per conjunct
+            anns.update(sa or "word" for sa, _ in s[1][1])
+        else:
+            anns.add(s[0] or "word")
+    anns = sorted(anns)
     cols = ["doc_id"]
     for a in anns:
         if a in ("word", ""):
@@ -467,22 +485,40 @@ def probe_steps(
         # tokens_i is already desensitized; sidecar values fold here
         return e if a in ("word", "") else desensitize_col(e, "i")
 
-    def step_cond(ann: str, pos: Column, matcher: tuple) -> Column:
-        """One walk step: primary value matches, OR — for a
-        multi-valued annotation — any secondary value at the same
-        position matches (reference PayloadUtils.java secondary
-        values are searchable)."""
+    def _any_value_matches(ann: str, pos: Column, positive: tuple) -> Column:
+        """ANY value at the position (primary or — for a multi-valued
+        annotation — secondary) matches the positive matcher
+        (reference PayloadUtils.java secondary values are searchable).
+        Sidecar values are stored RAW, so the desensitizing matcher
+        variant applies there."""
         a = ann or "word"
-        c = _probe_match_col(elem(ann, pos), matcher)
+        c = _probe_match_col(elem(ann, pos), positive)
         if _extra_col(corpus, a):
-            # sidecar values are stored RAW (for the word annotation
-            # too) — force the desensitizing matcher variant
-            m = _match_fn(matcher, "_raw_sidecar")
+            m = _match_fn(positive, "_raw_sidecar")
             c = c | F.exists(
                 F.col(f"_extra_{a}"),
                 lambda x: (x["pos"] == pos - 1) & m(x["term"]),
             )
         return c
+
+    def step_cond(ann: str, pos: Column, matcher: tuple) -> Column:
+        """One walk step. Composite states: 'and' conjoins per-
+        annotation conditions at the same position (reference AND NFA
+        states); negated kinds require the token to exist and NO value
+        at the position to match."""
+        kind = matcher[0]
+        if kind == "and":
+            conds = [step_cond(sa, pos, sm) for sa, sm in matcher[1]]
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+        if kind.startswith("n") and kind[1:] in ("term", "set", "regex"):
+            e = elem(ann, pos)
+            return e.isNotNull() & ~_any_value_matches(
+                ann, pos, (kind[1:], matcher[1])
+            )
+        return _any_value_matches(ann, pos, matcher)
 
     # `off` = tokens consumed by the walk so far, as a Column (fixed
     # steps add 1 each; each repetition adds its exploded length)

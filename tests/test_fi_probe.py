@@ -218,3 +218,64 @@ def test_fi_walk_unbounded_repetition(small_corpus):
     assert hits(corpus.find(q).df) == _join_plan(
         corpus, '"word00123" "word00001"+'
     )
+
+
+# --- NOT and AND NFA states (reference fimatch NOT/AND states) ------------
+
+def _both_plans(corpus, q):
+    import dataclasses as _dc
+
+    orig = corpus.cfg
+    try:
+        corpus.cfg = _dc.replace(orig, fi_probe_ratio=1.01)
+        with_probe = hits(corpus.find(q).df)
+        corpus.cfg = _dc.replace(orig, fi_probe_ratio=0.0)
+        without = hits(corpus.find(q).df)
+    finally:
+        corpus.cfg = orig
+    return with_probe, without
+
+
+def test_probe_negated_neighbor(small_corpus):
+    corpus, _ = small_corpus
+    a, b = _both_plans(corpus, '"word00123" [word != "word00001"]')
+    assert a == b and len(a) > 0
+
+
+def test_probe_negated_backward(small_corpus):
+    corpus, _ = small_corpus
+    a, b = _both_plans(corpus, '[word != "word00001"] "word00123"')
+    assert a == b and len(a) > 0
+
+
+def test_probe_and_state(small_corpus):
+    corpus, _ = small_corpus
+    # AND of a regex and a negation at one position, next to an anchor
+    a, b = _both_plans(corpus, '"word00123" [word = "word0000." & word != "word00002"]')
+    assert a == b
+
+
+def test_fi_forced_not_and_states(small_corpus):
+    corpus, _ = small_corpus
+    for q, plain in [
+        ('_FI2("word00123", [word != "word00001"])',
+         '"word00123" [word != "word00001"]'),
+        ('_FI1([word != "word00001"], "word00123")',
+         '[word != "word00001"] "word00123"'),
+    ]:
+        import dataclasses as _dc
+
+        orig = corpus.cfg
+        try:
+            corpus.cfg = _dc.replace(orig, fi_probe_ratio=0.0)
+            forced = hits(corpus.find(q).df)
+            plain_hits = hits(corpus.find(plain).df)
+        finally:
+            corpus.cfg = orig
+        assert forced == plain_hits and len(forced) > 0
+
+
+def test_probe_negated_repetition(small_corpus):
+    corpus, _ = small_corpus
+    a, b = _both_plans(corpus, '"word00123" [word != "word00001"]{1,3}')
+    assert a == b and len(a) > 0
