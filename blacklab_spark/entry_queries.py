@@ -475,6 +475,26 @@ WHERE b.t = 'table' AND a.t <> 'the'
 """
 
 
+def q_fi_and_not_state(spark, sf_dir):
+    """Forced forward-index walk whose neighbor is an AND state with a
+    negated conjunct: `[word="va.*" & word!="value"]` probes as ONE NFA
+    slot — regex AND NOT at the same position (reference fimatch AND /
+    NOT NfaStates; ClauseCombinerNfa picks the rare 'key' anchor)."""
+    c = _corpus(spark, sf_dir)
+    h = c.find('_FI2("key", [word = "b.*" & word != "batch"])').df.select(
+        "doc_id", "start", "end"
+    )
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_FI_AND_NOT_STATE = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.t = 'key' AND regexp_matches(b.t, '^(?:b.*)$') AND b.t <> 'batch'
+"""
+
+
 def q_hits_window(spark, sf_dir):
     """Stable pagination (reference HitsAbstract.java:154-196)."""
     c = _corpus(spark, sf_dir)
@@ -1407,6 +1427,7 @@ QUERIES = {
     "expansion_hits": q_expansion_hits,
     "fi_regex_neighbor": q_fi_regex_neighbor,
     "negated_term_sequence": q_negated_term_sequence,
+    "fi_and_not_state": q_fi_and_not_state,
     "hits_window": q_hits_window,
     "per_doc_hits": q_per_doc_hits,
     "facet_role": q_facet_role,
@@ -1466,6 +1487,7 @@ ORACLES = {
     "expansion_hits": O_EXPANSION_HITS,
     "fi_regex_neighbor": O_FI_REGEX_NEIGHBOR,
     "negated_term_sequence": O_NEGATED_TERM_SEQUENCE,
+    "fi_and_not_state": O_FI_AND_NOT_STATE,
     "hits_window": O_HITS_WINDOW,
     "per_doc_hits": O_PER_DOC_HITS,
     "facet_role": O_FACET_ROLE,
