@@ -81,7 +81,20 @@ TEI_P5 = XmlFormat(
     name="tei-p5",
 )
 
-FORMATS = {"xml": XmlFormat(), "tei-p5": TEI_P5, "tei": TEI_P5}
+# FoLiA (reference folia.blf.yaml): <w> wraps a <t> text child plus
+# annotation children carrying their value in a `class` attribute
+FOLIA = XmlFormat(
+    document_tag="FoLiA",
+    word_tag="w",
+    annotations={"lemma": "child:lemma@class", "pos": "child:pos@class"},
+    inline_tags=("s", "p", "event", "entity"),
+    metadata={"conv_id": "@xml:id"},
+    name="folia",
+)
+
+FORMATS = {
+    "xml": XmlFormat(), "tei-p5": TEI_P5, "tei": TEI_P5, "folia": FOLIA,
+}
 
 
 def _local(tag) -> str | None:
@@ -141,10 +154,22 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
     for ch in doc_el:
         walk(ch)
 
+    def _attr(el, name: str) -> str:
+        """Attribute by qualified or local name (xml:id etc. arrive
+        namespace-expanded from ElementTree)."""
+        v = el.get(name)
+        if v is not None:
+            return v
+        local = name.rsplit(":", 1)[-1]
+        for k, v in el.attrib.items():
+            if k == local or k.endswith("}" + local):
+                return v
+        return ""
+
     conv_id = f"{file_id}-{doc_idx}"
     role = tool = ""
     for col, spec in cfg.metadata.items():
-        val = doc_el.get(spec[1:], "") if spec.startswith("@") else ""
+        val = _attr(doc_el, spec[1:]) if spec.startswith("@") else ""
         if col == "conv_id" and val:
             conv_id = val
         elif col == "role":

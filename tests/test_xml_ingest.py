@@ -238,3 +238,31 @@ def test_xml_highlight_region_splits_at_tags():
     # highlight "ab <b>cd</b> ef" (chars 3..18)
     out = xml_highlight_region(text, 3, 18)
     assert out == "<hl>ab </hl><b><hl>cd</hl></b><hl> ef</hl>"
+
+
+def test_folia_format(tmp_path_factory, spark):
+    """FoLiA: <w> wraps <t> text plus lemma/pos children with class
+    attributes (reference folia.blf.yaml; child-element valuePaths)."""
+    d = tmp_path_factory.mktemp("folia")
+    (d / "doc.xml").write_text(
+        """<FoLiA xmlns="http://ilk.uvt.nl/folia" xml:id="example">
+  <text>
+    <p><s>
+      <w><t>Hallo</t><lemma class="hallo"/><pos class="INT"/></w>
+      <w><t>wereld</t><lemma class="wereld"/><pos class="N"/></w>
+    </s><s>
+      <w><t>dag</t><lemma class="dag"/><pos class="N"/></w>
+    </s></p>
+  </text>
+</FoLiA>"""
+    )
+    tr = read_xml(spark, str(d), "folia")
+    rows = tr.collect()
+    assert len(rows) == 1
+    assert rows[0]["conv_id"] == "example"
+    assert rows[0]["text"] == "Hallo wereld dag"
+    assert rows[0]["ann_lemma"] == ["hallo", "wereld", "dag"]
+    assert rows[0]["ann_pos"] == ["INT", "N", "N"]
+    sp = xml_spans(spark, str(d), "folia")
+    got = {(r["tag"], r["start"], r["end"]) for r in sp.collect()}
+    assert got == {("p", 0, 3), ("s", 0, 2), ("s", 2, 3)}
