@@ -332,12 +332,17 @@ def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
     b_q = spark.sparkContext.broadcast(idf_by_query)
 
     def score_segment(pdf: pd.DataFrame, dead_arr=None) -> pd.DataFrame:
+        """Candidate-proportional batch scorer: ONE vectorized pass over
+        (query, candidate-doc) contribution rows for the whole segment.
+        The former per-(query, segment) dense accumulator zeroed a
+        seg_size float array per query — at 256 queries x 32k-doc
+        segments that was gigabytes of memset per segment, dwarfing the
+        actual scoring; work now scales with posting candidates only."""
         seg = int(pdf["segment_id"].iloc[0])
         base = seg * seg_size
         # decode each term's blocks once, reuse across queries
         decoded: dict[str, tuple] = {}
         for term, grp in pdf.groupby("term"):
-            dl_ = []
             dids_ = []
             w_ = []
             for r in grp.itertuples(index=False):
@@ -347,52 +352,54 @@ def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
                 dids_.append(dids)
                 w_.append(tf / (tf + k1 * (1.0 - b_ + b_ * dl / avgdl)))
             decoded[term] = (np.concatenate(dids_), np.concatenate(w_))
-        out_q, out_d, out_s = [], [], []
-        dead_local = (
-            None
-            if dead_arr is None
-            else (dead_arr[(dead_arr >= base) & (dead_arr < base + seg_size)] - base)
-        )
+        # contribution rows: (query, local_doc, idf-weighted w)
+        con_k, con_s = [], []
         for qid, idf_map in enumerate(b_q.value):
-            if not idf_map:
-                continue
-            scores = np.zeros(seg_size, dtype=np.float64)
-            touched = False
             for t, w_idf in idf_map.items():
-                if t not in decoded:
+                got = decoded.get(t)
+                if got is None:
                     continue
-                dids, w = decoded[t]
-                np.add.at(scores, dids - base, w_idf * w)
-                touched = True
-            if not touched:
-                continue
-            if dead_local is not None and dead_local.size:
-                scores[dead_local] = 0.0
-            nz = np.flatnonzero(scores)
-            if nz.size == 0:
-                continue
-            n = nz.size
-            if n > k:
-                s = scores[nz]
-                kth = np.partition(s, n - k)[n - k]
-                above = nz[s > kth]
-                equal = np.sort(nz[s == kth])[: k - above.size]
-                nz = np.concatenate([above, equal])
-            order = np.lexsort((nz, -scores[nz]))
-            sel = nz[order]
-            out_q.append(np.full(sel.size, qid, dtype=np.int32))
-            out_d.append(sel + base)
-            out_s.append(scores[sel])
-        if not out_q:
+                dids, w = got
+                con_k.append(qid * seg_size + (dids - base))
+                con_s.append(w_idf * w)
+        if not con_k:
             return pd.DataFrame(
                 {"query_id": pd.Series([], dtype=np.int32),
                  "doc_id": pd.Series([], dtype=np.int64),
                  "score": pd.Series([], dtype=np.float64)}
             )
+        key = np.concatenate(con_k)
+        contrib = np.concatenate(con_s)
+        # sum contributions per (query, doc): sort + segmented reduce
+        ukey, inv = np.unique(key, return_inverse=True)
+        scores = np.bincount(inv, weights=contrib, minlength=ukey.size)
+        qids = (ukey // seg_size).astype(np.int64)
+        docs = ukey % seg_size
+        if dead_arr is not None:
+            dead_local = dead_arr[
+                (dead_arr >= base) & (dead_arr < base + seg_size)
+            ] - base
+            if dead_local.size:
+                alive = ~np.isin(docs, dead_local)
+                qids, docs, scores = qids[alive], docs[alive], scores[alive]
+        # per-query top-k: one global lexsort (qid asc, score desc,
+        # doc asc), then keep the first k rows of each query group
+        order = np.lexsort((docs, -scores, qids))
+        qo = qids[order]
+        grp_start = np.zeros(qo.size, dtype=np.int64)
+        if qo.size:
+            new_grp = np.empty(qo.size, dtype=bool)
+            new_grp[0] = True
+            np.not_equal(qo[1:], qo[:-1], out=new_grp[1:])
+            starts = np.flatnonzero(new_grp)
+            lens = np.diff(np.append(starts, qo.size))
+            grp_start = np.repeat(starts, lens)
+        rank = np.arange(qo.size) - grp_start
+        sel = order[rank < k]
         return pd.DataFrame(
-            {"query_id": np.concatenate(out_q),
-             "doc_id": np.concatenate(out_d),
-             "score": np.concatenate(out_s)}
+            {"query_id": qids[sel].astype(np.int32),
+             "doc_id": (docs[sel] + base).astype(np.int64),
+             "score": scores[sel]}
         )
 
     if dead_df is not None:
