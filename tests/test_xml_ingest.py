@@ -266,3 +266,19 @@ def test_folia_format(tmp_path_factory, spark):
     sp = xml_spans(spark, str(d), "folia")
     got = {(r["tag"], r["start"], r["end"]) for r in sp.collect()}
     assert got == {("p", 0, 3), ("s", 0, 2), ("s", 2, 3)}
+
+
+def test_make_well_formed_edges():
+    from blacklab_spark.search.snippets import make_well_formed as mwf
+
+    # dangling closers removed (opener left of window)
+    assert mwf("ab</s> cd") == "ab cd"
+    # unclosed openers closed at the end
+    assert mwf("<s>ab <b>cd") == "<s>ab <b>cd</b></s>"
+    # self-closing and comments pass through untouched
+    assert mwf("<s/>ab<!-- x -->cd") == "<s/>ab<!-- x -->cd"
+    # interleaved: dangling closer inside an open element
+    assert mwf("<a>x</b>y") == "<a>xy</a>"
+    # already balanced fragment unchanged
+    frag = "<s><w>a</w> <w>b</w></s>"
+    assert mwf(frag) == frag
