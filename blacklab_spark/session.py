@@ -70,12 +70,21 @@ def get_spark(
         # CPU: on many-core nodes the byte stream, not the codec, is
         # the scaling ceiling — measured faster than snappy here
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # batch queries filter postings with term IN (<up to ~200
-        # values>); the default threshold (10) silently drops the
+        # batch queries filter postings with term IN (hundreds of
+        # values); the default threshold (10) silently drops the
         # parquet pushdown above 10 values, so the term-sorted row
-        # groups were read in full instead of stat-skipped
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
-        .config("spark.sql.optimizer.inSetConversionThreshold", "1000")
+        # groups were read in full instead of stat-skipped. CAPPED at
+        # 200: parquet-mr evaluates the pushed IN as a recursive OR
+        # chain, and ~700 values measurably overflows the task stack;
+        # above the threshold Spark pushes the set's (min, max) range
+        # instead, which still skips row groups well on term-sorted
+        # files
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "200")
+        # large INs must become InSet (hash lookup): a 700-value In
+        # evaluates as a linear OR chain per row — measured 67s of a
+        # 98s batch-query scan burned on string compares. InSet still
+        # translates to a data-source In for pushdown purposes.
+        .config("spark.sql.optimizer.inSetConversionThreshold", "10")
         .config("spark.ui.enabled", "false")
     )
     if extra_conf:
