@@ -247,7 +247,7 @@ def make_encoder(cfg: EngineConfig, avgdl: float, fields: list[str] | None = Non
         if total == 0:
             return None
         de = pc.dictionary_encode(toks.flatten())
-        codes = de.indices.to_numpy().astype(np.int64)
+        codes = de.indices.to_numpy().astype(np.int32)
         dictionary = de.dictionary
         if fold:
             folded = pa.array(
@@ -256,32 +256,48 @@ def make_encoder(cfg: EngineConfig, avgdl: float, fields: list[str] | None = Non
                 pa.string(),
             )
             fd = pc.dictionary_encode(folded)
-            codes = fd.indices.to_numpy().astype(np.int64)[codes]
+            codes = fd.indices.to_numpy().astype(np.int32)[codes]
             dictionary = fd.dictionary
         sort_idx = pc.sort_indices(dictionary).to_numpy().astype(np.int64)
-        inv = np.empty_like(sort_idx)
-        inv[sort_idx] = np.arange(len(sort_idx))
+        inv = np.empty(len(sort_idx), dtype=np.int32)
+        inv[sort_idx] = np.arange(len(sort_idx), dtype=np.int32)
         codes = inv[codes]
         dictionary = dictionary.take(pa.array(sort_idx))
-        did = np.repeat(docs, lens)
-        dl = np.repeat(lens, lens)
+        # per-token doc INDEX (int32) instead of full int64 doc-id /
+        # doc-length arrays: doc ids and lengths are gathered per
+        # (term, doc) GROUP later, cutting the kernel's memory traffic
+        # by more than half (the lexsort+gathers over 4 int64 arrays
+        # were the postings stage's hottest loop)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
         starts = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        pos = (np.arange(total, dtype=np.int64) - np.repeat(starts, lens)).astype(
+            np.int32
+        )
 
-        order = np.lexsort((pos, did, codes))
-        tid, did, pos, dl = codes[order], did[order], pos[order], dl[order]
+        # rows arrive (doc, pos)-ordered (the tokenized table is written
+        # doc-contiguous and positions ascend within each doc), so ONE
+        # stable sort by term code yields (term, doc, pos) order — a
+        # radix pass for int32 keys, replacing the former 3-pass
+        # np.lexsort((pos, did, codes)). The cheap monotonicity check
+        # guards exotic row layouts (correct under any placement).
+        if np.all(docs[1:] >= docs[:-1]):
+            order = np.argsort(codes, kind="stable")
+        else:
+            order = np.lexsort((pos, doc_idx, codes))
+        tid, dix, pos = codes[order], doc_idx[order], pos[order]
 
         # group boundaries at (term, doc) changes
         td_change = np.empty(total, dtype=bool)
         td_change[0] = True
         np.not_equal(tid[1:], tid[:-1], out=td_change[1:])
-        td_change[1:] |= did[1:] != did[:-1]
+        td_change[1:] |= dix[1:] != dix[:-1]
         td_starts = np.flatnonzero(td_change)
         tf = np.diff(np.append(td_starts, total))
         g_tid = tid[td_starts]
-        g_did = did[td_starts]
-        g_dl = dl[td_starts]
+        g_dix = dix[td_starts]
+        g_did = docs[g_dix]
+        g_dl = lens[g_dix]
         # idf attaches post-join; this is the idf-independent factor
         wtf = tf / (tf + k1 * (1.0 - b + b * g_dl / avgdl_b))
 

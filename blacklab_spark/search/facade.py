@@ -49,6 +49,7 @@ def search(
     maxretrieve: int | None = None,
     outputformat: str | None = None,
     fimatch: int | None = None,
+    waitfortotal: bool | None = None,
 ) -> DataFrame:
     """Run one BLS-style request against the corpus.
 
@@ -67,7 +68,15 @@ def search(
     threshold for this request — 0 disables FI probing, a positive
     value is the df ratio above which a neighbor is probed over the
     forward index instead of joined (the BLS fimatch / nfaFactor knob,
-    reference ClauseCombinerNfa.java:66-74, default 900).
+    reference ClauseCombinerNfa.java:66-74, default 900);
+    ``waitfortotal`` mirrors the BLS parameter (reference
+    PlainWebserviceParams.java:19-110, HitsAbstract.ensureResultsRead):
+    when set on a hits request, the FULL result count (pre-window) is
+    attached to the returned DataFrame as ``._blspark_total`` — with
+    waitfortotal=True an exact int (the request blocked on counting),
+    with waitfortotal=False a live RunningCount handle whose
+    ``.running``/``.still_counting`` expose the growing tally while the
+    windowed response is already usable.
 
     The fimatch override runs the request against a SHALLOW COPY of the
     corpus handle with the adjusted cfg — shared caches (tables, term
@@ -88,15 +97,21 @@ def search(
             sampleseed=sampleseed, first=first, number=number,
             wordsaroundhit=wordsaroundhit, usecontent=usecontent,
             calc=calc, facets=facets, maxretrieve=maxretrieve,
-            outputformat=outputformat,
+            outputformat=outputformat, waitfortotal=waitfortotal,
         )
     from pyspark.sql import functions as F
 
     from blacklab_spark.search.results import export_csv
 
+    _state: dict = {"total": None}
+
     def _out(result):
         if outputformat == "csv":
             return export_csv(result if isinstance(result, DataFrame) else result.df)
+        if _state["total"] is not None and isinstance(result, DataFrame):
+            # hits-request summary channel: exact int (waitfortotal=yes)
+            # or a live RunningCount handle (waitfortotal=no)
+            result._blspark_total = _state["total"]
         return result
 
     # ---- filter → SQL expression -----------------------------------
@@ -183,6 +198,14 @@ def search(
     # ---- sample (before sort/group, like BLS) ----------------------
     if sample is not None or samplenum is not None:
         hits = hits.sample(n=samplenum, fraction=sample, seed=sampleseed)
+
+    # ---- total count (BLS waitfortotal / stillCounting) -------------
+    # counts the FULL post-filter hit set (not the requested window),
+    # like the reference's numberOfHits summary field. waitfortotal=
+    # False starts the count concurrently with the window job below.
+    if waitfortotal is not None:
+        rc = hits.count_running()
+        _state["total"] = rc.total() if waitfortotal else rc
 
     # ---- grouping requests -----------------------------------------
     if group and viewgroup is None:

@@ -17,6 +17,77 @@ from pyspark.sql import DataFrame, Window, functions as F
 HIT_COLS = ("doc_id", "start", "end")
 
 
+class RunningCount:
+    """Asynchronous total count with a live RUNNING tally — the BLS
+    waitfortotal=no semantics (reference HitsAbstract.ensureResultsRead
+    counts on a background SearchThread while the response returns;
+    ResultCount/MaxStats expose the growing numberOfHits + stillCounting;
+    waitfortotal=yes blocks until counting ends,
+    wslib PlainWebserviceParams.java:19-110).
+
+    The count job runs on a daemon thread (Spark schedules concurrent
+    jobs per session). The RUNNING value is a Spark accumulator fed one
+    update per Arrow batch as tasks stream through — the driver reads
+    it live, exactly like BLS's growing hit counter. The FINAL total is
+    the sum of per-batch counts emitted as rows, so it is exact even if
+    a task is re-attempted (transformation-side accumulator updates can
+    double-count under retry; the accumulator is only the progress
+    signal, never the answer)."""
+
+    def __init__(self, df: DataFrame):
+        import threading
+
+        spark = df.sparkSession
+        self._acc = spark.sparkContext.accumulator(0)
+        self._total: int | None = None
+        self._error: BaseException | None = None
+        acc = self._acc
+
+        ones = df.select(F.lit(1).alias("_one"))
+
+        def tally(batches):
+            import pyarrow as pa
+
+            n = 0
+            for b in batches:
+                acc.add(b.num_rows)
+                n += b.num_rows
+            yield pa.RecordBatch.from_pydict({"n": pa.array([n], pa.int64())})
+
+        counted = ones.mapInArrow(tally, "n long")
+
+        def work():
+            try:
+                row = counted.agg(F.sum("n").alias("s")).collect()[0]
+                self._total = int(row["s"] or 0)
+            except BaseException as e:  # surfaced on total()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=work, name="blspark-running-count", daemon=True
+        )
+        self._thread.start()
+
+    @property
+    def running(self) -> int:
+        """Current tally — grows while counting, exact once finished."""
+        return self._total if self._total is not None else int(self._acc.value)
+
+    @property
+    def still_counting(self) -> bool:
+        return self._thread.is_alive()
+
+    def total(self, timeout: float | None = None) -> int | None:
+        """Block until counting completes (waitfortotal=yes); None on
+        timeout."""
+        self._thread.join(timeout)
+        if self._thread.is_alive():
+            return None
+        if self._error is not None:
+            raise self._error
+        return self._total
+
+
 class Hits:
     """Lazy hits result — mirrors the fluent surface of the reference's
     `Hits` (reference search/results/HitsAbstract.java:154-440)."""
@@ -29,6 +100,11 @@ class Hits:
     def count(self) -> int:
         """ResultCount analogue (reference ResultCount.java:8)."""
         return self.df.count()
+
+    def count_running(self) -> RunningCount:
+        """Start counting on a background thread and return the handle
+        immediately (BLS waitfortotal=no / stillCounting)."""
+        return RunningCount(self.df)
 
     def count_stats(
         self,

@@ -262,3 +262,34 @@ def test_snippet_escapes_markup(spark, tmp_path_factory):
     assert "<hl>fox</hl>" in row["snippet"]
     assert "&lt;b&gt;" in row["snippet"] and "&amp;" in row["snippet"]
     assert "<b>" not in row["snippet"]
+
+
+def test_running_count_and_waitfortotal(micro):
+    """BLS waitfortotal / stillCounting semantics (reference
+    HitsAbstract.ensureResultsRead counts on a background thread;
+    PlainWebserviceParams.java:19-110): the windowed response returns
+    while the FULL count runs concurrently; waitfortotal=yes blocks."""
+    hits = micro.find('"the"')
+    expected = hits.count()
+    assert expected > 0
+
+    # direct handle: the async total is exact, and once finished the
+    # running tally equals it and still_counting is False
+    rc = hits.count_running()
+    assert rc.total(timeout=120) == expected
+    assert rc.running == expected
+    assert rc.still_counting is False
+
+    # facade, blocking: exact int attached next to the window
+    win = micro.search(patt='"the"', first=0, number=2, waitfortotal=True)
+    assert win.count() <= 2
+    assert win._blspark_total == expected
+
+    # facade, non-blocking: a live handle; the window is usable before
+    # the count resolves, and the total converges to the exact value
+    win2 = micro.search(patt='"the"', first=0, number=2, waitfortotal=False)
+    rows = win2.collect()
+    assert len(rows) <= 2
+    rc2 = win2._blspark_total
+    assert rc2.running >= 0  # readable while (possibly) still counting
+    assert rc2.total(timeout=120) == expected
