@@ -45,15 +45,20 @@ def main() -> None:
     # fixed shuffle partitioning: both cluster sizes execute the same
     # physical plan over the same splits; only executor count varies.
     # 256 partitions = >=8 task waves at the large size: stage barriers
-    # + task quantization otherwise idle most cores on straggler tails
+    # + task quantization otherwise idle most cores on straggler tails.
+    # 3m scan splits: the source table's ~2MB files then map one file
+    # per task (~256 scan tasks) — the former 8m bin-packing gave the
+    # big tokenize+write stage only ~86 tasks = 2.7 waves at 32 cores,
+    # so a straggler tail idled most of the cluster for a third of the
+    # stage
     spark = get_spark(
         "scaling",
         cpus=cpus,
         shuffle_partitions=256,
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": "8m",
-            "spark.sql.files.openCostInBytes": "512k",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+            "spark.sql.files.maxPartitionBytes": "3m",
+            "spark.sql.files.openCostInBytes": "256k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,8 +76,22 @@ def main() -> None:
             "overwrite"
         ).parquet(src)
     tr = spark.read.parquet(src)
-    # warm up executors/python workers so the measured run is steady-state
-    tr.limit(1000).count()
+    # steady-state warmup: a small throwaway build + query batch
+    # JIT-compiles the hot codegen/kernel paths and spins up the Python
+    # workers OUTSIDE the timed region. At the north rule's 10^12-turn
+    # scale JIT cost is amortized to zero; inside a minutes-long probe
+    # it is a fixed serial tax that the faster (large) size pays
+    # proportionally more of, understating true scaling.
+    warm_idx = f"/tmp/scaling_warm_{cpus}"
+    shutil.rmtree(warm_idx, ignore_errors=True)
+    warm_corpus = Corpus.build(
+        spark,
+        generate_spark(spark, 200_000, seed=7, n_partitions=64),
+        warm_idx,
+        EngineConfig(segment_size=1 << 15, block_size=128),
+    )
+    warm_corpus.batch_topk(["word00001 word00050", "word00002"], k=10).count()
+    shutil.rmtree(warm_idx, ignore_errors=True)
 
     t0 = time.time()
     # 32k-doc segments: the block-row count (the per-row overhead that
