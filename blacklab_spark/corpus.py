@@ -232,6 +232,13 @@ class Corpus:
 
         return topk_bm25(self, query, k=k, filter_expr=filter_expr)
 
+    def topk_phrase(self, phrase: str, k: int = 10) -> DataFrame:
+        """Phrase-scored top-k BM25 (Lucene SpanWeight semantics at
+        slop 0): the phrase scored as one term, tf = occurrence count."""
+        from blacklab_spark.search.bm25 import topk_bm25_phrase
+
+        return topk_bm25_phrase(self, phrase, k=k)
+
     def batch_topk(self, queries: list[str], k: int = 10) -> DataFrame:
         """Top-k BM25 for many queries in one job (reference
         tools/.../performance/BatchQuery.java analogue)."""

@@ -394,6 +394,40 @@ ORDER BY s.score DESC, s.doc_id LIMIT 10
 """
 
 
+def q_bm25_phrase_topk(spark, sf_dir):
+    """Phrase-scored BM25 (Lucene SpanWeight / sloppy-freq at slop 0 —
+    the scoring layer the reference inherits from its IndexSearcher,
+    SURVEY §2.5): the phrase scored as one term with tf = per-doc
+    occurrence count, df = docs containing the phrase."""
+    c = _corpus(spark, sf_dir)
+    top = c.topk_phrase("table value", k=10).select("doc_id", "score")
+    return _orig_doc_id(top, c).select(
+        "doc_id", F.expr("cast(floor(score * 10000 + 0.5) as bigint)").alias("score_x10000")
+    )
+
+
+O_BM25_PHRASE_TOPK = f"""
+WITH {_DUCK_TOKPOS},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+ph AS (
+  SELECT a.doc_id, count(*) AS tf
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.t = 'table' AND b.t = 'value'
+  GROUP BY a.doc_id
+),
+dfc AS (SELECT count(*) AS df FROM ph),
+scores AS (
+  SELECT ph.doc_id,
+         ln(1.0 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5))
+           * ph.tf / (ph.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS score
+  FROM ph JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfc
+)
+SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_x10000
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def q_or_hits(spark, sf_dir):
     """BLSpanOrQuery analogue (reference BLSpanOrQuery.java:798)."""
     c = _corpus(spark, sf_dir)
@@ -1421,6 +1455,7 @@ QUERIES = {
     "kwic": q_kwic,
     "doc_token_counts": q_doc_token_counts,
     "bm25_topk": q_bm25_topk,
+    "bm25_phrase_topk": q_bm25_phrase_topk,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "or_hits": q_or_hits,
     "token_not_hits": q_token_not_hits,
@@ -1481,6 +1516,7 @@ ORACLES = {
     "kwic": O_KWIC,
     "doc_token_counts": O_DOC_TOKEN_COUNTS,
     "bm25_topk": O_BM25_TOPK,
+    "bm25_phrase_topk": O_BM25_PHRASE_TOPK,
     "bm25_topk_filtered": O_BM25_TOPK_FILTERED,
     "or_hits": O_OR_HITS,
     "token_not_hits": O_TOKEN_NOT_HITS,

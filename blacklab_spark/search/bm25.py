@@ -273,6 +273,48 @@ def topk_bm25(
     )
 
 
+def topk_bm25_phrase(corpus, phrase: str, k: int = 10) -> DataFrame:
+    """Phrase-scored top-k: the whole phrase is scored like a single
+    term with tf = per-doc phrase occurrence count and df = number of
+    docs containing the phrase — Lucene's SpanWeight / sloppy-freq
+    semantics at slop 0, the layer the reference inherits but leaves
+    unused (SURVEY §2.5 'phrase-scored queries'; reference
+    BlackLabIndexAbstract.java:496 creates the plain IndexSearcher
+    whose SpanQuery scoring works this way).
+
+    Execution: phrase occurrences come from the span algebra (postings-
+    backed sequence join — only the phrase terms' blocks are read),
+    per-doc tf is one hash aggregation, and scoring is pure codegen
+    (idf from live stats, dl from the doc-stats projection). The only
+    driver value is the phrase df scalar — the same single number the
+    reference reads from its term dictionary."""
+    spark = corpus.spark
+    meta = corpus.meta
+    out_schema = "doc_id long, score double"
+    qterms = corpus.tokenize_query(phrase)
+    if not qterms:
+        return spark.createDataFrame([], out_schema)
+    cql = " ".join(f'"{t}"' for t in qterms)
+    hits = corpus.find(cql).df.select("doc_id")
+    tf_df = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf_df.count()  # phrase document frequency (one scalar)
+    if df_ == 0:
+        return spark.createDataFrame([], out_schema)
+    n_docs = meta["n_docs"]
+    idf = float(np.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5)))
+    k1, b_, avgdl = meta["k1"], meta["b"], meta["avgdl"]
+    dl = corpus.doc_stats.select("doc_id", F.col("num_tokens").alias("dl"))
+    scored = tf_df.join(dl, "doc_id").select(
+        "doc_id",
+        (
+            F.lit(idf)
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b_ + b_ * F.col("dl") / avgdl))
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
     """Score MANY queries in ONE Spark job (the reference ships the
     same idea as a perf harness: tools/.../performance/BatchQuery.java).

@@ -100,3 +100,50 @@ def test_batch_topk_rank_identical(small_corpus):
         assert [d for d, _ in have] == [d for d, _ in exp], q
         for (_, s1), (_, s2) in zip(have, exp):
             assert abs(s1 - s2) < 1e-9
+
+
+def test_phrase_scored_topk(small_corpus, oracle):
+    """Phrase-scored BM25 (SURVEY §2.5 'phrase-scored queries' — Lucene
+    SpanWeight at slop 0): the phrase is one scoring unit, tf = per-doc
+    occurrence count, df = docs containing the phrase. Verified against
+    a brute-force recomputation over the oracle's token lists."""
+    corpus, _ = small_corpus
+    # pick a phrase that actually occurs: most frequent adjacent pair
+    from collections import Counter
+
+    pairs = Counter()
+    for toks in oracle.tokens:
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] += 1
+    (w1, w2), _n = pairs.most_common(1)[0]
+
+    tf = {}
+    for did, toks in enumerate(oracle.tokens):
+        c = sum(1 for a, b in zip(toks, toks[1:]) if (a, b) == (w1, w2))
+        if c:
+            tf[did] = c
+    n = len(oracle.tokens)
+    avgdl = sum(len(t) for t in oracle.tokens) / n
+    df = len(tf)
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    want = sorted(
+        (
+            (
+                did,
+                idf * c / (c + 1.2 * (1.0 - 0.75 + 0.75 * len(oracle.tokens[did]) / avgdl)),
+            )
+            for did, c in tf.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in corpus.topk_phrase(f"{w1} {w2}", k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in want], rtol=1e-9
+    )
+    # unknown phrase -> empty, not an error
+    assert corpus.topk_phrase("zzz qqq", k=5).count() == 0
