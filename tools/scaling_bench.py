@@ -130,8 +130,20 @@ def summarize(history: list[dict], n_small: int, n_large: int,
     def qeff(p):
         return p[1]["queries_per_sec"] / (factor * p[0]["queries_per_sec"])
 
-    bp = max(pairs, key=beff)
-    qp = max(pairs, key=qeff)
+    # sanity guard: efficiency > 1.05 for a 4x size step is physically
+    # impossible on shared hardware — it means the SMALL run of the
+    # pair was slowed by unrelated load (cross-contamination), so the
+    # pair overstates scaling. Such pairs are excluded from the best-
+    # pair pick rather than reported as evidence.
+    def clean(p):
+        return beff(p) <= 1.05 and qeff(p) <= 1.05
+
+    cleaned = [p for p in pairs if clean(p)]
+    if not cleaned:
+        return None
+    bp = max(cleaned, key=beff)
+    qp = max(cleaned, key=qeff)
+    pairs = cleaned
     return {
         "pair": f"local[{n_small}] -> local[{n_large}]",
         "n_turns": n_turns,
