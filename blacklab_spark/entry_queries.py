@@ -1334,6 +1334,57 @@ FROM sims ORDER BY cos DESC, vec_id LIMIT 20
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: stride-sampled coarse quantizer, nearest-centroid
+    assignment (broadcast matmul, zero shuffle), nprobe=3 of 8 lists
+    probed, exact JVM-side cosine on the probed candidates only.
+    Reference has no vector search; this is the training-data-pipeline
+    scale path next to exact cosine_topk (pipeline/similarity.py)."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return SIM.ivf_topk(emb, list(qvec), k=10, n_centroids=8, nprobe=3)
+
+
+O_IVF_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+n AS (SELECT CAST(ceil(count(*) / 8.0) AS BIGINT) AS stride FROM embeddings),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings, n
+  WHERE vec_id % n.stride = 0
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])
+          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))) DESC,
+          c.cid
+      ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT c.cid FROM cent c CROSS JOIN q
+  ORDER BY list_dot_product(c.cv::DOUBLE[], q.qv::DOUBLE[])
+    / (sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))
+       * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) DESC, c.cid
+  LIMIT 3
+)
+SELECT e.vec_id,
+  CAST(floor(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))
+    * 10000 + 0.5) AS BIGINT) AS cos_x10000
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN probed p ON a.cid = p.cid
+CROSS JOIN q
+ORDER BY cos_x10000 DESC, e.vec_id LIMIT 10
+"""
+
+
 def q_exact_neardup_vectors(spark, sf_dir):
     return SIM.exact_neardup_pairs(_emb(spark, sf_dir), threshold=0.5)
 
@@ -1493,6 +1544,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
+    "ivf_topk": q_ivf_topk,
     "exact_neardup_vectors": q_exact_neardup_vectors,
     "lsh_neardup_vectors": q_lsh_neardup_vectors,
     "media_features": q_media_features,
@@ -1554,6 +1606,7 @@ ORACLES = {
     "token_counts": O_TOKEN_COUNTS,
     "fingerprint": O_FINGERPRINT,
     "cosine_topk": O_COSINE_TOPK,
+    "ivf_topk": O_IVF_TOPK,
     "exact_neardup_vectors": O_EXACT_NEARDUP_VECTORS,
     "lsh_neardup_vectors": O_LSH_NEARDUP_VECTORS,
     "media_features": O_MEDIA_FEATURES,

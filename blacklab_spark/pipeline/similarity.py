@@ -200,3 +200,115 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     if dropped is not None:
         out._blspark_dropped_buckets = dropped
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the cluster-pruned scale path. Coarse
+# quantizer = deterministic stride-sampled centroids (a standard IVF
+# baseline quantizer; k-means would improve recall but is not
+# deterministic), so the DuckDB oracle can regenerate the exact same
+# centroid set, assignment, and probe order.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 8,
+                  vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Deterministic coarse quantizer: every ``stride``-th vector by id
+    (stride = ceil(n / n_centroids)) is a centroid. Returns
+    (centroid_ids int64[C], centroid_matrix float64[C, dim]) on the
+    driver — the centroid table is tiny by construction (C vectors,
+    e.g. 65k x 768 floats ≈ 200 MB at 10^9-vector scale) and is meant
+    to be broadcast."""
+    n = embeddings.count()
+    stride = max(1, -(-n // n_centroids))  # ceil
+    rows = (
+        embeddings.filter(F.col(id_col) % stride == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .collect()
+    )
+    cids = np.asarray([r["cid"] for r in rows], dtype=np.int64)
+    mat = np.asarray([list(r["cv"]) for r in rows], dtype=np.float64)
+    return cids, mat
+
+
+def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid by cosine (ties -> the
+    smaller centroid id). Build-time step of the IVF index: one
+    broadcast-matmul Arrow pass over the data, zero shuffle. At scale
+    the embeddings table is then written clustered by centroid_id so a
+    probe prunes whole files/partitions."""
+    import pandas as pd
+
+    cids, mat = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    cnorm = np.sqrt((mat * mat).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0
+    b = embeddings.sparkSession.sparkContext.broadcast((cids, mat, cnorm))
+
+    def run(batches):
+        c_ids, c_mat, c_nrm = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            xn = np.sqrt((x * x).sum(axis=1))
+            xn[xn == 0.0] = 1.0
+            # cosine to every centroid; argmax returns the FIRST max,
+            # and c_ids is ascending, so ties resolve to the smaller id
+            sims = (x @ c_mat.T) / (xn[:, None] * c_nrm[None, :])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(np.int64),
+                    "centroid_id": c_ids[np.argmax(sims, axis=1)],
+                }
+            )
+
+    return embeddings.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        run, schema="vec_id long, centroid_id long"
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             n_centroids: int = 8, nprobe: int = 3,
+             assignments: DataFrame | None = None,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN top-k: rank centroids by cosine to the query on the
+    driver (C is tiny), probe the best ``nprobe`` inverted lists, and
+    exact-score ONLY vectors assigned to those lists with the JVM-side
+    cosine expression + TakeOrderedAndProject. Scanned fraction ≈
+    nprobe / n_centroids; with the table clustered by centroid_id the
+    probe becomes partition pruning instead of a post-scan filter.
+    Output (vec_id, cos_x10000) ordered by (sim desc, vec_id)."""
+    if assignments is None:
+        assignments = ivf_assignments(embeddings, n_centroids, vec_col, id_col)
+    cids, mat = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum()) or 1.0
+    cnorm = np.sqrt((mat * mat).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0
+    sims = (mat @ q) / (cnorm * qn)
+    # stable sort: sim desc, centroid id asc
+    order = np.lexsort((cids, -sims))
+    probed = [int(c) for c in cids[order[:nprobe]]]
+    qlit = "array(" + ", ".join(
+        f"cast({float(v)!r} as double)" for v in query_vec
+    ) + ")"
+    sim = f"{_dot(vec_col, qlit)} / ({_norm(vec_col)} * {_norm(qlit)})"
+    cand = assignments.filter(F.col("centroid_id").isin(probed)).select(
+        F.col("vec_id").alias("_ivf_cand_id")
+    )
+    return (
+        embeddings.join(cand, F.col(id_col) == F.col("_ivf_cand_id"), "leftsemi")
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(f"cast(floor({sim} * 10000 + 0.5) as bigint)").alias(
+                "cos_x10000"
+            ),
+        )
+        .orderBy(F.desc("cos_x10000"), "vec_id")
+        .limit(k)
+    )

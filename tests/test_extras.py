@@ -208,3 +208,50 @@ def test_srp_constants_scaled():
     from blacklab_spark.pipeline import similarity as SIM
 
     assert SIM.N_PLANES >= 16 and SIM.N_TABLES >= 15
+
+
+def test_ivf_topk_recall_and_pruning(spark):
+    """IVF ANN: (1) assignments put every vector in exactly one list,
+    with centroid ids drawn from the stride sample; (2) probing nprobe
+    of C lists scans only those lists' vectors; (3) on clustered data
+    the probed top-k recovers >=80% of the exact top-k."""
+    import numpy as np
+    import pandas as pd
+
+    from blacklab_spark.pipeline import similarity as SIM
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 32))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(20):
+            v = c + rng.normal(scale=0.05, size=32)
+            rows.append({"vec_id": vid, "embedding": [float(x) for x in v]})
+            vid += 1
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    n = len(rows)
+
+    asg = SIM.ivf_assignments(emb, n_centroids=6).collect()
+    assert len(asg) == n and len({r["vec_id"] for r in asg}) == n
+    stride = -(-n // 6)
+    valid_cids = {i for i in range(0, n, stride)}
+    assert {r["centroid_id"] for r in asg} <= valid_cids
+
+    q = rows[0]["embedding"]
+    exact = [r["vec_id"] for r in SIM.cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in SIM.ivf_topk(emb, q, k=10, n_centroids=6,
+                                                nprobe=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"IVF recall {recall:.2f} < 0.8"
+
+    # pruning: with nprobe=1 the candidate set is one list, so the
+    # result can never exceed that list's size
+    asg_df = SIM.ivf_assignments(emb, n_centroids=6)
+    from pyspark.sql import functions as F
+    sizes = {r["centroid_id"]: r["n"]
+             for r in asg_df.groupBy("centroid_id").agg(
+                 F.count(F.lit(1)).alias("n")).collect()}
+    one = SIM.ivf_topk(emb, q, k=n, n_centroids=6, nprobe=1,
+                       assignments=asg_df).collect()
+    assert len(one) <= max(sizes.values())
