@@ -130,6 +130,12 @@ def main() -> None:
         D.simhash(docs).count()
         queries["simhash"] = round(time.time() - t0, 3)
 
+        from blacklab_spark.pipeline.clean import clean_corpus
+
+        t0 = time.time()
+        clean_corpus(docs).count()
+        queries["clean_corpus"] = round(time.time() - t0, 3)
+
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
             from pyspark.sql import functions as F
@@ -139,6 +145,10 @@ def main() -> None:
             t0 = time.time()
             SIM.cosine_topk(emb, list(qvec), k=20).collect()
             queries["cosine_topk"] = round(time.time() - t0, 3)
+
+            t0 = time.time()
+            SIM.ivf_topk(emb, list(qvec), k=20, n_centroids=8, nprobe=3).collect()
+            queries["ivf_topk"] = round(time.time() - t0, 3)
 
     total = time.time() - t_total0
     out = {

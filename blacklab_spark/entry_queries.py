@@ -1297,6 +1297,56 @@ FROM documents
 """
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Composed cleaning pipeline (exact dedup + quality gate + lang
+    gate) in one single-scan job — pipeline/clean.py."""
+    from blacklab_spark.pipeline.clean import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir), min_quality=800, langs=("en",))
+
+
+def _duck_clean_corpus():
+    counts = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in sorted(T._STOPWORDS.items())
+    }
+    sel = ", ".join(f"{e} AS c_{lang}" for lang, e in counts.items())
+    best = " ".join(
+        f"WHEN c_{lang} >= greatest({', '.join('c_' + l for l in counts)}) "
+        f"AND c_{lang} > 0 THEN '{lang}'"
+        for lang in counts
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+feat AS (
+  SELECT doc_id, md5(text) AS h,
+    len(toks) AS n_tokens,
+    CAST(floor(1000.0 * len(list_filter(toks, t -> t IN ({_STOPS}))) / greatest(len(toks), 1)) AS BIGINT) AS stopword_ratio_x1000,
+    CAST(floor(1000.0 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1)) AS BIGINT) AS alpha_ratio_x1000,
+    {sel}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, h, n_tokens,
+    CAST(least(1000,
+      (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 400 ELSE 0 END)
+      + least(300, stopword_ratio_x1000 * 3)
+      + least(300, alpha_ratio_x1000 // 3)) AS BIGINT) AS quality_x1000,
+    CASE {best} ELSE 'und' END AS lang_pred
+  FROM feat
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM scored
+  WHERE quality_x1000 >= 800 AND lang_pred IN ('en')
+)
+SELECT doc_id, lang_pred, quality_x1000, n_tokens FROM kept WHERE rn = 1
+"""
+
+
+O_CLEAN_CORPUS = _duck_clean_corpus()
+
+
 def q_fingerprint(spark, sf_dir):
     return T.fingerprint(_docs(spark, sf_dir))
 
@@ -1542,6 +1592,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
+    "clean_corpus": q_clean_corpus,
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
@@ -1604,6 +1655,7 @@ ORACLES = {
     "quality_score": O_QUALITY_SCORE,
     "lang_id": O_LANG_ID,
     "token_counts": O_TOKEN_COUNTS,
+    "clean_corpus": O_CLEAN_CORPUS,
     "fingerprint": O_FINGERPRINT,
     "cosine_topk": O_COSINE_TOPK,
     "ivf_topk": O_IVF_TOPK,

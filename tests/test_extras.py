@@ -255,3 +255,32 @@ def test_ivf_topk_recall_and_pruning(spark):
     one = SIM.ivf_topk(emb, q, k=n, n_centroids=6, nprobe=1,
                        assignments=asg_df).collect()
     assert len(one) <= max(sizes.values())
+
+
+def test_clean_corpus_composition(spark):
+    """clean_corpus = exact-dedup winners ∩ quality gate ∩ lang gate,
+    and its per-doc numbers equal the individual ops' outputs."""
+    import pandas as pd
+
+    from blacklab_spark.pipeline.clean import clean_corpus
+    from blacklab_spark.pipeline.text import lang_id, quality_score
+
+    en = ("the quick brown fox jumps over the lazy dog and then it was "
+          "here with all of that for you on this day in the house")
+    rows = [
+        {"doc_id": 0, "text": en},                       # kept
+        {"doc_id": 1, "text": en},                       # exact dup of 0 -> dropped
+        {"doc_id": 2, "text": "der und das ist nicht ein " * 5},  # de -> dropped
+        {"doc_id": 3, "text": "zz qq xx"},               # low quality -> dropped
+        {"doc_id": 4, "text": en + " extra tail words to stay unique"},  # kept
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r["doc_id"]: r for r in clean_corpus(docs, min_quality=500,
+                                                langs=("en",)).collect()}
+    assert set(got) == {0, 4}
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    l = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    for d in (0, 4):
+        assert got[d]["quality_x1000"] == q[d]["quality_x1000"]
+        assert got[d]["n_tokens"] == q[d]["n_tokens"]
+        assert got[d]["lang_pred"] == l[d] == "en"
