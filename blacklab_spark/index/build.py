@@ -284,7 +284,11 @@ def make_encoder(cfg: EngineConfig, avgdl: float, fields: list[str] | None = Non
         if np.all(docs[1:] >= docs[:-1]):
             order = np.argsort(codes, kind="stable")
         else:
-            order = np.lexsort((pos, doc_idx, codes))
+            # sort by the actual DOC ID, not the row index: a slice
+            # whose rows arrive doc-descending must still emit
+            # ascending doc lists per block (min_doc/max_doc pruning
+            # and non-negative deltas depend on it)
+            order = np.lexsort((pos, docs[doc_idx], codes))
         tid, dix, pos = codes[order], doc_idx[order], pos[order]
 
         # group boundaries at (term, doc) changes

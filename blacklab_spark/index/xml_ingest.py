@@ -117,28 +117,42 @@ def _ann_value(el, spec: str) -> str:
 
 def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
                keep_xml: bool = False) -> dict:
+    """Positions are counted in ENGINE tokens, not <w> elements: the
+    build re-tokenizes ``text`` with the engine token pattern, so a
+    <w> whose content yields k != 1 regex tokens ("New-York" -> 2,
+    an empty <w/> -> 0) would silently shift every later annotation
+    and span. Each <w> therefore contributes k aligned entries per
+    annotation (value repeated across its sub-tokens) and k to the
+    running position counter. Assumes the default token pattern
+    (EngineConfig.token_pattern), like read_xml's sidecar padding."""
+    from blacklab_spark.analysis import py_tokenize
+
     words: list[str] = []
     word_full: list[str] = []
     anns: dict[str, list[str]] = {name: [] for name in cfg.annotations}
     spans: list[dict] = []
     has_multivalue = False
+    n_tok = 0  # engine-token positions emitted so far
 
     def walk(el) -> None:
-        nonlocal has_multivalue
+        nonlocal has_multivalue, n_tok
         tag = _local(el.tag)
         if tag == cfg.word_tag:
             raw = "".join(el.itertext()).strip()
             primary = raw.split("|", 1)[0]
             if "|" in raw:
                 has_multivalue = True
-            words.append(primary)
-            word_full.append(raw)
-            for name, spec in cfg.annotations.items():
-                anns[name].append(_ann_value(el, spec))
+            k = len(py_tokenize(primary))
+            if k:
+                words.append(primary)
+                word_full.extend([raw] * k)
+                for name, spec in cfg.annotations.items():
+                    anns[name].extend([_ann_value(el, spec)] * k)
+                n_tok += k
             return  # a word's children are its own markup, not tokens
         rec = tag in cfg.inline_tags
         if rec:
-            start = len(words)
+            start = n_tok
         for ch in el:
             walk(ch)
         if rec:
@@ -146,7 +160,7 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
                 {
                     "tag": tag,
                     "start": start,
-                    "end": len(words),
+                    "end": n_tok,
                     "attrs": {k: str(v) for k, v in el.attrib.items()},
                 }
             )
@@ -293,9 +307,16 @@ def read_xml(
     if keep_xml:
         base_cols.append("xml_text")
     out = out.select(*base_cols, *keep)
-    # absent sidecar cells must still be position-aligned arrays
+    # absent sidecar cells must still be position-aligned arrays — size
+    # the filler with the ENGINE tokenizer (whitespace-splitting counts
+    # 1 for empty text and undercounts hyphenated words, shifting every
+    # positional lookup into the pad)
+    from blacklab_spark.config import EngineConfig
+    from blacklab_spark.index.build import _case_expanded
+
+    pat = _case_expanded(EngineConfig().token_pattern)
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
     for c in keep:
-        n_tok = F.size(F.split(F.trim("text"), r"\s+"))
         out = out.withColumn(
             c,
             F.when(F.col(c).isNull(), F.array_repeat(F.lit(""), n_tok)).otherwise(

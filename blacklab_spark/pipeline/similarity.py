@@ -234,15 +234,22 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 8,
 
 def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
+                    id_col: str = "vec_id",
+                    centroids: tuple | None = None) -> DataFrame:
     """(vec_id, centroid_id): nearest centroid by cosine (ties -> the
     smaller centroid id). Build-time step of the IVF index: one
     broadcast-matmul Arrow pass over the data, zero shuffle. At scale
     the embeddings table is then written clustered by centroid_id so a
-    probe prunes whole files/partitions."""
+    probe prunes whole files/partitions. ``centroids``: a precomputed
+    ivf_centroids() result, so callers holding one skip the
+    count+collect jobs."""
     import pandas as pd
 
-    cids, mat = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    cids, mat = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    )
     cnorm = np.sqrt((mat * mat).sum(axis=1))
     cnorm[cnorm == 0.0] = 1.0
     b = embeddings.sparkSession.sparkContext.broadcast((cids, mat, cnorm))
@@ -275,7 +282,8 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8,
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              n_centroids: int = 8, nprobe: int = 3,
              assignments: DataFrame | None = None,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: tuple | None = None) -> DataFrame:
     """IVF ANN top-k: rank centroids by cosine to the query on the
     driver (C is tiny), probe the best ``nprobe`` inverted lists, and
     exact-score ONLY vectors assigned to those lists with the JVM-side
@@ -283,9 +291,13 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     nprobe / n_centroids; with the table clustered by centroid_id the
     probe becomes partition pruning instead of a post-scan filter.
     Output (vec_id, cos_x10000) ordered by (sim desc, vec_id)."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
     if assignments is None:
-        assignments = ivf_assignments(embeddings, n_centroids, vec_col, id_col)
-    cids, mat = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+        assignments = ivf_assignments(
+            embeddings, n_centroids, vec_col, id_col, centroids=centroids
+        )
+    cids, mat = centroids
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.sqrt((q * q).sum()) or 1.0
     cnorm = np.sqrt((mat * mat).sum(axis=1))

@@ -101,3 +101,29 @@ def test_resume_skips_done_stages(small_corpus, spark, small_cfg, tmp_path):
     c2 = Corpus.build(spark, df, d, small_cfg, resume=True)
     assert c2.meta["n_posting_blocks"] == n_blocks
     assert c2.meta["n_docs"] == 200
+
+
+def test_encoder_nonmonotonic_doc_order():
+    """A kernel slice whose rows arrive doc-DESCENDING must still emit
+    ascending doc lists with correct min_doc/max_doc (the fallback sort
+    keys on the actual doc id, not the row index): block-max pruning
+    computes candidate ranges from min/max, and negative deltas would
+    wrap to 10-byte varints."""
+    import pyarrow as pa
+
+    from blacklab_spark.config import EngineConfig
+    from blacklab_spark.index.build import make_encoder
+
+    enc = make_encoder(EngineConfig(), avgdl=2.0)
+    table = pa.table(
+        {
+            "segment_id": pa.array([0, 0], pa.int64()),
+            "doc_id": pa.array([5, 3], pa.int64()),
+            "_fld_0": pa.array([["a", "b"], ["a", "c"]], pa.list_(pa.string())),
+        }
+    )
+    rows = {r["term"]: r for r in enc(table).to_pylist()}
+    a = rows["a"]
+    assert (a["min_doc"], a["max_doc"]) == (3, 5)
+    assert list(codec.decode_doc_ids(a["doc_ids"])) == [3, 5]
+    assert rows["b"]["min_doc"] == 5 and rows["c"]["min_doc"] == 3

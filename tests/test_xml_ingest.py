@@ -282,3 +282,42 @@ def test_make_well_formed_edges():
     # already balanced fragment unchanged
     frag = "<s><w>a</w> <w>b</w></s>"
     assert mwf(frag) == frag
+
+
+MISALIGN_XML = (
+    "<doc pid='9'><s>"
+    "<w l='new-york' p='NOU'>New-York</w> "
+    "<w l='gap' p='GAP'/>"
+    "<w l='be' p='VRB'>is</w> "
+    "<w l='big' p='ADJ'>big</w></s></doc>"
+    "\n"
+)
+
+
+def test_subtoken_and_empty_word_alignment(spark, small_cfg, tmp_path_factory):
+    """Positions are counted in ENGINE tokens: a <w> whose content
+    regex-tokenizes to k != 1 tokens ('New-York' -> 2, an empty <w/>
+    -> 0) must not shift later annotations or span ends (the build
+    re-tokenizes text with the engine pattern)."""
+    d = tmp_path_factory.mktemp("xmlmis")
+    (d / "m.xml").write_text(f"<root>{MISALIGN_XML}<doc pid='8'></doc></root>")
+    tr = read_xml(spark, str(d), FMT)
+    rows = {r["conv_id"]: r for r in tr.collect()}
+    row = rows["9"]
+    assert row["text"].split() == ["New-York", "is", "big"]
+    # engine tokens: New York is big — annotation values repeat across
+    # a word's sub-tokens; the empty <w/> contributes no positions
+    assert row["ann_pos"] == ["NOU", "NOU", "VRB", "ADJ"]
+    assert row["ann_lemma"] == ["new-york", "new-york", "be", "big"]
+    # a 0-token doc pads absent sidecars to 0-length arrays (the old
+    # whitespace-split sizing produced 1)
+    assert rows["8"]["ann_pos"] == []
+    sp = xml_spans(spark, str(d), FMT)
+    assert {(r["tag"], r["start"], r["end"]) for r in sp.collect()} == {
+        ("s", 0, 4)
+    }
+    idx = str(tmp_path_factory.mktemp("xmlmisidx") / "idx")
+    c = Corpus.build(spark, tr, idx, small_cfg, extra_spans=sp)
+    # dense doc ids follow conv_id order: '8' -> 0, '9' -> 1
+    assert _hits(c, '[pos="ADJ"]') == {(1, 3, 4)}
+    assert _hits(c, '"york"') == {(1, 1, 2)}
