@@ -52,7 +52,10 @@ def _flatten_seq(parts: list) -> list:
 
 def _matches_empty(node) -> bool:
     if isinstance(node, P.Repeat):
-        return node.rmin == 0
+        # a repetition matches empty when it can run 0 times OR its
+        # clause itself can match empty — (X*)+ matches ε even though
+        # rmin=1 (reference BLSpanQuery.matchesEmptySequence)
+        return node.rmin == 0 or _matches_empty(node.clause)
     if isinstance(node, P.Seq):
         return all(_matches_empty(p) for p in node.parts)
     if isinstance(node, P.Capture):
@@ -67,10 +70,20 @@ def _no_empty(node):
     the node can ONLY match empty — e.g. X{0,0} — so the with-this-part
     alternative must be dropped, not clamped to an impossible {1,0}
     (reference BLSpanQuery.noEmpty contract, BLSpanQuery.java:162-186)."""
-    if isinstance(node, P.Repeat) and node.rmin == 0:
+    if isinstance(node, P.Repeat):
         if node.rmax == 0:
             return None
-        return replace(node, rmin=1)
+        if _matches_empty(node.clause):
+            # REP(C, lo, hi) with ε-matching C: non-empty hits are
+            # 1..hi iterations of the non-empty variant of C (empty
+            # iterations are no-ops, so rmin never forces one) —
+            # REP(REP(a,0,∞),1,∞) → REP(REP(a,1,∞),1,∞) ≡ a+
+            inner = _no_empty(node.clause)
+            if inner is None:
+                return None
+            return P.Repeat(clause=inner, rmin=1, rmax=node.rmax)
+        if node.rmin == 0:
+            return replace(node, rmin=1)
     return node
 
 
@@ -291,6 +304,8 @@ def translate(corpus, node) -> DataFrame:
         return _fi_seq(corpus, node)
     if isinstance(node, P.TokenAnd):
         return _token_and(corpus, node)
+    if isinstance(node, P.SpanAnd):
+        return _span_and(corpus, node)
     if isinstance(node, P.TokenOr):
         dfs = [translate(corpus, c) for c in node.clauses]
         out = dfs[0]
@@ -351,6 +366,36 @@ def _term(corpus, node: P.TermNode) -> DataFrame:
     return S.regex_hits(
         corpus, node.value, annotation=node.annotation, sensitive=node.sensitive
     )
+
+
+def _span_and(corpus, node: P.SpanAnd) -> DataFrame:
+    """Span-level `A & B` (reference TextPatternAnd -> SpanQueryAndNot,
+    SpansAnd.java:251): intersect on identical (doc, start, end). A
+    negated clause (`A & !B`) subtracts B's hits instead of
+    intersecting with the corpus-wide token complement — the
+    reference's AND(a, NOT(b)) -> POSFILTER(a, b, NOTMATCHES) rewrite
+    (TestQueryRewrite.java:146-151)."""
+    pos, neg = [], []
+    for c in node.clauses:
+        if (
+            isinstance(c, P.TokenAnd)
+            and len(c.clauses) == 1
+            and c.clauses[0][0] == "not"
+        ):
+            neg.append(c.clauses[0][1])
+        elif isinstance(c, P.TermNode) and c.negate:
+            neg.append(replace(c, negate=False))
+        else:
+            pos.append(c)
+    if pos:
+        out = translate(corpus, pos[0])
+        for c in pos[1:]:
+            out = S.and_spans(out, translate(corpus, c))
+    else:
+        out = S.any_token(corpus, 1, 1)
+    for c in neg:
+        out = S.and_not(out, translate(corpus, c))
+    return out
 
 
 def _token_and(corpus, node: P.TokenAnd) -> DataFrame:

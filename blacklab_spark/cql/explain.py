@@ -45,6 +45,11 @@ def _render(node, indent: int = 0) -> list[str]:
         for c in node.clauses:
             out += _render(c, indent + 1)
         return out
+    if isinstance(node, P.SpanAnd):
+        out = [f"{pad}SPAN-AND"]
+        for c in node.clauses:
+            out += _render(c, indent + 1)
+        return out
     if isinstance(node, P.Repeat):
         rmax = "inf" if node.rmax < 0 else node.rmax
         out = [f"{pad}REPEAT{{{node.rmin},{rmax}}}"]

@@ -64,6 +64,15 @@ class TokenOr(Node):
 
 
 @dataclass
+class SpanAnd(Node):
+    """Span-level intersection `A & B` between full queries (reference
+    cql.jj:209-224 simpleQuery booleanOperator -> TextPatternAnd ->
+    SpanQueryAndNot): hits present in every clause with identical
+    (doc, start, end); a negated clause subtracts (NOTMATCHES)."""
+    clauses: list = field(default_factory=list)
+
+
+@dataclass
 class Seq(Node):
     parts: list = field(default_factory=list)
 
@@ -248,19 +257,30 @@ class _Parser:
         return node
 
     def parse_or(self) -> Node:
-        parts = [self.parse_sequence()]
-        while self.at("|"):
+        """Span-level `|` and `&` between sequences — one right-
+        recursive level like the reference (cql.jj:215 simpleQuery:
+        `sequence [boolOp simpleQuery]`), so `a | b & c` groups as
+        Or(a, And(b, c)) and `a & b | c` as And(a, Or(b, c))."""
+        node = self.parse_sequence()
+        if self.at("|"):
             self.next()
-            parts.append(self.parse_sequence())
-        return parts[0] if len(parts) == 1 else Or(clauses=parts)
+            rhs = self.parse_or()
+            rest = rhs.clauses if isinstance(rhs, Or) else [rhs]
+            return Or(clauses=[node] + rest)
+        if self.at("&"):
+            self.next()
+            rhs = self.parse_or()
+            rest = rhs.clauses if isinstance(rhs, SpanAnd) else [rhs]
+            return SpanAnd(clauses=[node] + rest)
+        return node
 
     def parse_sequence(self) -> Node:
         parts = []
         while True:
             kind, v = self.peek()
-            if kind == "eof" or v in ("|", ")", ",", "within", "containing") or kind in (
-                "dcolon",
-            ):
+            if kind == "eof" or v in (
+                "|", "&", ")", ",", "within", "containing"
+            ) or kind in ("dcolon",):
                 break
             if v == "!" and self.peek(1)[1] in ("within", "containing"):
                 break
