@@ -455,6 +455,27 @@ SELECT doc_id, pos AS start, pos + 1 AS "end" FROM tok WHERE t <> 'key'
 """
 
 
+def q_span_and_hits(spark, sf_dir):
+    """Span-level AND between full queries (reference cql.jj:209-224
+    simpleQuery booleanOperator -> TextPatternAnd -> SpansAnd): two
+    positive two-token clauses intersect on identical spans, a negated
+    clause subtracts exact spans (the AND(a, NOT(b)) -> POSFILTER(a,
+    b, NOTMATCHES) rewrite, TestQueryRewrite.java:146-151)."""
+    c = _corpus(spark, sf_dir)
+    h = c.find('("table" []) & ([] []) & !("table" "value")').df.select(
+        "doc_id", "start", "end"
+    )
+    return _orig_doc_id(h, c).select("doc_id", "start", "end")
+
+
+O_SPAN_AND_HITS = f"""
+WITH {_DUCK_TOKPOS}
+SELECT a.doc_id, a.pos AS start, b.pos + 1 AS "end"
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.t = 'table' AND b.t <> 'value'
+"""
+
+
 def q_expansion_hits(spark, sf_dir):
     """Any-token expansion, clipped at doc bounds
     (reference SpanQueryExpansion.java:21-33)."""
@@ -1560,6 +1581,7 @@ QUERIES = {
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "or_hits": q_or_hits,
     "token_not_hits": q_token_not_hits,
+    "span_and_hits": q_span_and_hits,
     "expansion_hits": q_expansion_hits,
     "fi_regex_neighbor": q_fi_regex_neighbor,
     "negated_term_sequence": q_negated_term_sequence,
@@ -1623,6 +1645,7 @@ ORACLES = {
     "bm25_topk_filtered": O_BM25_TOPK_FILTERED,
     "or_hits": O_OR_HITS,
     "token_not_hits": O_TOKEN_NOT_HITS,
+    "span_and_hits": O_SPAN_AND_HITS,
     "expansion_hits": O_EXPANSION_HITS,
     "fi_regex_neighbor": O_FI_REGEX_NEIGHBOR,
     "negated_term_sequence": O_NEGATED_TERM_SEQUENCE,

@@ -50,6 +50,7 @@ def search(
     outputformat: str | None = None,
     fimatch: int | None = None,
     waitfortotal: bool | None = None,
+    listvalues: str | None = None,
 ) -> DataFrame:
     """Run one BLS-style request against the corpus.
 
@@ -69,6 +70,10 @@ def search(
     value is the df ratio above which a neighbor is probed over the
     forward index instead of joined (the BLS fimatch / nfaFactor knob,
     reference ClauseCombinerNfa.java:66-74, default 900);
+    ``listvalues`` (comma-separated annotation names) adds per-
+    annotation context columns ``left_<a>/match_<a>/right_<a>`` to the
+    KWIC output (the reference includes every annotation in hit
+    contexts, Kwic.java:19-96; BLS listvalues restricts which);
     ``waitfortotal`` mirrors the BLS parameter (reference
     PlainWebserviceParams.java:19-110, HitsAbstract.ensureResultsRead):
     when set on a hits request, the FULL result count (pre-window) is
@@ -98,6 +103,7 @@ def search(
             wordsaroundhit=wordsaroundhit, usecontent=usecontent,
             calc=calc, facets=facets, maxretrieve=maxretrieve,
             outputformat=outputformat, waitfortotal=waitfortotal,
+            listvalues=listvalues,
         )
     from pyspark.sql import functions as F
 
@@ -283,5 +289,7 @@ def search(
             return _out(
                 snippets(corpus, hits.df, context_chars=8 * wordsaroundhit)
             )
-        return _out(hits.kwic(wordsaroundhit))
+        anns = [a.strip() for a in listvalues.split(",") if a.strip()] \
+            if listvalues else None
+        return _out(hits.kwic(wordsaroundhit, annotations=anns))
     return _out(hits.df)

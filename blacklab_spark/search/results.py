@@ -215,19 +215,57 @@ class Hits:
             .drop("_toks")
         )
 
-    def kwic(self, size: int | None = None) -> DataFrame:
-        """Keyword-in-context strings (reference Kwic.java:19-96)."""
-        ctx = self.with_context(size)
-        return ctx.select(
+    def kwic(
+        self, size: int | None = None, annotations: list[str] | None = None
+    ) -> DataFrame:
+        """Keyword-in-context strings (reference Kwic.java:19-96).
+
+        ``annotations``: extra annotation views of the same context
+        (reference Kwic carries EVERY annotation per context token —
+        TestKwic.java:26-35 word/lemma/pos columns; BLS `listvalues`
+        picks which appear in hit results). Each adds
+        ``left_<a>/match_<a>/right_<a>`` columns, sliced from the same
+        joined row — one doc_id join total, all slices codegen."""
+        size = size or self.corpus.cfg.context_size
+        anns = list(annotations or [])
+        # ONE doc_id join carrying every needed token array; each view
+        # is three codegen slices over its array
+        views = [("", "tokens_i")] + [
+            (f"_{a}", f"ann_{a}" if a not in ("word", "") else "tokens_i")
+            for a in anns
+        ]
+        tk = self.corpus.tokenized.select(
             "doc_id",
             "conv_id",
             "turn_idx",
-            "start",
-            "end",
-            F.array_join("left", " ").alias("left"),
-            F.array_join("match", " ").alias("match"),
-            F.array_join("right", " ").alias("right"),
+            *[F.col(src).alias(f"_toks{sfx}") for sfx, src in views],
         )
+        j = self.df.join(tk, "doc_id")
+        lstart = F.greatest(F.lit(0), F.col("start") - size) + 1  # 1-based
+        cols = ["doc_id", "conv_id", "turn_idx", "start", "end"]
+        for sfx, _src in views:
+            t = f"_toks{sfx}"
+            cols += [
+                F.array_join(
+                    F.slice(t, lstart, F.col("start") - lstart + 1), " "
+                ).alias(f"left{sfx}"),
+                F.array_join(
+                    F.slice(t, F.col("start") + 1, F.col("end") - F.col("start")),
+                    " ",
+                ).alias(f"match{sfx}"),
+                F.array_join(
+                    F.slice(
+                        t,
+                        F.col("end") + 1,
+                        F.greatest(
+                            F.lit(0),
+                            F.least(F.size(t) - F.col("end"), F.lit(size)),
+                        ),
+                    ),
+                    " ",
+                ).alias(f"right{sfx}"),
+            ]
+        return j.select(*cols)
 
     def concordance(self) -> DataFrame:
         """Original-content concordances (reference Concordances.java;

@@ -428,3 +428,62 @@ def test_repetition_negation_capture_chain(micro):
 def test_token_and_with_regex(micro):
     # reference testAnd: [pos = 'adj' & lemma = '.*u.*'] -> The [quick] brown
     assert hits(micro.find('[pos = "adj" & lemma = ".*u.*"]')) == [(0, 1, 2)]
+
+
+# --- TestSearchesNfa parity (reference core/src/test/java/nl/inl/
+# blacklab/search/fimatch/TestSearchesNfa.java:43-155) — the queries the
+# reference runs with NFA forward-index matching enabled; our planner
+# picks FI probes by cost, so these run whichever strategy wins and
+# must match the reference's hit sets either way -------------------------
+
+def test_nfa_sequences(micro):
+    # testSequence1/2a/2b/3 (TestSearchesNfa.java:43-64)
+    assert hits(micro.find('"may" "the"')) == [(2, 0, 2)]
+    assert hits(
+        micro.find('"may" "the" ("force" "be" "with") "you"')
+    ) == [(2, 0, 6)]
+    assert hits(micro.find('"may" "the" "force" "be" "with" "you"')) == [
+        (2, 0, 6)
+    ]
+    assert hits(micro.find('"may" "force"')) == []
+
+
+def test_nfa_repetitions(micro):
+    # testRepetition0-4 / RepetitionCaseSensitive (TestSearchesNfa.java:66-101)
+    assert hits(micro.find('"may" "the"+')) == [(2, 0, 2)]
+    assert hits(micro.find('"may" ".*e"+ "with"')) == [(2, 0, 5)]
+    assert hits(micro.find('"may" "(?-i).*e"{2,3} "with"')) == [(2, 0, 5)]
+    assert hits(micro.find('"may" "(?-i).*e"+ "with"')) == [(2, 0, 5)]
+    # zero-or-more of an absent term collapses to direct adjacency
+    assert hits(micro.find('"may" "dsgsdg"* "the"')) == [(2, 0, 2)]
+    assert hits(micro.find('"may" "dsgsdg"+ "the"')) == []
+
+
+def test_nfa_case_insensitive_pair(micro):
+    # testCaseInsensitive (TestSearchesNfa.java:103-107)
+    assert hits(micro.find('"the" ".*c."')) == [(0, 0, 2), (2, 1, 3)]
+
+
+def test_nfa_expansions(micro):
+    # testExpansion1-4 (TestSearchesNfa.java:109-131)
+    assert hits(micro.find('"may" "the" []{2,3} "with"')) == [(2, 0, 5)]
+    assert hits(micro.find('"may" "the" []{0,2} "force"')) == [(2, 0, 3)]
+    assert hits(micro.find('"may" "the" []+ "force"')) == []
+    assert hits(micro.find('"may" []+ "force"')) == [(2, 0, 3)]
+
+
+def test_nfa_overlapping_and_suffix(micro):
+    # testRelativeFreqs2 / testOverlappingSequences / testSuffix
+    # (TestSearchesNfa.java:133-149)
+    assert hits(micro.find('"noot" "mier" "aap"')) == [(1, 0, 3)]
+    assert hits(micro.find('"mier" []{1,2} "noot" "noot"')) == [
+        (1, 3, 8), (1, 4, 8),
+    ]
+    assert hits(micro.find('".*E" "quick"')) == [(0, 0, 2)]
+
+
+def test_nfa_negated_repetition(micro):
+    # testNegation (TestSearchesNfa.java:151-155)
+    assert hits(micro.find('"mier" [word != "aap|mier"]+ "aap"')) == [
+        (1, 5, 9)
+    ]

@@ -82,6 +82,29 @@ def naive_spans(docs: list[list[str]], node) -> set[tuple[int, int, int]]:
                     for e2 in by_start.get((d, e), [])
                 }
         return cur or set()
+    if isinstance(node, P.SpanAnd):
+        # reference TextPatternAnd: positives intersect on identical
+        # spans; a negated clause subtracts exact spans (the
+        # AND(a, NOT(b)) -> POSFILTER(a, b, NOTMATCHES) rewrite)
+        pos_sets, neg_sets = [], []
+        for c in node.clauses:
+            if isinstance(c, P.TermNode) and c.negate:
+                neg_sets.append(
+                    naive_spans(docs, dataclasses.replace(c, negate=False))
+                )
+            else:
+                pos_sets.append(naive_spans(docs, c))
+        if pos_sets:
+            cur = set.intersection(*pos_sets)
+        else:
+            cur = {
+                (d, i, i + 1)
+                for d, doc in enumerate(docs)
+                for i in range(len(doc))
+            }
+        for ns in neg_sets:
+            cur -= ns
+        return cur
     if isinstance(node, P.Repeat):
         base = naive_spans(docs, node.clause)
         rmin, rmax = node.rmin, node.rmax
@@ -108,7 +131,7 @@ def naive_spans(docs: list[list[str]], node) -> set[tuple[int, int, int]]:
 
 def _may_be_empty(node) -> bool:
     if isinstance(node, P.Repeat):
-        return node.rmin == 0
+        return node.rmin == 0 or _may_be_empty(node.clause)
     if isinstance(node, P.Seq):
         return all(_may_be_empty(p) for p in node.parts)
     if isinstance(node, (P.Or, P.TokenOr)):
@@ -151,13 +174,28 @@ def _gen(rng: random.Random, depth: int, in_seq: bool) -> str:
     if depth <= 0:
         return _gen_atom(rng)
     r = rng.random()
-    if r < 0.45:
+    if r < 0.40:
         n = rng.choice([2, 2, 3])
         return " ".join(_gen(rng, depth - 1, True) for _ in range(n))
-    if r < 0.65:
+    if r < 0.58:
         a = _gen(rng, depth - 1, False)
         b = _gen(rng, depth - 1, False)
         return f"({a} | {b})"
+    if r < 0.68:
+        # span-level AND (non-ε clauses by construction: atoms or a
+        # 2-atom sequence intersected with an atom)
+        a = _gen_atom(rng)
+        b = (
+            f"{_gen_atom(rng)} {_gen_atom(rng)}"
+            if rng.random() < 0.4
+            else _gen_atom(rng)
+        )
+        return f"({a} & {b})" if rng.random() < 0.5 else f"({b} & {a})"
+    if r < 0.80:
+        # repetition of a GROUP (possibly itself containing optional
+        # parts — exercises nested ε-matching repetition rewrites)
+        grp = _gen(rng, depth - 1, False)
+        return f"({grp}){_render_bounds(rng, allow_zero=in_seq)}"
     atom = _gen_atom(rng)
     return f"({atom}){_render_bounds(rng, allow_zero=in_seq)}"
 

@@ -293,3 +293,19 @@ def test_running_count_and_waitfortotal(micro):
     rc2 = win2._blspark_total
     assert rc2.running >= 0  # readable while (possibly) still counting
     assert rc2.total(timeout=120) == expected
+
+
+def test_kwic_listvalues_annotations(micro):
+    """Per-annotation KWIC columns (reference Kwic.java:19-96 carries
+    every annotation per context token, TestKwic.java:26-49; BLS
+    `listvalues` picks which appear)."""
+    out = micro.search(
+        patt='"force"', wordsaroundhit=2, listvalues="lemma,pos"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # doc2: may the [Force] be with you
+    assert r["match"] == "force" and r["left"] == "may the"
+    assert r["match_lemma"] == "force" and r["left_lemma"] == "may the"
+    assert r["match_pos"] == "nou" and r["left_pos"] == "vrb art"
+    assert r["right_pos"] == "vrb pre"
