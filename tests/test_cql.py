@@ -487,3 +487,20 @@ def test_nfa_negated_repetition(micro):
     assert hits(micro.find('"mier" [word != "aap|mier"]+ "aap"')) == [
         (1, 5, 9)
     ]
+
+
+def test_frequency_list_multi_annotation(micro):
+    """lemma+pos zipped frequency list stays position-aligned
+    (reference FrequencyTool multi-annotation lists, README.md example
+    lemma+pos+word x metadata)."""
+    from blacklab_spark.search.frequency import freq_list
+
+    rows = {
+        (r["lemma"], r["pos"]): r["frequency"]
+        for r in freq_list(micro, ["lemma", "pos"]).collect()
+    }
+    # doc0 has two (the, art) and doc2/doc3 one each -> 4 total
+    assert rows[("the", "art")] == 4
+    # (be, vrb): doc2 'be' + doc3 'is' -> 2; doc3 'not' is (not, adv)
+    assert rows[("be", "vrb")] == 2
+    assert rows[("not", "adv")] == 1

@@ -187,3 +187,41 @@ def test_group_by_capture_and_hitposition(micro):
     assert [(r["doc_id"], r["start"]) for r in hp] == [(0, 1), (0, 2), (0, 7)]
     out = micro.search(patt='x:[pos="adj"] "fox"', group="capture:x")
     assert out.collect()[0]["grp"] == "brown"
+
+
+def test_frequency_lists_tool(small_corpus):
+    """FrequencyTool analogue (reference tools/.../frequency/
+    FrequencyTool.java, README.md config format): each configured list
+    is one exploded groupBy; counts must match direct aggregation."""
+    from blacklab_spark.search.frequency import freq_list, frequency_lists
+
+    corpus, pdf = small_corpus
+    fl = freq_list(corpus, ["word"])
+    got = {r["word"]: r["frequency"] for r in fl.collect()}
+    # oracle: token counts from the source rows under the same tokenizer
+    from collections import Counter
+
+    from blacklab_spark.analysis import py_tokenize_insensitive
+
+    want = Counter(
+        t for text in pdf["text"] for t in py_tokenize_insensitive(text)
+    )
+    assert got == dict(want)
+    # grouped by metadata: per-role sums equal the ungrouped counts
+    by_role = freq_list(corpus, ["word"], ["role"])
+    agg = {}
+    for r in by_role.collect():
+        agg[r["word"]] = agg.get(r["word"], 0) + r["frequency"]
+    assert agg == dict(want)
+    # config-driven surface + reference naming convention
+    lists = frequency_lists(
+        corpus,
+        {
+            "annotatedField": "contents",
+            "frequencyLists": [
+                {"annotations": ["word"]},
+                {"annotations": ["word"], "metadataFields": ["role"]},
+            ],
+        },
+    )
+    assert set(lists) == {"contents_word", "contents_word_role"}
