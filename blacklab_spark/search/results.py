@@ -525,10 +525,17 @@ class Hits:
         }
 
     # -- collocations -------------------------------------------------------------
-    def collocations(self, size: int | None = None) -> DataFrame:
+    def collocations(
+        self,
+        size: int | None = None,
+        annotation: str = "word",
+        sensitive: bool = False,
+    ) -> DataFrame:
         """Context-word frequencies around hits, hit text excluded,
-        desensitized (reference TermFrequencyList.java:49-95)."""
-        ctx = self.with_context(size)
+        desensitized (reference TermFrequencyList.java:49-95; the BLS
+        colloc calc takes the annotation/sensitivity to count,
+        RequestHandlerHits.java annotation param)."""
+        ctx = self.with_context(size, annotation, sensitive)
         words = ctx.select(
             F.explode(F.concat(F.col("left"), F.col("right"))).alias("term")
         )
@@ -586,11 +593,34 @@ def export_csv(df: DataFrame, path: str | None = None, max_rows: int = 10_000):
     return df.limit(max_rows).toPandas().to_csv(index=False)
 
 
-def autocomplete(corpus, prefix: str, n: int = 20) -> DataFrame:
+def autocomplete(
+    corpus, prefix: str, n: int = 20, annotation: str = "word"
+) -> DataFrame:
     """Term-prefix completion (reference RequestHandlerAutocomplete.java,
-    LuceneUtil.java:246) — a range scan on the sorted terms dict."""
+    LuceneUtil.java:246 findTermsByPrefix on the requested annotation's
+    insensitive field) — a range scan on that field's sorted terms
+    dict when it has postings; an annotation without postings derives
+    its vocabulary from a pruned forward-index scan (the reference
+    requires an indexed field there — ours answers either way, the
+    indexed route just prunes instead of scanning)."""
+    from blacklab_spark.analysis import desensitize_py
+    from blacklab_spark.search.spans import token_positions
+
+    a = annotation or "word"
+    want = desensitize_py(prefix)
+    if f"{a}@i" in corpus.index_fields:
+        src = corpus.terms_for(f"{a}@i").select("term", "df", "cf")
+    else:
+        src = (
+            token_positions(corpus, a, sensitive=False)
+            .groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count(F.lit(1)).alias("cf"),
+            )
+        )
     return (
-        corpus.terms.filter(F.col("term").startswith(prefix.lower()))
+        src.filter(F.col("term").startswith(want))
         .orderBy("term")
         .select("term", "df", "cf")
         .limit(n)

@@ -504,3 +504,15 @@ def test_frequency_list_multi_annotation(micro):
     # (be, vrb): doc2 'be' + doc3 'is' -> 2; doc3 'not' is (not, adv)
     assert rows[("be", "vrb")] == 2
     assert rows[("not", "adv")] == 1
+
+
+def test_autocomplete_annotation(micro):
+    """Autocomplete on a sidecar annotation (reference
+    RequestHandlerAutocomplete.java resolves the requested annotation's
+    insensitive field): 'a' prefix over pos -> adj/adv/art."""
+    from blacklab_spark.search.results import autocomplete
+
+    rows = autocomplete(micro, "a", annotation="pos").collect()
+    got = {r["term"]: (r["df"], r["cf"]) for r in rows}
+    # adj: doc0 x3; adv: doc3 x1; art: doc0 x2, doc2 x1, doc3 x1
+    assert got == {"adj": (1, 3), "adv": (1, 1), "art": (3, 4)}
