@@ -307,12 +307,23 @@ def translate(corpus, node) -> DataFrame:
     if isinstance(node, P.SpanAnd):
         return _span_and(corpus, node)
     if isinstance(node, P.TokenOr):
+        ts = _plain_term_set(node)
+        if ts is not None:
+            ann, sens, vals = ts
+            return S.term_set_hits(corpus, vals, ann, sens)
         dfs = [translate(corpus, c) for c in node.clauses]
         out = dfs[0]
         for d in dfs[1:]:
             out = S.union(out, d)
         return out
     if isinstance(node, P.Or):
+        ts = _plain_term_set(node)
+        if ts is not None:
+            # OR of plain same-annotation terms: ONE postings IN-scan,
+            # not a chained union per alternative (a wide machine-built
+            # alternation must stay a single job)
+            ann, sens, vals = ts
+            return S.term_set_hits(corpus, vals, ann, sens)
         dfs = [translate(corpus, c) for c in node.clauses]
         out = dfs[0]
         for d in dfs[1:]:
@@ -368,6 +379,46 @@ def _term(corpus, node: P.TermNode) -> DataFrame:
     )
 
 
+def _plain_term_set(node) -> tuple | None:
+    """(annotation, sensitive, values) when every clause of an Or /
+    TokenOr is a non-negated plain term of the same annotation and
+    sensitivity — the shape that collapses to one postings IN-scan."""
+    clauses = node.clauses
+    if len(clauses) < 2:
+        return None
+    ann0 = sens0 = None
+    vals: list[str] = []
+    for c in clauses:
+        if not (
+            isinstance(c, P.TermNode)
+            and not c.negate
+            and P.is_plain_term(c.value)
+        ):
+            return None
+        a, s = (c.annotation or "word"), c.sensitive
+        if ann0 is None:
+            ann0, sens0 = a, s
+        elif a != ann0 or s != sens0:
+            return None
+        vals.append(c.value)
+    return (ann0, sens0, vals)
+
+
+def _combine_pos_neg(corpus, pos: list, neg: list) -> DataFrame:
+    """Shared AND/NOT combine (reference SpanQueryAndNot include/
+    exclude lists): intersect the positive clauses on identical
+    (doc, start, end), then subtract each negative's exact spans."""
+    if pos:
+        out = translate(corpus, pos[0])
+        for c in pos[1:]:
+            out = S.and_spans(out, translate(corpus, c))
+    else:
+        out = S.any_token(corpus, 1, 1)
+    for c in neg:
+        out = S.and_not(out, translate(corpus, c))
+    return out
+
+
 def _span_and(corpus, node: P.SpanAnd) -> DataFrame:
     """Span-level `A & B` (reference TextPatternAnd -> SpanQueryAndNot,
     SpansAnd.java:251): intersect on identical (doc, start, end). A
@@ -387,15 +438,7 @@ def _span_and(corpus, node: P.SpanAnd) -> DataFrame:
             neg.append(replace(c, negate=False))
         else:
             pos.append(c)
-    if pos:
-        out = translate(corpus, pos[0])
-        for c in pos[1:]:
-            out = S.and_spans(out, translate(corpus, c))
-    else:
-        out = S.any_token(corpus, 1, 1)
-    for c in neg:
-        out = S.and_not(out, translate(corpus, c))
-    return out
+    return _combine_pos_neg(corpus, pos, neg)
 
 
 def _token_and(corpus, node: P.TokenAnd) -> DataFrame:
@@ -406,15 +449,7 @@ def _token_and(corpus, node: P.TokenAnd) -> DataFrame:
             clause = replace(clause, negate=False)
             kind = "not" if kind == "and" else "and"
         (pos if kind == "and" else neg).append(clause)
-    if pos:
-        out = translate(corpus, pos[0])
-        for c in pos[1:]:
-            out = S.and_spans(out, translate(corpus, c))
-    else:
-        out = S.any_token(corpus, 1, 1)
-    for c in neg:
-        out = S.and_not(out, translate(corpus, c))
-    return out
+    return _combine_pos_neg(corpus, pos, neg)
 
 
 def _sequence(corpus, parts: list) -> DataFrame:

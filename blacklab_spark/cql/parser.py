@@ -260,18 +260,24 @@ class _Parser:
         """Span-level `|` and `&` between sequences — one right-
         recursive level like the reference (cql.jj:215 simpleQuery:
         `sequence [boolOp simpleQuery]`), so `a | b & c` groups as
-        Or(a, And(b, c)) and `a & b | c` as And(a, Or(b, c))."""
-        node = self.parse_sequence()
-        if self.at("|"):
-            self.next()
-            rhs = self.parse_or()
-            rest = rhs.clauses if isinstance(rhs, Or) else [rhs]
-            return Or(clauses=[node] + rest)
-        if self.at("&"):
-            self.next()
-            rhs = self.parse_or()
-            rest = rhs.clauses if isinstance(rhs, SpanAnd) else [rhs]
-            return SpanAnd(clauses=[node] + rest)
+        Or(a, And(b, c)) and `a & b | c` as And(a, Or(b, c)).
+        Implemented ITERATIVELY (collect operands, fold from the
+        right) so a machine-built 10k-branch OR chain parses without
+        recursion-depth limits; same-operator runs flatten into one
+        node."""
+        items = [self.parse_sequence()]
+        ops: list[str] = []
+        while self.at("|") or self.at("&"):
+            ops.append(self.next()[1])
+            items.append(self.parse_sequence())
+        node = items[-1]
+        for op, item in zip(reversed(ops), reversed(items[:-1])):
+            if op == "|":
+                rest = node.clauses if isinstance(node, Or) else [node]
+                node = Or(clauses=[item] + rest)
+            else:
+                rest = node.clauses if isinstance(node, SpanAnd) else [node]
+                node = SpanAnd(clauses=[item] + rest)
         return node
 
     def parse_sequence(self) -> Node:

@@ -17,6 +17,26 @@ from pyspark.sql import DataFrame, Window, functions as F
 HIT_COLS = ("doc_id", "start", "end")
 
 
+def _ctx_slices(toks: str, size: int):
+    """(left, match, right) array slices of a hit's context over one
+    token-array column — the single source of the KWIC slice
+    expressions (reference Contexts.java:49-108). The right-length
+    clamp guards annotation arrays shorter than the hit's doc (a
+    misaligned or sparse sidecar must yield an empty slice, not a
+    negative-length error)."""
+    lstart = F.greatest(F.lit(0), F.col("start") - size) + 1  # 1-based
+    left = F.slice(toks, lstart, F.col("start") - lstart + 1)
+    match = F.slice(toks, F.col("start") + 1, F.col("end") - F.col("start"))
+    right = F.slice(
+        toks,
+        F.col("end") + 1,
+        F.greatest(
+            F.lit(0), F.least(F.size(toks) - F.col("end"), F.lit(size))
+        ),
+    )
+    return left, match, right
+
+
 class RunningCount:
     """Asynchronous total count with a live RUNNING tally — the BLS
     waitfortotal=no semantics (reference HitsAbstract.ensureResultsRead
@@ -187,10 +207,11 @@ class Hits:
                      sensitive: bool = False) -> DataFrame:
         """Attach left/match/right token arrays per hit
         (reference Contexts.java:49-108; KWIC default context 5,
-        BlackLabIndex.java:74). slice() on the doc's token array —
-        one equi-join on doc_id, no shuffle of the token table beyond
-        the hash join."""
-        size = size or self.corpus.cfg.context_size
+        BlackLabIndex.java:74; size=0 is a legitimate match-only
+        request). slice() on the doc's token array — one equi-join on
+        doc_id, no shuffle of the token table beyond the hash join."""
+        if size is None:
+            size = self.corpus.cfg.context_size
         col = "tokens" if sensitive else "tokens_i"
         if annotation not in ("word", ""):
             col = f"ann_{annotation}"
@@ -198,20 +219,11 @@ class Hits:
             "doc_id", F.col(col).alias("_toks"), "conv_id", "turn_idx"
         )
         j = self.df.join(tk, "doc_id")
-        lstart = F.greatest(F.lit(0), F.col("start") - size) + 1  # 1-based
+        left, match, right = _ctx_slices("_toks", size)
         return (
-            j.withColumn("left", F.slice("_toks", lstart, F.col("start") - lstart + 1))
-            .withColumn(
-                "match", F.slice("_toks", F.col("start") + 1, F.col("end") - F.col("start"))
-            )
-            .withColumn(
-                "right",
-                F.slice(
-                    "_toks",
-                    F.col("end") + 1,
-                    F.least(F.size("_toks") - F.col("end"), F.lit(size)),
-                ),
-            )
+            j.withColumn("left", left)
+            .withColumn("match", match)
+            .withColumn("right", right)
             .drop("_toks")
         )
 
@@ -226,8 +238,11 @@ class Hits:
         picks which appear in hit results). Each adds
         ``left_<a>/match_<a>/right_<a>`` columns, sliced from the same
         joined row — one doc_id join total, all slices codegen."""
-        size = size or self.corpus.cfg.context_size
-        anns = list(annotations or [])
+        if size is None:
+            size = self.corpus.cfg.context_size
+        # dedup user-supplied names (a repeated listvalues entry would
+        # otherwise alias two identical columns and break resolution)
+        anns = list(dict.fromkeys(annotations or []))
         # ONE doc_id join carrying every needed token array; each view
         # is three codegen slices over its array
         views = [("", "tokens_i")] + [
@@ -241,29 +256,13 @@ class Hits:
             *[F.col(src).alias(f"_toks{sfx}") for sfx, src in views],
         )
         j = self.df.join(tk, "doc_id")
-        lstart = F.greatest(F.lit(0), F.col("start") - size) + 1  # 1-based
         cols = ["doc_id", "conv_id", "turn_idx", "start", "end"]
         for sfx, _src in views:
-            t = f"_toks{sfx}"
+            left, match, right = _ctx_slices(f"_toks{sfx}", size)
             cols += [
-                F.array_join(
-                    F.slice(t, lstart, F.col("start") - lstart + 1), " "
-                ).alias(f"left{sfx}"),
-                F.array_join(
-                    F.slice(t, F.col("start") + 1, F.col("end") - F.col("start")),
-                    " ",
-                ).alias(f"match{sfx}"),
-                F.array_join(
-                    F.slice(
-                        t,
-                        F.col("end") + 1,
-                        F.greatest(
-                            F.lit(0),
-                            F.least(F.size(t) - F.col("end"), F.lit(size)),
-                        ),
-                    ),
-                    " ",
-                ).alias(f"right{sfx}"),
+                F.array_join(left, " ").alias(f"left{sfx}"),
+                F.array_join(match, " ").alias(f"match{sfx}"),
+                F.array_join(right, " ").alias(f"right{sfx}"),
             ]
         return j.select(*cols)
 
@@ -350,7 +349,8 @@ class Hits:
         ``wordleft[:ann]``, ``wordright[:ann]``, ``capture:name``,
         ``field:col``, ``decade``, ``hitposition``. Text keys use the
         desensitized annotation (primary collation strength)."""
-        size = size or self.corpus.cfg.context_size
+        if size is None:
+            size = self.corpus.cfg.context_size
         df = self.df
 
         def ann_of(crit: str) -> str:
@@ -569,13 +569,19 @@ def term_frequencies(corpus, filter_expr: str | None = None,
 
 
 def grouped_term_frequencies(corpus, meta_cols: list[str]) -> DataFrame:
-    """FrequencyTool analogue: (annotation term × metadata) frequency
-    table over the whole corpus (reference FrequencyTool.java:55-66) —
-    one explode + groupBy, partial aggregation absorbs term skew."""
+    """FrequencyTool analogue: (word term × metadata) frequency table
+    over the whole corpus (reference FrequencyTool.java:55-66) — thin
+    ordered view over frequency.freq_list (the config-driven engine),
+    keeping this surface's historical column names."""
+    from blacklab_spark.search.frequency import freq_list
+
     return (
-        corpus.tokenized.select(*meta_cols, F.explode("tokens_i").alias("term"))
-        .groupBy("term", *meta_cols)
-        .agg(F.count(F.lit(1)).alias("freq"))
+        freq_list(corpus, ["word"], meta_cols)
+        .select(
+            F.col("word").alias("term"),
+            *meta_cols,
+            F.col("frequency").alias("freq"),
+        )
         .orderBy(F.desc("freq"), "term", *meta_cols)
     )
 
@@ -603,25 +609,31 @@ def autocomplete(
     its vocabulary from a pruned forward-index scan (the reference
     requires an indexed field there — ours answers either way, the
     indexed route just prunes instead of scanning)."""
-    from blacklab_spark.analysis import desensitize_py
-    from blacklab_spark.search.spans import token_positions
+    from blacklab_spark.analysis import desensitize_col, desensitize_py
+    from blacklab_spark.search.spans import _postings_route, token_positions
 
     a = annotation or "word"
     want = desensitize_py(prefix)
-    if f"{a}@i" in corpus.index_fields:
-        src = corpus.terms_for(f"{a}@i").select("term", "df", "cf")
+    route = _postings_route(corpus, a, "i")
+    if route is not None and route[0] == "direct":
+        src = corpus.terms_for(route[1]).filter(
+            F.col("term").startswith(want)
+        )
+    elif route is not None:
+        # only the sensitive field is indexed: prefix-match its dict
+        # through the fold, return the RAW stored terms (the reference
+        # completes from whichever sensitivity field exists)
+        src = corpus.terms_for(route[1]).filter(
+            desensitize_col(F.col("term"), "i").startswith(want)
+        )
     else:
         src = (
             token_positions(corpus, a, sensitive=False)
+            .filter(F.col("term").startswith(want))
             .groupBy("term")
             .agg(
                 F.countDistinct("doc_id").alias("df"),
                 F.count(F.lit(1)).alias("cf"),
             )
         )
-    return (
-        src.filter(F.col("term").startswith(want))
-        .orderBy("term")
-        .select("term", "df", "cf")
-        .limit(n)
-    )
+    return src.orderBy("term").select("term", "df", "cf").limit(n)

@@ -270,6 +270,53 @@ def term_hits(
     return _uniq_positions(corpus, annotation, out)
 
 
+def term_set_hits(
+    corpus, terms: list[str], annotation: str = "word", sensitive=False
+) -> DataFrame:
+    """All positions of ANY term in the set — ONE postings scan with an
+    IN filter instead of a union per alternative (the reference
+    rewrites multi-term queries into a single OR over dictionary
+    matches, BLSpanMultiTermQueryWrapper; a 1000-branch `"a"|"b"|...`
+    must not become 1000 chained DataFrame unions). Same routing as
+    term_hits: exact field -> sensitive field + dict expansion ->
+    token scan."""
+    from blacklab_spark.analysis import (
+        desensitize_col, desensitize_value, norm_sensitivity,
+    )
+
+    sens = norm_sensitivity(sensitive)
+    a = annotation if annotation not in ("word", "") else "word"
+    wants = sorted({desensitize_value(t, sens) for t in terms})
+    route = _postings_route(corpus, a, sens)
+    if route is not None:
+        kind, field = route
+        if kind == "direct":
+            posts = corpus.postings_for(field).filter(
+                F.col("term").isin(wants)
+            )
+            out = _decode_posting_positions(corpus, posts)
+        else:
+            tdf = corpus.terms_for(field).filter(
+                desensitize_col(F.col("term"), sens).isin(wants)
+            ).select("term")
+            out = postings_hits_for_terms(corpus, tdf, field=field)
+        if _extra_col(corpus, a):
+            sec = _secondary_positions(corpus, a).filter(
+                desensitize_col(F.col("term"), sens).isin(wants)
+            ).select(
+                "doc_id",
+                F.col("pos").alias("start"),
+                (F.col("pos") + 1).alias("end"),
+            )
+            out = out.unionByName(sec).dropDuplicates(["doc_id", "start", "end"])
+        return out
+    tp = token_positions(corpus, annotation, sens)
+    out = tp.filter(F.col("term").isin(wants)).select(
+        "doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end")
+    )
+    return _uniq_positions(corpus, annotation, out)
+
+
 def regex_hits(
     corpus, pattern: str, annotation: str = "word", sensitive=False
 ) -> DataFrame:

@@ -100,3 +100,34 @@ def test_single_valued_annotation_pays_no_multivalue_cost(micro):
 
     node = P.parse('[pos="vrb"]+')
     assert E._probe_rep_spec(node, micro) is not None
+
+
+def test_long_or_chain_parses():
+    """A machine-built 5000-branch OR chain must parse without
+    recursion limits (parse_or folds operands iteratively)."""
+    from blacklab_spark.cql import parser as P
+
+    q = " | ".join(f'"w{i}"' for i in range(5000))
+    node = P.parse(q)
+    assert isinstance(node, P.Or) and len(node.clauses) == 5000
+    # mixed-operator grouping keeps the reference's right-recursive
+    # shape: a | b & c == Or(a, And(b, c))
+    m = P.parse('"a" | "b" & "c"')
+    assert isinstance(m, P.Or)
+    assert isinstance(m.clauses[1], P.SpanAnd)
+
+
+def test_kwic_zero_context(small_corpus):
+    """wordsaroundhit=0 is a match-only request (BLS semantics), not
+    'use the default context size'."""
+    corpus, _ = small_corpus
+    rows = corpus.find('"word00001"').kwic(0).limit(5).collect()
+    assert rows and all(r["left"] == "" and r["right"] == "" for r in rows)
+    # duplicate listvalues entries must not break column resolution
+    from blacklab_spark.search.facade import search
+
+    out = search(
+        corpus, patt='"word00001"', wordsaroundhit=1,
+        listvalues="word,word", number=2,
+    ).collect()
+    assert out and out[0]["match_word"] == out[0]["match"]
