@@ -861,6 +861,14 @@ def _sequence_one(corpus, parts: list) -> DataFrame:
     if pending_gap is not None:
         # trailing []s: expand right
         current = S.expand(current, corpus, "right", pending_gap[0], pending_gap[1])
+    if sum(1 for p in parts if _fixed_len(p) is None) >= 2:
+        # two+ variable-length parts can derive the SAME total span
+        # from different length splits (A{1,3} B{1,3}: |A|=1,|B|=2 vs
+        # |A|=2,|B|=1) — set semantics requires one row per distinct
+        # hit (reference ensureSortedUnique, BLSpanQuery.java:105-112).
+        # Fixed-length sequences cannot duplicate, so the common
+        # phrase path pays no extra shuffle.
+        current = current.dropDuplicates()
     return current
 
 

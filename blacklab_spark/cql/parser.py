@@ -438,6 +438,18 @@ class _Parser:
         kind, v = self.peek()
         if kind == "name":
             ann = self.next()[1]
+            # subannotation access `pos.head` (reference cql.jj
+            # propName: NAME ("." NAME)?, indexed as a separate field
+            # per AnnotatedFieldNameUtil subannotation naming) — our
+            # flattened sidecar name is parent_sub
+            while self.at("."):
+                self.next()
+                nk, nv = self.next()
+                if nk != "name":
+                    raise ValueError(
+                        f"CQL parse error: expected subannotation name, got {nv!r}"
+                    )
+                ann = f"{ann}_{nv}"
             op = self.next()[1]
             if op not in ("=", "!="):
                 raise ValueError(f"CQL parse error: bad token op {op!r}")

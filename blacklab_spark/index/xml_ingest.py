@@ -82,11 +82,17 @@ TEI_P5 = XmlFormat(
 )
 
 # FoLiA (reference folia.blf.yaml): <w> wraps a <t> text child plus
-# annotation children carrying their value in a `class` attribute
+# annotation children carrying their value in a `class` attribute;
+# pos subannotations (head, ... — folia.blf.yaml `subannotations:`)
+# flatten to `pos_head`-style sidecars, queryable as `[pos.head=..]`
 FOLIA = XmlFormat(
     document_tag="FoLiA",
     word_tag="w",
-    annotations={"lemma": "child:lemma@class", "pos": "child:pos@class"},
+    annotations={
+        "lemma": "child:lemma@class",
+        "pos": "child:pos@class",
+        "pos_head": "child:pos@head",
+    },
     inline_tags=("s", "p", "event", "entity"),
     metadata={"conv_id": "@xml:id"},
     name="folia",
@@ -369,6 +375,17 @@ def load_blf_config(path: str) -> XmlFormat:
     def last_tag(p: str) -> str:
         return p.rstrip("/").rsplit("/", 1)[-1]
 
+    def ann_spec(a: dict, base_path: str | None = None) -> str:
+        """ValuePath -> our spec; a basePath names a child element the
+        attribute lives on (reference folia.blf.yaml `basePath:
+        folia:pos` + `valuePath: "@class"` reads <pos class=..> under
+        the word)."""
+        vp = a.get("valuePath", "")
+        bp = a.get("basePath", base_path)
+        if bp and vp.startswith("@"):
+            return f"child:{last_tag(bp.split(':')[-1])}@{vp[1:]}"
+        return vp
+
     fmt = XmlFormat(name=doc.get("name", "xml"))
     if doc.get("documentPath"):
         fmt.document_tag = last_tag(doc["documentPath"])
@@ -376,9 +393,16 @@ def load_blf_config(path: str) -> XmlFormat:
     if contents.get("wordPath"):
         fmt.word_tag = last_tag(contents["wordPath"])
     if contents.get("annotations"):
-        fmt.annotations = {
-            a["name"]: a.get("valuePath", "") for a in contents["annotations"]
-        }
+        fmt.annotations = {}
+        for a in contents["annotations"]:
+            fmt.annotations[a["name"]] = ann_spec(a)
+            for sub in a.get("subannotations") or []:
+                # reference indexes each subannotation as its own
+                # field (folia.blf.yaml subannotations:); flattened
+                # name parent_sub is what `[pos.head=..]` resolves to
+                fmt.annotations[f"{a['name']}_{sub['name']}"] = ann_spec(
+                    sub, a.get("basePath")
+                )
     if contents.get("inlineTags"):
         fmt.inline_tags = tuple(
             last_tag(t["path"]) for t in contents["inlineTags"]

@@ -273,3 +273,22 @@ def test_differential_random_queries(diff_corpus):
         f"{mode} plan diverges on {q!r}:\n  naive={exp[:12]}\n  engine={got[:12]}"
         for q, mode, exp, got in failures[:5]
     )
+
+
+def test_variable_length_sequence_dedup(diff_corpus):
+    """Two variable-length parts can derive the same span via
+    different length splits (|A|=1,|B|=2 vs |A|=2,|B|=1) — the engine
+    must emit one row per distinct hit under BOTH planner modes
+    (reference ensureSortedUnique, BLSpanQuery.java:105-112). Found by
+    a deep fuzz run (seed 424242, 60-doc corpus)."""
+    import copy as _copy
+    import dataclasses as _dc
+
+    corpus, docs = diff_corpus
+    q = '("ab"){1,3} ([word != "bb"]){1,3}'
+    want = naive_find(docs, q)
+    for ratio in (0.0, 1.01):
+        c2 = _copy.copy(corpus)
+        c2.cfg = _dc.replace(corpus.cfg, fi_probe_ratio=ratio)
+        got = engine_hits(c2, q)
+        assert got == want, f"ratio={ratio}"

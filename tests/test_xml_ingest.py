@@ -321,3 +321,51 @@ def test_subtoken_and_empty_word_alignment(spark, small_cfg, tmp_path_factory):
     # dense doc ids follow conv_id order: '8' -> 0, '9' -> 1
     assert _hits(c, '[pos="ADJ"]') == {(1, 3, 4)}
     assert _hits(c, '"york"') == {(1, 1, 2)}
+
+
+FOLIA_SUB = (
+    "<FoLiA xml:id='subdoc'><s>"
+    "<w><t>grote</t><lemma class='groot'/><pos class='ADJ' head='adj'/></w> "
+    "<w><t>huizen</t><lemma class='huis'/><pos class='N(soort)' head='N'/></w>"
+    "</s></FoLiA>"
+)
+
+
+def test_folia_subannotations(spark, small_cfg, tmp_path_factory):
+    """FoLiA pos subannotations (reference folia.blf.yaml
+    `subannotations:` under pos; cql.jj propName NAME('.'NAME) —
+    `[pos.head=..]` queries the flattened pos_head sidecar)."""
+    d = tmp_path_factory.mktemp("foliasub")
+    (d / "f.xml").write_text(FOLIA_SUB)
+    tr = read_xml(spark, str(d), "folia")
+    row = tr.collect()[0]
+    assert row["ann_pos"] == ["ADJ", "N(soort)"]
+    assert row["ann_pos_head"] == ["adj", "N"]
+    idx = str(tmp_path_factory.mktemp("foliasubidx") / "idx")
+    c = Corpus.build(spark, tr, idx, small_cfg)
+    assert _hits(c, '[pos.head="N"]') == {(0, 1, 2)}
+    assert _hits(c, '[pos.head="adj"] [pos.head="N"]') == {(0, 0, 2)}
+
+
+def test_blf_config_subannotations(tmp_path):
+    """blf.yaml-lite honors basePath + subannotations (reference
+    ConfigInputFormat / folia.blf.yaml shape)."""
+    p = tmp_path / "fmt.blf.yaml"
+    p.write_text(
+        "documentPath: //doc\n"
+        "annotatedFields:\n"
+        "  contents:\n"
+        "    wordPath: .//w\n"
+        "    annotations:\n"
+        "    - name: pos\n"
+        "      basePath: folia:pos\n"
+        "      valuePath: \"@class\"\n"
+        "      subannotations:\n"
+        "      - name: head\n"
+        "        valuePath: \"@head\"\n"
+    )
+    fmt = load_blf_config(str(p))
+    assert fmt.annotations == {
+        "pos": "child:pos@class",
+        "pos_head": "child:pos@head",
+    }
