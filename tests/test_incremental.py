@@ -130,3 +130,85 @@ def test_resume_skips_stages(spark, tmp_path_factory):
     m0 = os.path.getmtime(tok_marker)
     Corpus.build(spark, df, d, cfg, resume=True)
     assert os.path.getmtime(tok_marker) == m0
+
+
+def test_incremental_equals_fresh_rebuild(spark, tmp_path_factory):
+    """End-to-end equivalence: an index maintained through add ->
+    delete -> compact -> add must answer every query EXACTLY like a
+    fresh build of the same final document set (the reference's
+    contract: a reader over live segments + liveDocs is
+    indistinguishable from a reindex; TestDeleteDocument.java +
+    IndexerImpl add-to-existing). Compares BM25 top-k (scores
+    included), span hits, term frequencies, and doc stats."""
+    cfg = EngineConfig(segment_size=128, block_size=8)
+
+    base = generate_pandas(400, seed=21)
+    extra1 = generate_pandas(900, seed=22).iloc[400:650].reset_index(drop=True)
+    extra2 = generate_pandas(900, seed=23).iloc[650:900].reset_index(drop=True)
+
+    d_inc = str(tmp_path_factory.mktemp("equivinc") / "idx")
+    Corpus.build(spark, spark.createDataFrame(base), d_inc, cfg)
+    add_documents(spark, d_inc, spark.createDataFrame(extra1))
+    # delete a slice of the ORIGINAL docs by (conv_id, turn_idx)
+    inc = Corpus.open(spark, d_inc)
+    victims = inc.tokenized.filter(
+        F.col("conv_id").isin([r for r in base["conv_id"].unique()[:40]])
+    ).select("doc_id")
+    n_del = delete_documents(spark, d_inc, victims)
+    assert n_del > 0
+    compact(spark, d_inc)
+    add_documents(spark, d_inc, spark.createDataFrame(extra2))
+    inc = Corpus.open(spark, d_inc)
+
+    # fresh rebuild over the surviving + added rows
+    import pandas as pd
+
+    dead = set(base["conv_id"].unique()[:40])
+    final = pd.concat(
+        [base[~base["conv_id"].isin(dead)], extra1, extra2],
+        ignore_index=True,
+    )
+    d_fresh = str(tmp_path_factory.mktemp("equivfresh") / "idx")
+    fresh = Corpus.build(spark, spark.createDataFrame(final), d_fresh, cfg)
+
+    # doc stats: same surviving (conv_id, turn_idx, num_tokens) set
+    key = lambda c: {  # noqa: E731
+        (r["conv_id"], r["turn_idx"], r["num_tokens"])
+        for r in c.tokenized.select("conv_id", "turn_idx", "num_tokens").collect()
+    }
+    assert key(inc) == key(fresh)
+
+    # BM25 rank + score identical (doc identity via conv_id/turn_idx —
+    # topk output already carries the doc metadata columns)
+    def topk(c, q):
+        return [
+            (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in c.topk(q, k=10)
+            .orderBy(F.desc("score"), "conv_id", "turn_idx")
+            .collect()
+        ]
+
+    for q in ("word00001 word00050", "word00002", "word00010 word00003"):
+        assert topk(inc, q) == topk(fresh, q), q
+
+    # span hits identical under doc identity
+    def spans(c, q):
+        j = c.find(q).df.join(
+            c.tokenized.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+        )
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["start"], r["end"])
+            for r in j.collect()
+        )
+
+    for q in ('"word00001" "word00002"', '"word0000.*"', '[word != "word00001"] "word00002"'):
+        assert spans(inc, q) == spans(fresh, q), q
+
+    # term frequencies identical
+    from blacklab_spark.search.results import term_frequencies
+
+    tf = lambda c: {  # noqa: E731
+        r["term"]: (r["n_docs"], r["freq"])
+        for r in term_frequencies(c).collect()
+    }
+    assert tf(inc) == tf(fresh)
