@@ -62,6 +62,10 @@ def _matches_empty(node) -> bool:
         return _matches_empty(node.clause)
     if isinstance(node, P.Or):
         return any(_matches_empty(c) for c in node.clauses)
+    if isinstance(node, P.SpanAnd):
+        # reference TextPatternAnd.matchesEmptySequence: ALL clauses
+        # must match ε (a negated clause never does)
+        return all(_matches_empty(c) for c in node.clauses)
     return False
 
 
@@ -84,6 +88,14 @@ def _no_empty(node):
             return P.Repeat(clause=inner, rmin=1, rmax=node.rmax)
         if node.rmin == 0:
             return replace(node, rmin=1)
+    if isinstance(node, P.SpanAnd) and _matches_empty(node):
+        # non-ε hits of an intersection = intersection of each
+        # clause's non-ε hits (a hit is in the AND iff in every
+        # clause; width is a property of the hit itself)
+        inners = [_no_empty(c) for c in node.clauses]
+        if any(i is None for i in inners):
+            return None
+        return P.SpanAnd(clauses=inners)
     return node
 
 

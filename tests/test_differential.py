@@ -138,6 +138,8 @@ def _may_be_empty(node) -> bool:
         return any(_may_be_empty(c) for c in node.clauses)
     if isinstance(node, P.Capture):
         return _may_be_empty(node.clause)
+    if isinstance(node, P.SpanAnd):
+        return all(_may_be_empty(c) for c in node.clauses)
     return False
 
 

@@ -256,3 +256,18 @@ def test_global_constraint_rewrite(micro):
     """a:[] 'x' b:[] :: a.word = b.word — captures survive the
     expansion rewrites (TestQueryRewrite.java:331-335)."""
     assert hits(micro, 'a:[] "mier" b:[] :: a.word = b.word') == [(1, 3, 6)]
+
+
+def test_epsilon_matching_span_and(micro):
+    """An AND whose clauses ALL match ε matches ε itself (reference
+    TextPatternAnd.matchesEmptySequence): ("x"* & "y"*) "noot" must
+    include bare noot hits; non-ε hits of the AND are the intersection
+    of each clause's non-ε hits."""
+    assert_equiv(
+        micro,
+        '("aap"* & "aap"*) "noot"',
+        '("aap"+ "noot") | "noot"',
+    )
+    # disjoint ε-matching clauses: intersection of non-ε hits is empty,
+    # so only the bare alternative survives
+    assert_equiv(micro, '("aap"* & "mier"*) "noot"', '"noot"')
