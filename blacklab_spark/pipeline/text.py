@@ -94,6 +94,71 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def text_features(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Every per-document text feature in ONE scan: token counts
+    (token_counts), quality features + composite score (quality_score),
+    marker-word language ID (lang_id), and the min-shingle fingerprint
+    (fingerprint). Column-for-column identical to the four standalone
+    operators, which remain unit-tested individually.
+
+    Scale: this is the shape a 100 TB pipeline actually runs — one
+    parquet pass emitting all features — instead of four scans of the
+    same `text` column. Still pure whole-stage-codegen SQL; the token
+    array is materialized once per row and shared by every feature."""
+    stop_list = ", ".join(f"'{w}'" for w in _EN_STOP)
+    counts = {
+        lang: f"size(filter(toks, t -> t in ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in sorted(_STOPWORDS.items())
+    }
+    best = " ".join(
+        f"when c_{lang} >= greatest({', '.join('c_' + l for l in counts)}) "
+        f"and c_{lang} > 0 then '{lang}'"
+        for lang in counts
+    )
+    sh = (
+        f"case when size(toks) >= {k} then "
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {k}))) "
+        f"else array(concat_ws(' ', toks)) end"
+    )
+    base = docs.select("doc_id", "text", F.expr(_toks()).alias("toks"))
+    feat = base.select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr(
+            r"size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0))"
+        ).alias("n_bpe_tokens"),
+        F.expr("size(split(trim(text), '\\\\s+'))").alias("n_ws_tokens"),
+        F.expr(
+            "cast(floor(1000.0 * length(concat_ws('', toks)) / greatest(size(toks), 1)) as bigint)"
+        ).alias("mean_token_len_x1000"),
+        F.expr(
+            f"cast(floor(1000.0 * size(filter(toks, t -> t in ({stop_list}))) / greatest(size(toks), 1)) as bigint)"
+        ).alias("stopword_ratio_x1000"),
+        F.expr(
+            "cast(floor(1000.0 * length(regexp_replace(text, '[^a-zA-Z]', '')) / greatest(length(text), 1)) as bigint)"
+        ).alias("alpha_ratio_x1000"),
+        *[F.expr(e).alias(f"c_{lang}") for lang, e in counts.items()],
+        F.expr(f"array_min(transform({sh}, s -> md5(s)))").alias("fingerprint"),
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_ws_tokens",
+        "mean_token_len_x1000",
+        "stopword_ratio_x1000",
+        "alpha_ratio_x1000",
+        F.expr(
+            "cast(least(1000, (case when n_tokens between 10 and 100000 then 400 else 0 end)"
+            " + least(300, stopword_ratio_x1000 * 3)"
+            " + least(300, alpha_ratio_x1000 div 3)) as bigint)"
+        ).alias("quality_x1000"),
+        F.expr(f"case {best} else 'und' end").alias("lang_pred"),
+        "fingerprint",
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
     """Document fingerprint: min-hash over k-token shingles (the
     winnowing/rolling-hash family reduced to one representative hash).
