@@ -35,6 +35,104 @@ from pyspark.sql import DataFrame, functions as F
 from blacklab_spark.index import codec
 
 
+def _maxscore_query(
+    scores: np.ndarray,
+    blocks_by_term: dict,
+    qidf_map: dict,
+    k: int,
+    base: int,
+    seg_size: int,
+    allow_arr,
+    seg_dead_arr: np.ndarray,
+    decode_block,
+) -> None:
+    """MaxScore / block-max scoring of ONE query into ``scores`` — the
+    single kernel shared by topk_bm25 and batch_topk (the analogue of
+    Lucene's block-max WAND over impact-sorted postings, which applies
+    per query in a batch harness too; reference
+    tools/.../performance/BatchQuery.java).
+
+    Terms are processed in desc order of their max possible
+    contribution U_t = idf_t * max(block_max_wtf). After each term,
+    θ = current k-th best segment score. For term t with R = Σ U of the
+    remaining terms:
+     * if U_t + R <= θ, no unseen doc can reach the top-k, so only docs
+       with score > θ - (U_t + R) (candidates) matter — blocks whose
+       [min_doc, max_doc] range holds no candidate are skipped without
+       decoding;
+     * any block with idf_t*bmax + M + R <= θ (M = current max segment
+       score) cannot change the top-k and is skipped.
+    Strict comparisons everywhere: a doc that can still TIE the k-th
+    score may win on the ascending-doc_id tie-break.
+
+    ``blocks_by_term`` maps term -> (block rows, max block_max_wtf_raw);
+    ``decode_block(term, block_idx, row) -> (local_doc_ids, w_base)``
+    returns idf-independent weights (batch memoizes it so shared blocks
+    decode once across queries). Tombstoned docs (``seg_dead_arr``,
+    local ids) are zeroed as we go so they never contribute to θ
+    (they'd cause over-pruning of live candidates)."""
+    items = []
+    for t, qidf in qidf_map.items():
+        got = blocks_by_term.get(t)
+        if got is not None:
+            items.append((t, qidf, qidf * got[1]))
+    if not items:
+        return
+    items.sort(key=lambda x: (-x[2], x[0]))
+    u = np.array([it[2] for it in items])
+    suffix_r = np.concatenate([np.cumsum(u[::-1])[::-1][1:], [0.0]])
+    theta = 0.0
+    for i, (t, qidf, u_t) in enumerate(items):
+        rem = float(suffix_r[i])
+        cand_cum = None
+        if theta > 0.0 and u_t + rem < theta:
+            cand = scores >= (theta - (u_t + rem))
+            if not cand.any():
+                continue
+            cand_cum = np.concatenate([[0], np.cumsum(cand)])
+        m_cur = float(scores.max()) if theta > 0.0 else np.inf
+        for bi, r in enumerate(blocks_by_term[t][0]):
+            if qidf * r.block_max_wtf_raw + m_cur + rem < theta:
+                continue  # block-max skip: can't reach or tie top-k
+            if cand_cum is not None:
+                lo = max(int(r.min_doc) - base, 0)
+                hi = min(int(r.max_doc) - base + 1, seg_size)
+                if cand_cum[hi] - cand_cum[lo] == 0:
+                    continue  # no candidate doc in this block's range
+            local, w = decode_block(t, bi, r)
+            if allow_arr is not None:
+                keep = np.isin(local + base, allow_arr)
+                local, w = local[keep], w[keep]
+            np.add.at(scores, local, qidf * w)
+        if seg_dead_arr.size:
+            scores[seg_dead_arr] = 0.0
+        nz_now = np.flatnonzero(scores)
+        if nz_now.size >= k:
+            s = scores[nz_now]
+            theta = float(np.partition(s, nz_now.size - k)[nz_now.size - k])
+    if seg_dead_arr.size:
+        scores[seg_dead_arr] = 0.0
+
+
+def _topk_select(scores: np.ndarray, k: int) -> np.ndarray:
+    """Exact per-segment top-k over a dense score array with
+    (score desc, doc_id asc) ties: threshold = k-th largest score; keep
+    all above, fill ties by ascending local doc id. Returns selected
+    local ids in final order (empty if no nonzero score)."""
+    nz = np.flatnonzero(scores)
+    if nz.size == 0:
+        return nz
+    n = nz.size
+    if n > k:
+        s = scores[nz]
+        kth = np.partition(s, n - k)[n - k]
+        above = nz[s > kth]
+        equal = np.sort(nz[s == kth])[: k - above.size]
+        nz = np.concatenate([above, equal])
+    order = np.lexsort((nz, -scores[nz]))
+    return nz[order]
+
+
 def _seg_partitioned(corpus, posts: DataFrame) -> DataFrame:
     """Explicit hash repartition on segment_id for the scoring kernel:
     it is CPU-bound per byte, so AQE's byte-based coalescing (advisory
@@ -127,88 +225,29 @@ def topk_bm25(
         seg = int(pdf["segment_id"].iloc[0])
         base = seg * seg_size
         scores = np.zeros(seg_size, dtype=np.float64)
-        # ---- MaxScore / block-max skipping (the analogue of Lucene's
-        # block-max WAND over impact-sorted postings) -----------------
-        # Terms are processed in desc order of their max possible
-        # contribution U_t = idf_t * max(block_max_wtf). After each
-        # term, θ = current k-th best segment score. For term t with
-        # R = Σ U of the remaining terms:
-        #  * if U_t + R <= θ, no unseen doc can reach the top-k, so
-        #    only docs with score > θ - (U_t + R) (candidates) matter —
-        #    blocks whose [min_doc, max_doc] range holds no candidate
-        #    are skipped without decoding;
-        #  * any block with idf_t*bmax + M + R <= θ (M = current max
-        #    segment score) cannot change the top-k and is skipped.
-        pdf = pdf.assign(qidf=pdf["term"].map(idf))
-        tmax = pdf.groupby("term")["block_max_wtf_raw"].transform("max")
-        pdf = pdf.assign(_U=pdf["qidf"] * tmax).sort_values(
-            ["_U", "term"], ascending=[False, True], kind="stable"
-        )
-        term_u = pdf.groupby("term", sort=False)["_U"].first()
-        suffix_r = np.concatenate([np.cumsum(term_u.to_numpy()[::-1])[::-1][1:], [0.0]])
-        r_after = dict(zip(term_u.index, suffix_r))
-        # tombstoned docs must never contribute to θ (they'd cause
-        # over-pruning of live candidates); zero them as we go
+        blocks_by_term = {
+            term: (rows := list(grp.itertuples(index=False)),
+                   max(r.block_max_wtf_raw for r in rows))
+            for term, grp in pdf.groupby("term")
+        }
         seg_dead_arr = (
             np.asarray([], dtype=np.int64)
             if dead_arr is None
             else (dead_arr[(dead_arr >= base) & (dead_arr < base + seg_size)] - base)
         )
-        theta = 0.0
-        for term, grp in pdf.groupby("term", sort=False):
-            qidf = float(grp["qidf"].iloc[0])
-            u_t = float(grp["_U"].iloc[0])
-            rem = r_after[term]
-            cand_cum = None
-            # strict comparisons everywhere: a doc that can still TIE
-            # the k-th score may win on the ascending-doc_id tie-break
-            if theta > 0.0 and u_t + rem < theta:
-                cand = scores >= (theta - (u_t + rem))
-                if not cand.any():
-                    continue
-                cand_cum = np.concatenate([[0], np.cumsum(cand)])
-            m_cur = float(scores.max()) if theta > 0.0 else np.inf
-            for r in grp.itertuples(index=False):
-                if qidf * r.block_max_wtf_raw + m_cur + rem < theta:
-                    continue  # block-max skip: can't reach or tie top-k
-                if cand_cum is not None:
-                    lo = max(int(r.min_doc) - base, 0)
-                    hi = min(int(r.max_doc) - base + 1, seg_size)
-                    if cand_cum[hi] - cand_cum[lo] == 0:
-                        continue  # no candidate doc in this block's range
-                dids = codec.decode_doc_ids(r.doc_ids)
-                tf = codec.decode_freqs(r.freqs)
-                dl = codec.decode_freqs(r.dls)
-                w = qidf * tf / (tf + k1 * (1.0 - b_ + b_ * dl / avgdl))
-                local = dids - base
-                if allow_arr is not None:
-                    keep = np.isin(dids, allow_arr)
-                    local, w = local[keep], w[keep]
-                np.add.at(scores, local, w)
-            if seg_dead_arr.size:
-                scores[seg_dead_arr] = 0.0
-            nz_now = np.flatnonzero(scores)
-            if nz_now.size >= k:
-                s = scores[nz_now]
-                theta = float(np.partition(s, nz_now.size - k)[nz_now.size - k])
-        if seg_dead_arr.size:
-            scores[seg_dead_arr] = 0.0
-        nz = np.flatnonzero(scores)
-        if nz.size == 0:
+
+        def decode_block(t, bi, r):
+            dids = codec.decode_doc_ids(r.doc_ids)
+            tf = codec.decode_freqs(r.freqs)
+            dl = codec.decode_freqs(r.dls)
+            return dids - base, tf / (tf + k1 * (1.0 - b_ + b_ * dl / avgdl))
+
+        _maxscore_query(scores, blocks_by_term, idf, k, base, seg_size,
+                        allow_arr, seg_dead_arr, decode_block)
+        sel = _topk_select(scores, k)
+        if sel.size == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                                  "score": pd.Series([], dtype=np.float64)})
-        # exact per-segment top-k with (score desc, doc_id asc) ties:
-        # threshold = k-th largest score; keep all above, fill ties by
-        # ascending local doc id
-        n = nz.size
-        if n > k:
-            s = scores[nz]
-            kth = np.partition(s, n - k)[n - k]
-            above = nz[s > kth]
-            equal = np.sort(nz[s == kth])[: k - above.size]
-            nz = np.concatenate([above, equal])
-        order = np.lexsort((nz, -scores[nz]))
-        sel = nz[order]
         return pd.DataFrame({"doc_id": (sel + base).astype(np.int64),
                              "score": scores[sel]})
 
@@ -358,7 +397,8 @@ def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
         return spark.createDataFrame([], out_schema)
 
     posts = corpus.postings.filter(F.col("term").isin(live_terms)).select(
-        "segment_id", "term", "doc_ids", "freqs", "dls"
+        "segment_id", "term", "min_doc", "max_doc",
+        "doc_ids", "freqs", "dls", "block_max_wtf_raw",
     )
     k1, b_, avgdl = meta["k1"], meta["b"], meta["avgdl"]
     seg_size = meta["segment_size"]
@@ -374,108 +414,65 @@ def batch_topk(corpus, queries: list[str], k: int = 10) -> "DataFrame":
     b_q = spark.sparkContext.broadcast(idf_by_query)
 
     def score_segment(pdf: pd.DataFrame, dead_arr=None) -> pd.DataFrame:
-        """Candidate-proportional batch scorer: ONE vectorized pass over
-        (query, candidate-doc) contribution rows for the whole segment.
-        The former per-(query, segment) dense accumulator zeroed a
-        seg_size float array per query — at 256 queries x 32k-doc
-        segments that was gigabytes of memset per segment, dwarfing the
-        actual scoring; work now scales with posting candidates only."""
+        """Batch scorer = the SAME MaxScore/block-max kernel as the
+        single-query path (_maxscore_query), run per query over shared
+        block state: blocks are decoded lazily and memoized, so a block
+        several queries need decodes ONCE, and a block no query's θ
+        bound ever reaches is never decoded at all. The former batch
+        kernel decoded every block of every query term — fine for small
+        batches, but a head-term-heavy batch at 100x decodes whole
+        head-term posting lists; the θ/candidate-range skips prune them.
+        One dense seg_size accumulator is shared by all queries and
+        reset candidate-proportionally (scores[nz] = 0) between queries
+        — no per-query memset."""
         seg = int(pdf["segment_id"].iloc[0])
         base = seg * seg_size
-        # decode each term's blocks once, reuse across queries
-        decoded: dict[str, tuple] = {}
-        for term, grp in pdf.groupby("term"):
-            dids_ = []
-            w_ = []
-            for r in grp.itertuples(index=False):
+        blocks_by_term = {
+            term: (rows := list(grp.itertuples(index=False)),
+                   max(r.block_max_wtf_raw for r in rows))
+            for term, grp in pdf.groupby("term")
+        }
+        seg_dead_arr = (
+            np.asarray([], dtype=np.int64)
+            if dead_arr is None
+            else (dead_arr[(dead_arr >= base) & (dead_arr < base + seg_size)] - base)
+        )
+        decoded: dict[tuple, tuple] = {}
+
+        def decode_block(t, bi, r):
+            got = decoded.get((t, bi))
+            if got is None:
                 dids = codec.decode_doc_ids(r.doc_ids)
                 tf = codec.decode_freqs(r.freqs)
                 dl = codec.decode_freqs(r.dls)
-                dids_.append(dids)
-                w_.append(tf / (tf + k1 * (1.0 - b_ + b_ * dl / avgdl)))
-            decoded[term] = (np.concatenate(dids_), np.concatenate(w_))
-        # contribution rows: (query, local_doc, idf-weighted w)
-        con_k, con_s = [], []
+                got = (dids - base,
+                       tf / (tf + k1 * (1.0 - b_ + b_ * dl / avgdl)))
+                decoded[(t, bi)] = got
+            return got
+
+        scores = np.zeros(seg_size, dtype=np.float64)
+        out_q, out_d, out_s = [], [], []
         for qid, idf_map in enumerate(b_q.value):
-            for t, w_idf in idf_map.items():
-                got = decoded.get(t)
-                if got is None:
-                    continue
-                dids, w = got
-                con_k.append(qid * seg_size + (dids - base))
-                con_s.append(w_idf * w)
-        if not con_k:
+            _maxscore_query(scores, blocks_by_term, idf_map, k, base,
+                            seg_size, None, seg_dead_arr, decode_block)
+            sel = _topk_select(scores, k)
+            if sel.size:
+                out_q.append(np.full(sel.size, qid, dtype=np.int32))
+                out_d.append((sel + base).astype(np.int64))
+                out_s.append(scores[sel].copy())
+            nz = np.flatnonzero(scores)
+            if nz.size:
+                scores[nz] = 0.0
+        if not out_q:
             return pd.DataFrame(
                 {"query_id": pd.Series([], dtype=np.int32),
                  "doc_id": pd.Series([], dtype=np.int64),
                  "score": pd.Series([], dtype=np.float64)}
             )
-        key = np.concatenate(con_k)
-        contrib = np.concatenate(con_s)
-        n_q = len(b_q.value)
-        flat = n_q * seg_size
-        if flat <= 64_000_000:
-            # dense reduce: O(rows + n_q*seg_size) bincount — for the
-            # head-term-heavy batch shape this beats the O(rows log
-            # rows) sort-based unique by an order of magnitude (the
-            # zeroed accumulator is shared by ALL queries, unlike the
-            # former per-query memset)
-            scores_flat = np.bincount(key, weights=contrib, minlength=flat)
-            if dead_arr is not None:
-                dead_local = dead_arr[
-                    (dead_arr >= base) & (dead_arr < base + seg_size)
-                ] - base
-                if dead_local.size:
-                    kill = (
-                        np.arange(n_q, dtype=np.int64)[:, None] * seg_size
-                        + dead_local[None, :]
-                    ).ravel()
-                    scores_flat[kill] = 0.0
-            nz = np.flatnonzero(scores_flat)
-            qids = nz // seg_size
-            docs = nz - qids * seg_size
-            scores = scores_flat[nz]
-        else:
-            # huge query batches: sparse sort-based reduce
-            ukey, inv = np.unique(key, return_inverse=True)
-            scores = np.bincount(inv, weights=contrib, minlength=ukey.size)
-            qids = (ukey // seg_size).astype(np.int64)
-            docs = ukey % seg_size
-            if dead_arr is not None:
-                dead_local = dead_arr[
-                    (dead_arr >= base) & (dead_arr < base + seg_size)
-                ] - base
-                if dead_local.size:
-                    alive = ~np.isin(docs, dead_local)
-                    qids, docs, scores = qids[alive], docs[alive], scores[alive]
-        # per-query top-k: candidates arrive qid-major / doc-ascending,
-        # so each query is one contiguous slice — argpartition per
-        # slice (O(m) selection), exact (score desc, doc asc) order
-        starts = np.flatnonzero(np.r_[True, qids[1:] != qids[:-1]]) if (
-            qids.size
-        ) else np.empty(0, dtype=np.int64)
-        ends = np.append(starts[1:], qids.size)
-        sel_parts = []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m > k:
-                grp = scores[s:e]
-                kth = grp[np.argpartition(-grp, k - 1)[:k]].min()
-                # keep kth-score ties so the (score desc, doc asc)
-                # tie-break stays exact, then truncate
-                part = s + np.flatnonzero(grp >= kth)
-            else:
-                part = np.arange(s, e)
-            part = part[np.lexsort((docs[part], -scores[part]))][:k]
-            sel_parts.append(part)
-        sel = (
-            np.concatenate(sel_parts) if sel_parts
-            else np.empty(0, dtype=np.int64)
-        )
         return pd.DataFrame(
-            {"query_id": qids[sel].astype(np.int32),
-             "doc_id": (docs[sel] + base).astype(np.int64),
-             "score": scores[sel]}
+            {"query_id": np.concatenate(out_q),
+             "doc_id": np.concatenate(out_d),
+             "score": np.concatenate(out_s)}
         )
 
     if dead_df is not None:

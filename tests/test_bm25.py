@@ -102,6 +102,28 @@ def test_batch_topk_rank_identical(small_corpus):
             assert abs(s1 - s2) < 1e-9
 
 
+def test_batch_topk_matches_single_query(small_corpus, oracle):
+    """Shared-kernel guarantee: batch_topk == topk per query, rank- and
+    score-exact — the batch path runs the same MaxScore/block-max
+    kernel (_maxscore_query) per query over memoized blocks, so any
+    divergence in skipping logic would show up here."""
+    corpus, _ = small_corpus
+    queries = _query_set(oracle)
+    got = corpus.batch_topk(queries, k=7).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in enumerate(queries):
+        single = [
+            (r["doc_id"], r["score"])
+            for r in corpus.topk(q, k=7).select("doc_id", "score").collect()
+        ]
+        have = by_q.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in single], q
+        for (_, s1), (_, s2) in zip(have, single):
+            assert abs(s1 - s2) < 1e-9
+
+
 def test_phrase_scored_topk(small_corpus, oracle):
     """Phrase-scored BM25 (SURVEY §2.5 'phrase-scored queries' — Lucene
     SpanWeight at slop 0): the phrase is one scoring unit, tf = per-doc
