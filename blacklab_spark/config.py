@@ -64,6 +64,23 @@ class EngineConfig:
     # Default KWIC / collocation context size (reference BlackLabIndex.java:74).
     context_size: int = 5
 
+    # fi_buckets > 0 additionally writes the forward-index access table
+    # (`fi/`): the tokenized projection bucketed + sorted by doc_id
+    # (Spark bucketed table). Hit->context joins (KWIC, sort-by-context,
+    # FI probes) then need NO Exchange on the token-table side — only
+    # the (much smaller) hit side shuffles into the bucket partitioning.
+    # This mirrors the reference's layout, where the forward index is a
+    # separate random-access-by-docid structure next to the content
+    # store (reference forwardindex/FieldForwardIndex.java; Lucene also
+    # stores postings / stored fields / FI separately). Cost: one extra
+    # hash-partitioned write of the token arrays at build (the main
+    # tokenized table keeps its zero-shuffle contiguous range layout,
+    # which the postings encode and incremental compaction depend on).
+    # Size buckets so each holds ~128MB-1GB of token arrays at target
+    # scale. 0 = off (context joins fall back to the range-layout
+    # table; correct, one extra exchange at query time).
+    fi_buckets: int = 0
+
     # NOTE on skew/salting: the index build needs NO salting knob — its
     # shuffle is keyed by uniformly-sized segment ranges, so Zipf head
     # terms cannot skew it (see index/build.py header); query-side hit

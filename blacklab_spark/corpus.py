@@ -160,6 +160,62 @@ class Corpus:
         return self._t("tokenized")
 
     @property
+    def fi(self) -> DataFrame | None:
+        """Doc_id-bucketed forward-index access table (the analogue of
+        the reference's separate random-access forward index next to
+        the content store, forwardindex/FieldForwardIndex.java), or
+        None when the index wasn't built with fi_buckets or has been
+        incrementally appended past the FI's generation.
+
+        The bucketed scan reports HashPartitioning(doc_id, n), so
+        hit->context joins insert NO Exchange on this (large) side —
+        only the hit side shuffles into the bucket partitioning. The
+        catalog entry is session-scoped and re-registered here from the
+        durable artifacts (files + meta['fi_buckets'])."""
+        nb = int(self.meta.get("fi_buckets") or 0)
+        fi_path = os.path.join(self.index_dir, "fi")
+        if (
+            not nb
+            or not os.path.exists(fi_path)
+            or self.meta.get("generation", 0) != self.meta.get("fi_generation", 0)
+        ):
+            return None
+        cache = self.__dict__.setdefault("_tables", {})
+        if "fi" not in cache:
+            from blacklab_spark.index.build import fi_table_name
+
+            tbl = fi_table_name(self.index_dir)
+            if not self.spark.catalog.tableExists(tbl):
+                schema = self.spark.read.parquet(fi_path).schema
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+                )
+                self.spark.sql(
+                    f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                    f"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO {nb} BUCKETS "
+                    f"LOCATION '{fi_path}'"
+                )
+            df = self.spark.table(tbl)
+            if "tokens_i" not in df.columns:
+                from blacklab_spark.analysis import insensitive_tokens_col
+
+                df = df.withColumn("tokens_i", insensitive_tokens_col("tokens"))
+            cache["fi"] = df
+        df = cache["fi"]
+        dels = self.deletes
+        if dels is not None:
+            df = df.join(dels, "doc_id", "leftanti")
+        return df
+
+    @property
+    def context_store(self) -> DataFrame:
+        """Token-array source for hit->context joins: the bucketed FI
+        when available (shuffle-free on this side), else the range-
+        layout tokenized table (correct; one more exchange)."""
+        fi = self.fi
+        return fi if fi is not None else self.tokenized
+
+    @property
     def index_fields(self) -> tuple[str, ...]:
         """Postings fields present in this index, one per indexed
         annotation×sensitivity (reference AnnotatedFieldNameUtil.java:47

@@ -913,7 +913,7 @@ def _constrained(corpus, hits: DataFrame, expr) -> DataFrame:
     for a in anns:
         src = "tokens_i" if a in ("word", "") else f"ann_{a}"
         cols.append(F.col(src).alias(f"_toks_{a}"))
-    tk = corpus.tokenized.select(*cols)
+    tk = corpus.context_store.select(*cols)
     joined = hits.join(tk, "doc_id")
 
     from blacklab_spark.analysis import desensitize_col, desensitize_py

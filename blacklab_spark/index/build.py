@@ -119,6 +119,17 @@ def _mark_done(index_dir: str, name: str, payload: dict | None = None) -> None:
         json.dump(payload or {}, f)
 
 
+def fi_table_name(index_dir: str) -> str:
+    """Session-catalog name for the bucketed forward-index table of one
+    index dir. Deterministic so any session can re-register it; the
+    durable artifact is the files + meta['fi_buckets'], never the
+    catalog entry."""
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(index_dir).encode()).hexdigest()[:12]
+    return f"blspark_fi_{key}"
+
+
 def _case_expanded(pat: str) -> str:
     """Case-expand `a-z` ranges in the token pattern instead of using
     the `(?i)` flag: Java's case-insensitive regex mode disables
@@ -537,6 +548,8 @@ def build_index(
     all_stages = ["tokenized", "postings", "terms"]
     if extra_spans is not None:
         all_stages.append("extra_spans")
+    if cfg.fi_buckets:
+        all_stages.append("fi")
     if (
         resume
         and os.path.exists(meta_path)
@@ -693,6 +706,30 @@ def build_index(
         _mark_done(index_dir, "extra_spans")
     timer.mark("spans")
 
+    # ---- stage 4b (optional): doc_id-bucketed forward-index table ----
+    # The query-side FI access path (see EngineConfig.fi_buckets): the
+    # same rows as `tokenized`, written as a Spark bucketed table so
+    # hit->context joins provide HashPartitioning(doc_id, n) straight
+    # from the scan — no Exchange of the token arrays at query time,
+    # ever. Registered in the (session) catalog at build; Corpus.fi
+    # re-registers it per session from meta.json (the files + bucket
+    # count are the durable artifact, the catalog entry is throwaway).
+    if cfg.fi_buckets and not (resume and _stage_done(index_dir, "fi")):
+        fi_path = _stage_dir(index_dir, "fi")
+        tbl = fi_table_name(index_dir)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            tokenized.drop("seg_group")
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", fi_path)
+            .bucketBy(cfg.fi_buckets, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(tbl)
+        )
+        _mark_done(index_dir, "fi", {"fi_buckets": cfg.fi_buckets})
+    timer.mark("fi")
+
     # ---- stage 5: lineage + meta --------------------------------------
     meta = {
         "n_docs": n_docs,
@@ -708,6 +745,10 @@ def build_index(
         "multivalue_anns": multivalue_anns or [],
         "n_terms": n_terms,
         "n_posting_blocks": n_blocks,
+        "fi_buckets": cfg.fi_buckets,
+        # the bucketed FI mirrors generation-0 contents; incremental
+        # appends invalidate it (Corpus.fi checks this)
+        "fi_generation": 0,
     }
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)

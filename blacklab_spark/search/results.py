@@ -215,7 +215,7 @@ class Hits:
         col = "tokens" if sensitive else "tokens_i"
         if annotation not in ("word", ""):
             col = f"ann_{annotation}"
-        tk = self.corpus.tokenized.select(
+        tk = self.corpus.context_store.select(
             "doc_id", F.col(col).alias("_toks"), "conv_id", "turn_idx"
         )
         j = self.df.join(tk, "doc_id")
@@ -249,7 +249,7 @@ class Hits:
             (f"_{a}", f"ann_{a}" if a not in ("word", "") else "tokens_i")
             for a in anns
         ]
-        tk = self.corpus.tokenized.select(
+        tk = self.corpus.context_store.select(
             "doc_id",
             "conv_id",
             "turn_idx",
@@ -270,7 +270,7 @@ class Hits:
         """Original-content concordances (reference Concordances.java;
         content store = the source text column)."""
         return self.df.join(
-            self.corpus.tokenized.select("doc_id", "conv_id", "turn_idx", "text"),
+            self.corpus.context_store.select("doc_id", "conv_id", "turn_idx", "text"),
             "doc_id",
         )
 
@@ -371,7 +371,7 @@ class Hits:
                 meta_cols.add("ts")
         for a in sorted(anns):
             src = "tokens_i" if a in ("word", "") else f"ann_{a}"
-            tk = self.corpus.tokenized.select(
+            tk = self.corpus.context_store.select(
                 "doc_id", F.col(src).alias(f"_toks_{a}")
             )
             df = df.join(tk, "doc_id")
@@ -464,7 +464,7 @@ class Hits:
         doc's token array at the capture bounds — one doc_id equi-join,
         all codegen."""
         col = "tokens_i" if annotation in ("word", "") else f"ann_{annotation}"
-        tk = self.corpus.tokenized.select("doc_id", F.col(col).alias("_toks"))
+        tk = self.corpus.context_store.select("doc_id", F.col(col).alias("_toks"))
         s, e = F.col(f"cap_{name}_start"), F.col(f"cap_{name}_end")
         j = self.df.join(tk, "doc_id").withColumn(
             "grp", F.array_join(F.slice("_toks", s + 1, e - s), " ")

@@ -130,7 +130,7 @@ def snippets(
     pat = re.compile(base_pat, re.IGNORECASE)
     content_col = "xml_text" if xml else "text"
     j = hits_df.select("doc_id", "start", "end").join(
-        corpus.tokenized.select(
+        corpus.context_store.select(
             "doc_id", F.col(content_col).alias("_content")
         ),
         "doc_id",

@@ -518,7 +518,7 @@ def probe_steps(
             cols.append(F.col(f"ann_{a}").alias(f"_toks_{a}"))
             if _extra_col(corpus, a):
                 cols.append(F.col(f"ann_{a}_extra").alias(f"_extra_{a}"))
-    tk = corpus.tokenized.select(*cols)
+    tk = corpus.context_store.select(*cols)
     j = hits.join(tk, "doc_id")
     right = direction == "right"
 
@@ -955,7 +955,7 @@ def constrained(
     Implemented as element_at() lookups into the doc's token array —
     one broadcast-friendly equi-join on doc_id, no per-row Python."""
     col = "tokens_i" if annotation in ("word", "word_i") else annotation
-    tk = corpus.tokenized.select("doc_id", F.col(col).alias("_toks"))
+    tk = corpus.context_store.select("doc_id", F.col(col).alias("_toks"))
     joined = hits.join(tk, "doc_id")
     env = {
         name: F.element_at(F.col("_toks"), F.col(f"cap_{name}_start") + 1)
