@@ -135,6 +135,31 @@ class Corpus:
                     cache[t] = found.get(t)  # None = not in dict (cached too)
         return {t: cache[t] for t in set(terms) if cache.get(t) is not None}
 
+    def field_stats(self, field: str) -> tuple[dict, int] | None:
+        """In-memory (term -> df) dict + total df for one postings
+        field, loaded ONCE per handle and reused by the sequence
+        planner's cost model (the reference holds the whole Terms dict
+        in memory per index reader, forwardindex/Terms.java) — repeated
+        queries run ZERO terms-dict Spark jobs. None when the vocab
+        exceeds the in-memory guard; callers fall back to a distributed
+        agg. Invalidated when the terms table is rewritten (incremental
+        add/compact bumps the directory mtime)."""
+        tdir = os.path.join(self.index_dir, "terms")
+        token = os.path.getmtime(tdir) if os.path.exists(tdir) else 0.0
+        state = self.__dict__.setdefault(
+            "_field_stats", {"token": None, "fields": {}}
+        )
+        if state["token"] != token:
+            state.update(token=token, fields={})
+        if field not in state["fields"]:
+            if int(self.meta.get("n_terms") or 0) > 5_000_000:
+                state["fields"][field] = None
+            else:
+                pdf = self.terms_for(field).select("term", "df").toPandas()
+                d = dict(zip(pdf["term"], (int(x) for x in pdf["df"])))
+                state["fields"][field] = (d, sum(d.values()))
+        return state["fields"][field]
+
     def _t(self, name: str) -> DataFrame:
         """Table handle with tombstones applied (the liveDocs analogue,
         reference SpansReader.java checks liveDocs per segment)."""

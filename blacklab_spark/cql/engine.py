@@ -323,11 +323,7 @@ def translate(corpus, node) -> DataFrame:
         if ts is not None:
             ann, sens, vals = ts
             return S.term_set_hits(corpus, vals, ann, sens)
-        dfs = [translate(corpus, c) for c in node.clauses]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = S.union(out, d)
-        return out
+        return S.union_all([translate(corpus, c) for c in node.clauses])
     if isinstance(node, P.Or):
         ts = _plain_term_set(node)
         if ts is not None:
@@ -336,11 +332,7 @@ def translate(corpus, node) -> DataFrame:
             # alternation must stay a single job)
             ann, sens, vals = ts
             return S.term_set_hits(corpus, vals, ann, sens)
-        dfs = [translate(corpus, c) for c in node.clauses]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = S.union(out, d)
-        return out
+        return S.union_all([translate(corpus, c) for c in node.clauses])
     if isinstance(node, P.Seq):
         parts = _internalize(
             _rewrite_matching_tags(_merge_repetitions(_flatten_seq(node.parts)))
@@ -654,6 +646,45 @@ def _fi_seq(corpus, node: P.FISeq) -> DataFrame:
     return _sequence(corpus, [node.left, node.right])
 
 
+def _py_match_df(d: dict, kind_r: str, kind: str, val) -> int | None:
+    """Matching-df sum over the cached in-memory terms dict, mirroring
+    the distributed agg's semantics exactly: term/set compare under
+    desensitize, regex under the engine's case-folded anchored pattern.
+    None = no matching term (SUM over an empty WHEN set is NULL).
+
+    This feeds a COST ESTIMATE only (probe-vs-join plan choice, never
+    results), so Python `re` standing in for the JVM rlike on the regex
+    kind is acceptable; unsupported syntax degrades to None (unknown),
+    the same as a dictionary miss."""
+    from blacklab_spark.analysis import desensitize_py, fold_py
+
+    if kind == "term":
+        want = desensitize_py(val)
+        if kind_r == "direct":
+            v = d.get(want)
+            return int(v) if v is not None else None
+        s = [df for t, df in d.items() if desensitize_py(t) == want]
+        return sum(s) if s else None
+    if kind == "set":
+        want = {desensitize_py(v) for v in val}
+        if kind_r == "direct":
+            s = [d[w] for w in want if w in d]
+        else:
+            s = [df for t, df in d.items() if desensitize_py(t) in want]
+        return sum(s) if s else None
+    import re as _re
+
+    try:
+        pat = _re.compile(f"(?i)^(?:{fold_py(val)})$")
+    except _re.error:
+        return None
+    if kind_r == "direct":
+        s = [df for t, df in d.items() if pat.match(t)]
+    else:
+        s = [df for t, df in d.items() if pat.match(desensitize_py(t))]
+    return sum(s) if s else None
+
+
 def _seq_part_dfs(corpus, parts: list) -> dict[int, int]:
     """Per-part df estimate for the sequence's probe-able parts — one
     tiny agg over each involved field's terms dict (the planner's
@@ -672,13 +703,13 @@ def _seq_part_dfs(corpus, parts: list) -> dict[int, int]:
             return tcol.isin([desensitize_py(v) for v in val])
         return tcol.rlike(f"(?i)^(?:{fold_py(val)})$")
 
-    # (part_idx, conj_idx) -> estimable aggregate; 'and' composites
+    # (part_idx, conj_idx) -> estimable matcher; 'and' composites
     # contribute one estimate per conjunct and take the MIN (the
     # conjunction is at most as frequent as its rarest condition);
     # negated kinds estimate total_df - matching_df (a NOT state is
     # frequent — exactly what the probe walk is for,
     # reference ClauseCombinerNfa + NfaState NOT)
-    per_field: dict[str, list[tuple[int, int, "F.Column"]]] = {}
+    per_field: dict[str, list[tuple]] = {}
     need_total: set[str] = set()
     for i, part in enumerate(parts):
         spec = _probe_spec(part)
@@ -690,39 +721,58 @@ def _seq_part_dfs(corpus, parts: list) -> dict[int, int]:
             if route is None:
                 continue
             kind_r, field = route
+            kind, val = matcher
+            negated = kind.startswith("n") and kind[1:] in ("term", "set", "regex")
+            base_kind = kind[1:] if negated else kind
+            per_field.setdefault(field, []).append(
+                (i, j, kind_r, base_kind, val, negated)
+            )
+            if negated:
+                need_total.add(field)
+    ests: dict[tuple[int, int], int] = {}
+    for field, items in per_field.items():
+        fs = corpus.field_stats(field)
+        if fs is not None:
+            # planner fast path: pure-Python lookups over the cached
+            # in-memory terms dict (Corpus.field_stats) + a per-matcher
+            # memo — ZERO terms-dict Spark jobs per query (the former
+            # per-query agg was a sub-second fixed floor on every
+            # planned sequence)
+            d, total = fs
+            memo = corpus.__dict__.setdefault("_df_est_memo", {})
+            for i, j, kind_r, base_kind, val, negated in items:
+                key = (
+                    field, kind_r, base_kind,
+                    tuple(val) if isinstance(val, (list, tuple, set)) else val,
+                )
+                if key not in memo:
+                    memo[key] = _py_match_df(d, kind_r, base_kind, val)
+                v = memo[key]
+                ests[(i, j)] = (
+                    max(total - (v if v is not None else 0), 1) if negated
+                    else v
+                )
+            continue
+        # huge-vocab fallback: one tiny distributed agg per field
+        aggs = []
+        for i, j, kind_r, base_kind, val, _neg in items:
             tcol = (
                 F.col("term") if kind_r == "direct"
                 else desensitize_col(F.col("term"), "i")
             )
-            kind, val = matcher
-            negated = kind.startswith("n") and kind[1:] in ("term", "set", "regex")
-            cond = base_cond(tcol, kind[1:] if negated else kind, val)
-            agg = F.sum(F.when(cond, F.col("df"))).alias(f"p{i}_{j}")
-            per_field.setdefault(field, []).append((i, j, agg))
-            if negated:
-                need_total.add(field)
-    ests: dict[tuple[int, int], int] = {}
-    negs: dict[tuple[int, int], bool] = {}
-    for i, part in enumerate(parts):
-        spec = _probe_spec(part)
-        if spec is None:
-            continue
-        conjs = spec[1][1] if spec[1][0] == "and" else [spec]
-        for j, (_ann, matcher) in enumerate(conjs):
-            negs[(i, j)] = matcher[0].startswith("n") and matcher[0][1:] in (
-                "term", "set", "regex",
+            aggs.append(
+                F.sum(F.when(base_cond(tcol, base_kind, val), F.col("df")))
+                .alias(f"p{i}_{j}")
             )
-    for field, items in per_field.items():
-        aggs = [a for _, _, a in items]
         if field in need_total:
             aggs.append(F.sum("df").alias("_tot"))
         row = corpus.terms_for(field).agg(*aggs).collect()[0]
         total = int(row["_tot"] or 0) if field in need_total else None
-        for i, j, _ in items:
+        for i, j, _kr, _bk, _val, negated in items:
             v = row[f"p{i}_{j}"]
             match_df = int(v) if v is not None else 0
             ests[(i, j)] = (
-                max(total - match_df, 1) if negs.get((i, j)) and total is not None
+                max(total - match_df, 1) if negated and total is not None
                 else match_df if v is not None
                 else None
             )

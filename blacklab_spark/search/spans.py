@@ -669,6 +669,18 @@ def union(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b, allowMissingColumns=True).dropDuplicates()
 
 
+def union_all(dfs: list[DataFrame]) -> DataFrame:
+    """N-way OR in ONE shot (reference BLSpanOrQuery takes all clauses
+    at once): union every branch, then dedup ONCE. The chained
+    pairwise union() deduped per step — k clauses meant k dedup
+    shuffles; here a k-branch mixed OR is one Union + one exchange
+    regardless of k."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out.dropDuplicates() if len(dfs) > 1 else out
+
+
 def and_spans(a: DataFrame, b: DataFrame) -> DataFrame:
     """Positional intersection — same (doc, start, end)
     (reference SpansAnd.java:251)."""
