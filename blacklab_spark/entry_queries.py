@@ -1474,15 +1474,30 @@ FROM sims ORDER BY cos DESC, vec_id LIMIT 20
 """
 
 
+def _ann_dir(spark, sf_dir) -> str:
+    """Cached build_ann artifact per sf_dir (like _corpus): centroids +
+    centroid-clustered embeddings, built once, partition-pruned probes
+    forever after."""
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{INDEX_VERSION}|ann".encode()
+    ).hexdigest()[:12]
+    out = f"/tmp/blspark_ann_{key}"
+    return SIM.build_ann(_emb(spark, sf_dir), out, n_centroids=8)
+
+
 def q_ivf_topk(spark, sf_dir):
-    """IVF ANN: stride-sampled coarse quantizer, nearest-centroid
-    assignment (broadcast matmul, zero shuffle), nprobe=3 of 8 lists
-    probed, exact JVM-side cosine on the probed candidates only.
+    """IVF ANN over the build_ann artifact: stride-sampled coarse
+    quantizer, stored nearest-centroid assignments (the query path
+    loads centroids + probes the centroid-clustered table with
+    partition pruning — no assignment matmul per query), nprobe=3 of 8
+    lists, exact JVM-side cosine on the probed candidates only.
     Reference has no vector search; this is the training-data-pipeline
     scale path next to exact cosine_topk (pipeline/similarity.py)."""
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return SIM.ivf_topk(emb, list(qvec), k=10, n_centroids=8, nprobe=3)
+    return SIM.ivf_topk(
+        emb, list(qvec), k=10, nprobe=3, ann_dir=_ann_dir(spark, sf_dir)
+    )
 
 
 O_IVF_TOPK = """

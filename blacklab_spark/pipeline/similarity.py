@@ -279,18 +279,133 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8,
     )
 
 
+def build_ann(embeddings: DataFrame, out_dir: str, n_centroids: int = 8,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> str:
+    """Materialize the IVF index as a BUILD artifact (the clustered
+    layout ivf_assignments' docstring promises): under ``out_dir``,
+    - centroids/          tiny (centroid_id, centroid) parquet
+    - by_centroid/        the embeddings written partitionBy(centroid_id)
+    Assignment runs ONCE here (one broadcast-matmul Arrow pass + one
+    repartition into the centroid layout); every later ivf_topk over
+    the artifact is a partition-pruned scan — no assignment recompute,
+    no full-corpus matmul on the query path. Resumable (skips when the
+    _ANN_DONE marker exists)."""
+    import json
+    import os
+
+    import pandas as pd
+
+    done = os.path.join(out_dir, "_ANN_DONE")
+    if os.path.exists(done):
+        return out_dir
+    spark = embeddings.sparkSession
+    cents = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
+    cids, mat = cents
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in row]) for c, row in zip(cids, mat)],
+        "centroid_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids")
+    )
+    b = spark.sparkContext.broadcast(
+        (cids, mat, np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-300))
+    )
+
+    def assign(batches):
+        c_ids, c_mat, c_nrm = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            xn = np.sqrt((x * x).sum(axis=1))
+            xn[xn == 0.0] = 1.0
+            sims = (x @ c_mat.T) / (xn[:, None] * c_nrm[None, :])
+            out = pdf.copy()
+            out["centroid_id"] = c_ids[np.argmax(sims, axis=1)]
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields
+    ) + ", centroid_id long"
+    (
+        embeddings.mapInPandas(assign, schema=schema)
+        # one shuffle into the centroid layout so each inverted list is
+        # a contiguous partition directory (at 10^9 vectors this is the
+        # index build's only all-to-all move, and it is what turns every
+        # probe forever after into partition pruning)
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(out_dir, "by_centroid"))
+    )
+    with open(done, "w") as f:
+        json.dump({"n_centroids": n_centroids, "vec_col": vec_col,
+                   "id_col": id_col}, f)
+    return out_dir
+
+
+def load_ann(spark, ann_dir: str):
+    """-> (centroids tuple, clustered embeddings DF). The assignments
+    relation is the clustered table's (vec_id, centroid_id) projection
+    — zero extra jobs, column-pruned."""
+    import os
+
+    rows = (
+        spark.read.parquet(os.path.join(ann_dir, "centroids"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    cids = np.asarray([r["centroid_id"] for r in rows], dtype=np.int64)
+    mat = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
+    emb = spark.read.parquet(os.path.join(ann_dir, "by_centroid"))
+    return (cids, mat), emb
+
+
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              n_centroids: int = 8, nprobe: int = 3,
              assignments: DataFrame | None = None,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             centroids: tuple | None = None) -> DataFrame:
+             centroids: tuple | None = None,
+             ann_dir: str | None = None) -> DataFrame:
     """IVF ANN top-k: rank centroids by cosine to the query on the
     driver (C is tiny), probe the best ``nprobe`` inverted lists, and
     exact-score ONLY vectors assigned to those lists with the JVM-side
     cosine expression + TakeOrderedAndProject. Scanned fraction ≈
-    nprobe / n_centroids; with the table clustered by centroid_id the
-    probe becomes partition pruning instead of a post-scan filter.
-    Output (vec_id, cos_x10000) ordered by (sim desc, vec_id)."""
+    nprobe / n_centroids.
+
+    With ``ann_dir`` (a build_ann artifact) the query path loads stored
+    centroids and scans the centroid-clustered table with partition
+    pruning — no assignment matmul, no join, no full-corpus scan; this
+    is the 100-TB shape. Without it, assignment is recomputed inline
+    (exploratory use). Output (vec_id, cos_x10000) ordered by
+    (sim desc, vec_id)."""
+    if ann_dir is not None:
+        centroids, clustered = load_ann(embeddings.sparkSession, ann_dir)
+        cids, mat = centroids
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.sqrt((q * q).sum()) or 1.0
+        cnorm = np.sqrt((mat * mat).sum(axis=1))
+        cnorm[cnorm == 0.0] = 1.0
+        sims = (mat @ q) / (cnorm * qn)
+        order = np.lexsort((cids, -sims))
+        probed = [int(c) for c in cids[order[:nprobe]]]
+        qlit = "array(" + ", ".join(
+            f"cast({float(v)!r} as double)" for v in query_vec
+        ) + ")"
+        sim = f"{_dot(vec_col, qlit)} / ({_norm(vec_col)} * {_norm(qlit)})"
+        return (
+            clustered.filter(F.col("centroid_id").isin(probed))
+            .select(
+                F.col(id_col).alias("vec_id"),
+                F.expr(f"cast(floor({sim} * 10000 + 0.5) as bigint)").alias(
+                    "cos_x10000"
+                ),
+            )
+            .orderBy(F.desc("cos_x10000"), "vec_id")
+            .limit(k)
+        )
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_centroids, vec_col, id_col)
     if assignments is None:

@@ -257,6 +257,39 @@ def test_ivf_topk_recall_and_pruning(spark):
     assert len(one) <= max(sizes.values())
 
 
+def test_ivf_build_ann_artifact(spark, tmp_path):
+    """build_ann materializes centroids + the centroid-clustered
+    embeddings; the artifact-backed query path (1) returns the same
+    rows as the inline path, and (2) runs NO assignment matmul and no
+    join — its plan is a partition-pruned scan (no MapInPandas, a
+    centroid_id partition filter, no Join)."""
+    import numpy as np
+    import pandas as pd
+
+    from blacklab_spark.pipeline import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in rng.normal(size=16)]}
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    ann = SIM.build_ann(emb, str(tmp_path / "ann"), n_centroids=6)
+    q = rows[3]["embedding"]
+    inline = [tuple(r) for r in SIM.ivf_topk(
+        emb, q, k=10, n_centroids=6, nprobe=2).collect()]
+    stored = SIM.ivf_topk(emb, q, k=10, nprobe=2, ann_dir=ann)
+    assert [tuple(r) for r in stored.collect()] == inline
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan  # no per-query assignment pass
+    assert "Join" not in plan  # candidates come from pruning, not a join
+    assert "centroid_id" in plan.split("PartitionFilters", 1)[-1][:200]
+
+    # resumable: second call is a no-op returning the same dir
+    assert SIM.build_ann(emb, str(tmp_path / "ann"), n_centroids=6) == ann
+
+
 def test_clean_corpus_composition(spark):
     """clean_corpus = exact-dedup winners ∩ quality gate ∩ lang gate,
     and its per-doc numbers equal the individual ops' outputs."""
