@@ -33,8 +33,12 @@ Documented divergences (scope-honest):
   the annotation-scan multivalue path (the reference indexes
   secondaries in the reverse index only, AnnotationWriter.java:246-263
   — same search surface, different field name).
-- annotation valuePaths must be attributes (``@attr``); child-element
-  valuePaths (FoLiA's ``<lemma class=..>``) map via ``child:tag@attr``.
+- annotation valuePaths are attributes (``@attr``) or element paths:
+  ``child:t1/t2@attr`` descends a direct-child chain, ``desc:tag@attr``
+  searches descendants, steps accept ``[@attr=value]`` predicates and
+  an omitted trailing ``@attr`` reads the element's text — enough for
+  FoLiA's nested layers (``child:pos/feat[@subset=head]@class``) and
+  TEI ``<choice>`` (``child:choice/reg``); full XPath is out of scope.
 """
 
 from __future__ import annotations
@@ -51,7 +55,7 @@ _PARSED_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
     "ts string, anns map<string,array<string>>, "
     "spans array<struct<tag:string,start:int,end:int,attrs:map<string,string>>>, "
-    "xml string"
+    "xml string, metadata map<string,string>"
 )
 
 
@@ -61,40 +65,59 @@ class XmlFormat:
 
     document_tag: str = "doc"
     word_tag: str = "w"
-    # annotation name -> source: "@attr" (word-element attribute) or
-    # "child:tag@attr" (attribute of a child element, FoLiA-style)
+    # annotation name -> source: "@attr" (word-element attribute),
+    # "child:t1/t2@attr" (direct-child chain), or "desc:tag@attr"
+    # (descendant search); steps accept [@attr=value] predicates; no
+    # trailing @attr reads the element's text
     annotations: dict = field(default_factory=lambda: {"lemma": "@l", "pos": "@p"})
     inline_tags: tuple = ("s", "entity")
-    # canonical metadata column -> "@attr" on the document element
+    # metadata column -> spec on the DOCUMENT element (same language as
+    # annotations: "@attr", "child:...", "desc:..."). conv_id/role/tool
+    # map to the canonical transcript columns; other names surface as
+    # meta_<name> columns from read_xml (reference indexes arbitrary
+    # metadata fields, DocIndexerXPath metadata section)
     metadata: dict = field(default_factory=lambda: {"conv_id": "@pid"})
+    # word text source relative to the word element ("" = the element's
+    # full string value, like the reference's valuePath "."). FoLiA
+    # words keep their text in a <t> child (folia.blf.yaml `valuePath:
+    # folia:t`); TEI editorial words can take `child:choice/orig`
+    word_value: str = ""
+    # containerPath analogue: only this descendant of the document
+    # element is walked for words/inline tags ("" = whole document).
+    # TEI indexes .//text so teiHeader <p>s never become spans
+    container_tag: str = ""
     name: str = "xml"
 
 
-# TEI P5 (reference tei-p5.blf.yaml): <text> body, <w> tokens with
-# lemma/pos attributes, sentences/utterances as inline tags
+# TEI P5 (reference tei-p5.blf.yaml): documentPath //TEI, containerPath
+# .//text, <w> tokens with lemma/pos attributes, p/s/pb/lb inline tags,
+# header metadata from element text (fileDesc/titleStmt/title)
 TEI_P5 = XmlFormat(
-    document_tag="text",
+    document_tag="TEI",
+    container_tag="text",
     word_tag="w",
     annotations={"lemma": "@lemma", "pos": "@pos"},
-    inline_tags=("s", "u", "p"),
-    metadata={},
+    inline_tags=("s", "u", "p", "pb", "lb"),
+    metadata={"title": "desc:titleStmt/title"},
     name="tei-p5",
 )
 
-# FoLiA (reference folia.blf.yaml): <w> wraps a <t> text child plus
-# annotation children carrying their value in a `class` attribute;
-# pos subannotations (head, ... — folia.blf.yaml `subannotations:`)
-# flatten to `pos_head`-style sidecars, queryable as `[pos.head=..]`
+# FoLiA (reference folia.blf.yaml): word text lives in the <t> child
+# (`valuePath: folia:t`); annotation children carry their value in a
+# `class` attribute; pos subannotations (head, ... — folia.blf.yaml
+# `subannotations:`) flatten to `pos_head`-style sidecars, queryable
+# as `[pos.head=..]`; native metadata in <meta id=..>text</meta>
 FOLIA = XmlFormat(
     document_tag="FoLiA",
     word_tag="w",
+    word_value="child:t",
     annotations={
         "lemma": "child:lemma@class",
         "pos": "child:pos@class",
         "pos_head": "child:pos@head",
     },
     inline_tags=("s", "p", "event", "entity"),
-    metadata={"conv_id": "@xml:id"},
+    metadata={"conv_id": "@xml:id", "title": "desc:meta[@id=title]"},
     name="folia",
 )
 
@@ -109,16 +132,78 @@ def _local(tag) -> str | None:
     return tag.rsplit("}", 1)[-1]
 
 
+def _attr_get(el, name: str) -> str | None:
+    """Attribute by qualified or local name (xml:id etc. arrive
+    namespace-expanded from ElementTree)."""
+    v = el.get(name)
+    if v is not None:
+        return v
+    local = name.rsplit(":", 1)[-1]
+    for k, v in el.attrib.items():
+        if k == local or k.endswith("}" + local):
+            return v
+    return None
+
+
+def _parse_steps(path: str) -> list[tuple[str, str | None, str | None]]:
+    """'t1/t2[@a=v]' -> [(tag, pred_attr, pred_val), ...]."""
+    steps = []
+    for raw in path.split("/"):
+        tag, _, pred = raw.partition("[")
+        attr = val = None
+        if pred:
+            inner = pred.rstrip("]").lstrip("@")
+            attr, _, val = inner.partition("=")
+            val = val.strip("'\"")
+        steps.append((tag, attr, val))
+    return steps
+
+
 def _ann_value(el, spec: str) -> str:
-    """Resolve an annotation valuePath against a word element."""
+    """Resolve a valuePath against an element (word or document).
+
+    Grammar (the nested-element subset of the reference's XPath
+    valuePaths, DocIndexerXPath.java):
+      @attr                      attribute on the element itself
+      child:t1/t2[...]@attr      direct-child chain, first match per
+                                 step in document order
+      desc:t1/t2[...]@attr       first step searches ALL descendants,
+                                 deeper steps are direct children
+      [...]                      optional [@attr=value] step predicate
+      (no trailing @attr)        the matched element's text content
+    """
     if spec.startswith("@"):
-        return el.get(spec[1:], "")
-    if spec.startswith("child:"):
-        child_tag, _, attr = spec[len("child:"):].partition("@")
-        for ch in el:
-            if _local(ch.tag) == child_tag:
-                return ch.get(attr, "") if attr else "".join(ch.itertext()).strip()
-    return ""
+        return _attr_get(el, spec[1:]) or ""
+    for prefix in ("child:", "desc:"):
+        if spec.startswith(prefix):
+            break
+    else:
+        return ""
+    # the trailing @attr is the LAST '@' outside any [...] predicate
+    # ("meta[@id=title]" has no trailing attr; "pos/feat[@s=h]@class"
+    # does)
+    body, sep, attr = spec[len(prefix):].rpartition("@")
+    if not sep or "]" in attr or "=" in attr:
+        body, attr = spec[len(prefix):], ""
+    steps = _parse_steps(body)
+    els = [el]
+    for i, (tag, p_attr, p_val) in enumerate(steps):
+        nxt = []
+        for e in els:
+            pool = e.iter() if (i == 0 and prefix == "desc:") else list(e)
+            for ch in pool:
+                if ch is e or _local(ch.tag) != tag:
+                    continue
+                if p_attr and (_attr_get(ch, p_attr) or "") != p_val:
+                    continue
+                nxt.append(ch)
+        if not nxt:
+            return ""
+        els = nxt
+    hit = els[0]
+    if attr:
+        return _attr_get(hit, attr) or ""
+    return "".join(hit.itertext()).strip()
 
 
 def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
@@ -144,7 +229,9 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
         nonlocal has_multivalue, n_tok
         tag = _local(el.tag)
         if tag == cfg.word_tag:
-            raw = "".join(el.itertext()).strip()
+            raw = (
+                _ann_value(el, cfg.word_value) if cfg.word_value else ""
+            ) or "".join(el.itertext()).strip()
             primary = raw.split("|", 1)[0]
             if "|" in raw:
                 has_multivalue = True
@@ -171,31 +258,31 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
                 }
             )
 
-    for ch in doc_el:
+    # containerPath analogue: restrict the token/span walk to the
+    # configured container descendant (TEI containerPath .//text —
+    # header <p>s must not become spans); absent container = whole doc
+    walk_root = doc_el
+    if cfg.container_tag:
+        for el in doc_el.iter():
+            if el is not doc_el and _local(el.tag) == cfg.container_tag:
+                walk_root = el
+                break
+    for ch in walk_root:
         walk(ch)
-
-    def _attr(el, name: str) -> str:
-        """Attribute by qualified or local name (xml:id etc. arrive
-        namespace-expanded from ElementTree)."""
-        v = el.get(name)
-        if v is not None:
-            return v
-        local = name.rsplit(":", 1)[-1]
-        for k, v in el.attrib.items():
-            if k == local or k.endswith("}" + local):
-                return v
-        return ""
 
     conv_id = f"{file_id}-{doc_idx}"
     role = tool = ""
+    extra_meta: dict[str, str] = {}
     for col, spec in cfg.metadata.items():
-        val = _attr(doc_el, spec[1:]) if spec.startswith("@") else ""
+        val = _ann_value(doc_el, spec)
         if col == "conv_id" and val:
             conv_id = val
         elif col == "role":
             role = val
         elif col == "tool":
             tool = val
+        elif val:
+            extra_meta[col] = val
     out_anns = {}
     for name, vals in anns.items():
         if any(v for v in vals):
@@ -217,6 +304,7 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
         "anns": out_anns,
         "spans": spans,
         "xml": xml,
+        "metadata": extra_meta,
     }
 
 
@@ -264,7 +352,7 @@ def parse_xml_files(
                 rows,
                 columns=[
                     "conv_id", "turn_idx", "role", "text", "tool", "ts",
-                    "anns", "spans", "xml",
+                    "anns", "spans", "xml", "metadata",
                 ],
             )
 
@@ -298,6 +386,12 @@ def read_xml(
     ]
     if keep_xml:
         cols.append(F.col("xml").alias("xml_text"))
+    # non-canonical metadata fields (element-text or attribute sourced)
+    # surface as meta_<name> columns (reference metadata fields become
+    # Lucene doc fields; ours become transcript columns)
+    for m in cfg.metadata:
+        if m not in ("conv_id", "role", "tool"):
+            cols.append(F.element_at("metadata", m).alias(f"meta_{m}"))
     ann_cols = []
     for name in ann_names:
         c = f"ann_{name}"
@@ -312,6 +406,9 @@ def read_xml(
     base_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     if keep_xml:
         base_cols.append("xml_text")
+    base_cols += [
+        f"meta_{m}" for m in cfg.metadata if m not in ("conv_id", "role", "tool")
+    ]
     out = out.select(*base_cols, *keep)
     # absent sidecar cells must still be position-aligned arrays — size
     # the filler with the ENGINE tokenizer (whitespace-splitting counts
@@ -375,39 +472,73 @@ def load_blf_config(path: str) -> XmlFormat:
     def last_tag(p: str) -> str:
         return p.rstrip("/").rsplit("/", 1)[-1]
 
-    def ann_spec(a: dict, base_path: str | None = None) -> str:
-        """ValuePath -> our spec; a basePath names a child element the
-        attribute lives on (reference folia.blf.yaml `basePath:
-        folia:pos` + `valuePath: "@class"` reads <pos class=..> under
-        the word)."""
-        vp = a.get("valuePath", "")
-        bp = a.get("basePath", base_path)
-        if bp and vp.startswith("@"):
-            return f"child:{last_tag(bp.split(':')[-1])}@{vp[1:]}"
-        return vp
+    def strip_ns(step: str) -> str:
+        """Drop a namespace prefix from a step, preserving predicates
+        (folia:pos[@x='y'] -> pos[@x='y'])."""
+        tag, _, pred = step.partition("[")
+        tag = tag.split(":")[-1]
+        return f"{tag}[{pred}" if pred else tag
+
+    def norm_path(vp: str, base_path: str | None = None) -> str:
+        """ValuePath (the XPath subset the built-in formats use) -> our
+        spec language. '.' = the element's own string value; '@attr'
+        stays an attribute (on basePath's child element if one is set,
+        reference folia.blf.yaml `basePath: folia:pos` + `valuePath:
+        "@class"`); slashed element paths become child:/desc: chains
+        with an optional trailing /@attr."""
+        vp = (vp or "").strip()
+        if vp in (".", ""):
+            return ""
+        if vp.startswith("@"):
+            if base_path:
+                return f"child:{strip_ns(last_tag(base_path))}@{vp[1:]}"
+            return vp
+        mode = "desc" if vp.startswith((".//", "//")) else "child"
+        parts = [s for s in vp.lstrip("./").split("/") if s and s != "."]
+        attr = None
+        if parts and parts[-1].startswith("@"):
+            attr = parts.pop()[1:]
+        body = "/".join(strip_ns(s) for s in parts)
+        if base_path:
+            body = f"{strip_ns(last_tag(base_path))}/{body}" if body else strip_ns(
+                last_tag(base_path)
+            )
+        return f"{mode}:{body}" + (f"@{attr}" if attr else "")
 
     fmt = XmlFormat(name=doc.get("name", "xml"))
     if doc.get("documentPath"):
-        fmt.document_tag = last_tag(doc["documentPath"])
+        fmt.document_tag = strip_ns(last_tag(doc["documentPath"]))
     contents = (doc.get("annotatedFields") or {}).get("contents") or {}
+    if contents.get("containerPath"):
+        fmt.container_tag = strip_ns(last_tag(contents["containerPath"]))
     if contents.get("wordPath"):
-        fmt.word_tag = last_tag(contents["wordPath"])
+        fmt.word_tag = strip_ns(last_tag(contents["wordPath"]))
     if contents.get("annotations"):
         fmt.annotations = {}
         for a in contents["annotations"]:
-            fmt.annotations[a["name"]] = ann_spec(a)
+            spec = norm_path(a.get("valuePath", ""), a.get("basePath"))
+            if a["name"] == "word":
+                # the main annotation IS the word text (reference: the
+                # first annotation; FoLiA reads it from the <t> child)
+                fmt.word_value = spec
+            else:
+                fmt.annotations[a["name"]] = spec
             for sub in a.get("subannotations") or []:
                 # reference indexes each subannotation as its own
                 # field (folia.blf.yaml subannotations:); flattened
                 # name parent_sub is what `[pos.head=..]` resolves to
-                fmt.annotations[f"{a['name']}_{sub['name']}"] = ann_spec(
-                    sub, a.get("basePath")
+                fmt.annotations[f"{a['name']}_{sub['name']}"] = norm_path(
+                    sub.get("valuePath", ""), sub.get("basePath", a.get("basePath"))
                 )
     if contents.get("inlineTags"):
         fmt.inline_tags = tuple(
-            last_tag(t["path"]) for t in contents["inlineTags"]
+            strip_ns(last_tag(t["path"])) for t in contents["inlineTags"]
         )
     meta = (doc.get("metadata") or {}).get("fields") or []
     if meta:
-        fmt.metadata = {m["name"]: m.get("valuePath", "") for m in meta}
+        fmt.metadata = {
+            m["name"]: norm_path(m.get("valuePath", "")) or f"@{m['name']}"
+            for m in meta
+            if not m.get("forEachPath")
+        }
     return fmt

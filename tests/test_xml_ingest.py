@@ -369,3 +369,153 @@ def test_blf_config_subannotations(tmp_path):
         "pos": "child:pos@class",
         "pos_head": "child:pos@head",
     }
+
+
+TEI_NESTED = """<TEI xmlns="http://www.tei-c.org/ns/1.0">
+  <teiHeader>
+    <fileDesc><titleStmt><title>Nested Sample</title></titleStmt></fileDesc>
+    <profileDesc><p>Header prose that must NOT index.</p></profileDesc>
+  </teiHeader>
+  <text><body>
+    <p><s><w lemma="the" pos="DET">The</w>
+       <w lemma="unto"><choice><orig>vnto</orig><reg>unto</reg></choice></w>
+       <w lemma="king" pos="NOUN">king</w></s></p>
+  </body></text>
+</TEI>"""
+
+
+def test_tei_header_metadata_and_container(tmp_path_factory, spark):
+    """Per-document metadata from a NON-attribute element
+    (teiHeader//titleStmt/title text) and containerPath honored: the
+    header's <p> is outside .//text, so it contributes neither tokens
+    nor spans (reference tei-p5.blf.yaml documentPath //TEI +
+    containerPath .//text)."""
+    d = tmp_path_factory.mktemp("teinest")
+    (d / "a.xml").write_text(TEI_NESTED)
+    tr = read_xml(spark, str(d), "tei-p5")
+    row = tr.collect()[0]
+    assert row["meta_title"] == "Nested Sample"
+    assert "Header prose" not in row["text"]
+    sp = {(r["tag"], r["start"], r["end"])
+          for r in xml_spans(spark, str(d), "tei-p5").collect()}
+    # exactly one <p> and one <s> span, both over the 3 body tokens
+    assert sp == {("p", 0, 3), ("s", 0, 3)}
+
+
+def test_tei_choice_word_value(tmp_path_factory, spark):
+    """TEI <choice> two levels under <w>: with word_value
+    'child:choice/orig' the original form indexes as the token text and
+    a 'reg' annotation reads the regularized form from the nested
+    element — nested element valuePaths beyond one level
+    (reference DocIndexerXPath arbitrary XPath; our chain subset)."""
+    d = tmp_path_factory.mktemp("teichoice")
+    (d / "a.xml").write_text(TEI_NESTED)
+    fmt = XmlFormat(
+        document_tag="TEI", container_tag="text", word_tag="w",
+        word_value="child:choice/orig",
+        annotations={"lemma": "@lemma", "reg": "child:choice/reg"},
+        inline_tags=("s",), metadata={"title": "desc:titleStmt/title"},
+        name="tei-choice",
+    )
+    row = read_xml(spark, str(d), fmt).collect()[0]
+    assert row["text"] == "The vnto king"  # orig form wins for choice words
+    assert row["ann_reg"] == ["", "unto", ""]
+    assert row["ann_lemma"] == ["the", "unto", "king"]
+
+
+FOLIA_NESTED = """<FoLiA xmlns="http://ilk.uvt.nl/folia" xml:id="nested1">
+  <metadata type="native">
+    <annotations/>
+    <meta id="title">Folia Nested</meta>
+    <meta id="language">nl</meta>
+  </metadata>
+  <text>
+    <s>
+      <w xml:id="w1"><t>katten</t><lemma class="kat"/>
+        <pos class="N(soort)"><feat subset="head" class="N"/></pos>
+        <morphology><morpheme><t>kat</t><lemma class="kat-m"/></morpheme></morphology>
+      </w>
+      <w xml:id="w2"><t>slapen</t><lemma class="slapen"/>
+        <pos class="WW(pv)"><feat subset="head" class="WW"/></pos>
+      </w>
+    </s>
+  </text>
+</FoLiA>"""
+
+
+def test_folia_nested_layers(tmp_path_factory, spark):
+    """FoLiA beyond one level: word text from the <t> child (NOT the
+    concatenation of every descendant's text), a feat annotation two
+    levels down via a predicated chain, a morphology-layer lemma three
+    levels down, and native <meta id=..> element metadata."""
+    d = tmp_path_factory.mktemp("folianest")
+    (d / "a.xml").write_text(FOLIA_NESTED)
+    fmt = XmlFormat(
+        document_tag="FoLiA", word_tag="w", word_value="child:t",
+        annotations={
+            "lemma": "child:lemma@class",
+            "pos": "child:pos@class",
+            "head": "child:pos/feat[@subset=head]@class",
+            "mlemma": "child:morphology/morpheme/lemma@class",
+        },
+        inline_tags=("s",),
+        metadata={"conv_id": "@xml:id", "title": "desc:meta[@id=title]",
+                  "role": "desc:meta[@id=language]"},
+        name="folia-nested",
+    )
+    row = read_xml(spark, str(d), fmt).collect()[0]
+    # <t> is the word text: morphology's inner 'kat' must not leak in
+    assert row["text"] == "katten slapen"
+    assert row["conv_id"] == "nested1"
+    assert row["meta_title"] == "Folia Nested"
+    assert row["role"] == "nl"
+    assert row["ann_lemma"] == ["kat", "slapen"]
+    assert row["ann_head"] == ["N", "WW"]
+    assert row["ann_mlemma"] == ["kat-m", ""]
+
+
+def test_builtin_folia_word_from_t(tmp_path_factory, spark):
+    """The built-in folia format reads word text from <t> (reference
+    folia.blf.yaml valuePath folia:t): a word carrying nested layers
+    must tokenize to ONE engine token, keeping annotation alignment."""
+    d = tmp_path_factory.mktemp("foliat")
+    (d / "a.xml").write_text(FOLIA_NESTED)
+    row = read_xml(spark, str(d), "folia").collect()[0]
+    assert row["text"] == "katten slapen"
+    assert row["ann_lemma"] == ["kat", "slapen"]
+    assert row["meta_title"] == "Folia Nested"
+
+
+def test_blf_config_nested_paths(tmp_path):
+    """blf.yaml normalization of the reference configs' own path
+    shapes: containerPath, the main 'word' annotation's element
+    valuePath (folia:t), slashed element+attribute valuePaths, and
+    metadata element paths."""
+    p = tmp_path / "fmt.blf.yaml"
+    p.write_text(
+        "documentPath: //folia:FoLiA\n"
+        "annotatedFields:\n"
+        "  contents:\n"
+        "    containerPath: .//folia:text\n"
+        "    wordPath: .//folia:w\n"
+        "    annotations:\n"
+        "    - name: word\n"
+        "      valuePath: folia:t\n"
+        "    - name: lemma\n"
+        "      valuePath: folia:lemma/@class\n"
+        "    - name: head\n"
+        "      valuePath: folia:pos/folia:feat/@class\n"
+        "metadata:\n"
+        "  fields:\n"
+        "  - name: title\n"
+        "    valuePath: .//meta[@id='title']\n"
+    )
+    fmt = load_blf_config(str(p))
+    assert fmt.document_tag == "FoLiA"
+    assert fmt.container_tag == "text"
+    assert fmt.word_value == "child:t"
+    assert fmt.annotations == {
+        "lemma": "child:lemma@class",
+        "head": "child:pos/feat@class",
+    }
+    assert fmt.metadata == {"title": "desc:meta[@id='title']"}
