@@ -354,7 +354,13 @@ class Corpus:
             sort_keys=True,
             default=str,
         )
-        out = self.cache.get_or_compute(key, lambda: _search(self, **params))
+        # subtree_cache: the hit SET is cached separately from its
+        # sort/group/window decoration, so a request differing only in
+        # decoration reuses the persisted hits (reference BlsCache
+        # shares subtree results across requests)
+        out = self.cache.get_or_compute(
+            key, lambda: _search(self, subtree_cache=self.cache, **params)
+        )
         return out
 
     @property

@@ -51,6 +51,7 @@ def search(
     fimatch: int | None = None,
     waitfortotal: bool | None = None,
     listvalues: str | None = None,
+    subtree_cache=None,
 ) -> DataFrame:
     """Run one BLS-style request against the corpus.
 
@@ -103,7 +104,7 @@ def search(
             wordsaroundhit=wordsaroundhit, usecontent=usecontent,
             calc=calc, facets=facets, maxretrieve=maxretrieve,
             outputformat=outputformat, waitfortotal=waitfortotal,
-            listvalues=listvalues,
+            listvalues=listvalues, subtree_cache=subtree_cache,
         )
     from pyspark.sql import functions as F
 
@@ -200,6 +201,31 @@ def search(
     # ---- result cap (maxHitsToProcess analogue) --------------------
     if maxretrieve is not None:
         hits = hits.limited(maxretrieve)
+
+    # ---- SUBTREE reuse (reference BlsCache shares the hits of a
+    # running search across requests — re-sorting/re-grouping a big
+    # result must not re-run the span query, BlsCacheEntry /
+    # doc/blacklab-internals.md:213-241). The hit SET is keyed by the
+    # pattern+filter subtree only; sort/group/window decoration happens
+    # over the persisted hits DataFrame.
+    if subtree_cache is not None:
+        import json as _json
+
+        skey = "hits:" + _json.dumps(
+            {
+                "patt": patt, "pattlang": pattlang,
+                "pattgapdata": pattgapdata, "filter": filter_sql,
+                "hfc": hitfiltercrit, "hfv": hitfilterval,
+                "maxretrieve": maxretrieve,
+                "fimatch": corpus.cfg.fi_probe_ratio,
+                "gen": corpus.meta.get("generation", 0),
+            },
+            sort_keys=True,
+        )
+        frozen = hits
+        hits = Hits(
+            corpus, subtree_cache.get_or_compute(skey, lambda: frozen.df)
+        )
 
     # ---- sample (before sort/group, like BLS) ----------------------
     if sample is not None or samplenum is not None:

@@ -285,22 +285,31 @@ class Hits:
         sorts as one apple-group before banana, NOT ASCIIbetically with
         all capitals first. Case-variant tie order within a group is
         codepoint order (deterministic; ICU tertiary differs only in
-        lowercase-first, documented divergence)."""
-        from blacklab_spark.analysis import fold_col
+        lowercase-first, documented divergence). When PyICU is
+        installed, true ICU TERTIARY sort keys replace the fold scheme
+        and the order matches the reference exactly
+        (analysis.icu_sort_key_col)."""
+        from blacklab_spark.analysis import fold_col, icu_sort_key_col
 
         ctx = self.with_context(0, annotation, sensitive=True)
         raw = F.array_join("match", " ")
-        out = ctx.orderBy(
-            fold_col(F.lower(raw)), raw, "doc_id", "start", "end"
-        ).select(*self.df.columns)
+        icu_key = icu_sort_key_col(raw)
+        keys = (
+            [icu_key] if icu_key is not None
+            else [fold_col(F.lower(raw)), raw]
+        )
+        out = ctx.orderBy(*keys, "doc_id", "start", "end").select(
+            *self.df.columns
+        )
         return Hits(self.corpus, out)
 
     def sort_by_context(self, side: str = "left", size: int | None = None) -> "Hits":
         """Sort on left/right context words (reference HitProperty
         `left`/`right`, resultproperty/HitProperty.java:41-110); left
         context compares right-to-left like the reference. Same
-        two-strength collation as sort_by_hit_text."""
-        from blacklab_spark.analysis import fold_col
+        collation scheme as sort_by_hit_text (ICU tertiary when PyICU
+        is installed, two-strength fold otherwise)."""
+        from blacklab_spark.analysis import fold_col, icu_sort_key_col
 
         ctx = self.with_context(size, sensitive=True)
         raw = (
@@ -308,9 +317,14 @@ class Hits:
             if side == "left"
             else F.array_join("right", " ")
         )
-        out = ctx.orderBy(
-            fold_col(F.lower(raw)), raw, "doc_id", "start", "end"
-        ).select(*self.df.columns)
+        icu_key = icu_sort_key_col(raw)
+        keys = (
+            [icu_key] if icu_key is not None
+            else [fold_col(F.lower(raw)), raw]
+        )
+        out = ctx.orderBy(*keys, "doc_id", "start", "end").select(
+            *self.df.columns
+        )
         return Hits(self.corpus, out)
 
     # -- group ----------------------------------------------------------------

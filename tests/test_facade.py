@@ -309,3 +309,31 @@ def test_kwic_listvalues_annotations(micro):
     assert r["match_lemma"] == "force" and r["left_lemma"] == "may the"
     assert r["match_pos"] == "nou" and r["left_pos"] == "vrb art"
     assert r["right_pos"] == "vrb pre"
+
+
+def test_subtree_cache_reuses_hits_across_decorations(small_corpus):
+    """BlsCache subtree sharing (reference BlsCacheEntry,
+    doc/blacklab-internals.md:213-241): a second request over the SAME
+    pattern with a different sort/group must reuse the cached hit set —
+    its plan reads the persisted hits (InMemoryTableScan) and contains
+    NO postings scan, i.e. the span query never re-runs."""
+    corpus, _ = small_corpus
+    corpus.cache.clear()
+    r1 = corpus.search(patt='"word00004"', sort="hit", usecache=True)
+    r1.count()  # materialize the subtree entry
+    r2 = corpus.search(patt='"word00004"', sort="right", usecache=True)
+    plan = r2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # no LIVE postings scan: InMemoryRelation prints its (cached) build
+    # plan as an annotation, so only the part of the plan ABOVE it must
+    # be postings-free — the span query itself never re-runs
+    assert "postings" not in plan.split("InMemoryRelation")[0]
+    # and a different-sort request returns the same hit SET
+    k1 = {(r["doc_id"], r["start"]) for r in r1.collect()}
+    k2 = {(r["doc_id"], r["start"]) for r in r2.collect()}
+    assert k1 == k2 and k1
+    # grouping over the same pattern also reuses the subtree
+    g = corpus.search(patt='"word00004"', group="field:role", usecache=True)
+    gplan = g._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in gplan
+    assert "postings" not in gplan.split("InMemoryRelation")[0]

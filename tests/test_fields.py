@@ -166,11 +166,23 @@ def test_collated_sort_diverges_from_codepoint(spark, tmp_path_factory):
     toks = "Zebra ápple apple Apple zebra Ärger anger".split()
     rows = c.find('".*"').sort_by_hit_text().df.collect()
     texts = [toks[r["start"]] for r in rows]
-    # collated: anger < apple-group < Ärger(=arger) < zebra-group;
-    # within the apple group the secondary (raw) key gives codepoint
-    # order Apple < apple < ápple
-    assert texts == [
-        "anger", "Apple", "apple", "ápple", "Ärger", "Zebra", "zebra",
-    ], texts
+    from blacklab_spark.analysis import icu_available
+
+    if icu_available():
+        # true ICU tertiary (reference Collators.java sensitive
+        # collator): same groups, lowercase-first inside a group and
+        # accents after the accentless forms
+        assert [t.lower().replace("á", "a").replace("ä", "a") for t in texts] == [
+            "anger", "apple", "apple", "apple", "arger", "zebra", "zebra",
+        ], texts
+        assert texts.index("apple") < texts.index("Apple") < texts.index("ápple")
+        assert texts.index("zebra") < texts.index("Zebra")
+    else:
+        # two-strength fallback: anger < apple-group < Ärger(=arger) <
+        # zebra-group; within the apple group the secondary (raw) key
+        # gives codepoint order Apple < apple < ápple
+        assert texts == [
+            "anger", "Apple", "apple", "ápple", "Ärger", "Zebra", "zebra",
+        ], texts
     # raw codepoint order would differ (capitals/accents regrouped)
     assert sorted(texts) != texts
