@@ -115,6 +115,21 @@ def main() -> None:
     corpus.find('"word00003"').kwic(5).limit(100).collect()
     queries["kwic"] = round(time.time() - t0, 3)
 
+    # ---- bucketed forward-index variant ---------------------------------
+    # resume-build adds ONLY the doc_id-bucketed FI table to the same
+    # index (also exercising stage-checkpoint resume); kwic then joins
+    # hit->context with no Exchange on the token side
+    t0 = time.time()
+    corpus = Corpus.build(
+        spark, transcripts, idx_dir,
+        EngineConfig(segment_size=1 << 13, block_size=128, fi_buckets=cpus),
+        resume=True,
+    )
+    queries["fi_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    corpus.find('"word00003"').kwic(5).limit(100).collect()
+    queries["kwic_fi"] = round(time.time() - t0, 3)
+
     # ---- documents-table pipeline ops at sf_dir ----------------------------
     docs_path = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs_path):
