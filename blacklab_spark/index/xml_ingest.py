@@ -16,7 +16,13 @@ actually use on word-tokenized XML:
   (``@l``/``@lemma``/``@p``/``@pos`` style valuePaths),
 - *inline tags* (``<s>``, ``<entity>``, TEI ``<u>``...) recorded as
   span rows over token positions, attributes preserved,
-- doc metadata from document-element attributes.
+- doc metadata from document-element attributes,
+- *standoff annotations* (ConfigStandoffAnnotations.java; processing
+  loop DocIndexerXPath.java:430-505): ``tokenIdPath`` ids on words, a
+  standoff ``path`` elsewhere in the document whose ``tokenRefPath``
+  values select the positions to index at (NAF terms layer, EAF
+  tiers), plus span standoffs (``spanEndPath`` inclusive/exclusive,
+  ``spanNamePath``) that land in the spans table.
 
 Parsing is stdlib ElementTree inside ``mapInPandas`` — per *file*
 Python, not per row: one task per file slice, the same unit of
@@ -86,7 +92,36 @@ class XmlFormat:
     # element is walked for words/inline tags ("" = whole document).
     # TEI indexes .//text so teiHeader <p>s never become spans
     container_tag: str = ""
+    # tokenIdPath analogue: spec giving each word element a unique id
+    # ("@id", "@xml:id"); required for standoff refs (reference
+    # DocIndexerXPath.java tokenPositionsMap)
+    token_id: str = ""
+    # standoffAnnotations analogue (ConfigStandoffAnnotations.java):
+    # annotations living elsewhere in the document, tied to tokens by id
+    standoff: tuple = ()
     name: str = "xml"
+
+
+@dataclass
+class StandoffSpec:
+    """One standoffAnnotations block (ConfigStandoffAnnotations.java;
+    processing loop DocIndexerXPath.java:430-505). ``path`` finds the
+    standoff elements under the DOCUMENT element (first step searches
+    all descendants, deeper steps are direct children — covers NAF's
+    document-relative `terms/term` and EAF's absolute TIER paths);
+    ``token_ref`` resolves one or MORE token ids on each standoff
+    element; values index at every referenced position. A non-empty
+    ``span_end`` makes it a span standoff: start = first token ref,
+    end = the span_end ref (inclusive end gets +1 like the reference),
+    name from ``span_name`` (spec, or ``=literal``), annotations become
+    span attributes."""
+
+    path: str
+    token_ref: str
+    annotations: dict = field(default_factory=dict)
+    span_end: str = ""
+    span_end_inclusive: bool = True
+    span_name: str = ""
 
 
 # TEI P5 (reference tei-p5.blf.yaml): documentPath //TEI, containerPath
@@ -121,8 +156,30 @@ FOLIA = XmlFormat(
     name="folia",
 )
 
+# NAF (reference naf.blf.yaml): tokens are .//text//wf elements carrying
+# @id (tokenIdPath); lemma/pos live in the standoff <terms> layer, each
+# <term> referencing token ids via <span><target id=..>
+NAF = XmlFormat(
+    document_tag="NAF",
+    container_tag="text",
+    word_tag="wf",
+    annotations={},
+    inline_tags=(),
+    metadata={},
+    token_id="@id",
+    standoff=(
+        StandoffSpec(
+            path="terms/term",
+            token_ref="child:span/target@id",
+            annotations={"lemma": "@lemma", "pos": "@pos"},
+        ),
+    ),
+    name="naf",
+)
+
 FORMATS = {
     "xml": XmlFormat(), "tei-p5": TEI_P5, "tei": TEI_P5, "folia": FOLIA,
+    "naf": NAF,
 }
 
 
@@ -172,25 +229,17 @@ def _ann_value(el, spec: str) -> str:
       [...]                      optional [@attr=value] step predicate
       (no trailing @attr)        the matched element's text content
     """
-    if spec.startswith("@"):
-        return _attr_get(el, spec[1:]) or ""
-    for prefix in ("child:", "desc:"):
-        if spec.startswith(prefix):
-            break
-    else:
-        return ""
-    # the trailing @attr is the LAST '@' outside any [...] predicate
-    # ("meta[@id=title]" has no trailing attr; "pos/feat[@s=h]@class"
-    # does)
-    body, sep, attr = spec[len(prefix):].rpartition("@")
-    if not sep or "]" in attr or "=" in attr:
-        body, attr = spec[len(prefix):], ""
-    steps = _parse_steps(body)
-    els = [el]
+    vals = _ann_values(el, spec)
+    return vals[0] if vals else ""
+
+
+def _walk_steps(els: list, steps, desc_first: bool) -> list:
+    """Resolve a step chain against a seed element list (first step
+    optionally searches all descendants; deeper steps direct children)."""
     for i, (tag, p_attr, p_val) in enumerate(steps):
         nxt = []
         for e in els:
-            pool = e.iter() if (i == 0 and prefix == "desc:") else list(e)
+            pool = e.iter() if (i == 0 and desc_first) else list(e)
             for ch in pool:
                 if ch is e or _local(ch.tag) != tag:
                     continue
@@ -198,12 +247,46 @@ def _ann_value(el, spec: str) -> str:
                     continue
                 nxt.append(ch)
         if not nxt:
-            return ""
+            return []
         els = nxt
-    hit = els[0]
-    if attr:
-        return _attr_get(hit, attr) or ""
-    return "".join(hit.itertext()).strip()
+    return els
+
+
+def _find_elements(root, path: str) -> list:
+    """Standoff `path` resolution: elements under ``root`` matching the
+    chain, first step descendant-searched (NAF `terms/term`, EAF TIER
+    chains both land here after config normalization)."""
+    return _walk_steps([root], _parse_steps(path), desc_first=True)
+
+
+def _ann_values(el, spec: str) -> list[str]:
+    """Like :func:`_ann_value` but EVERY match in document order — the
+    reference's standoff tokenRefPath loop collects all matches
+    (DocIndexerXPath.java:446-455)."""
+    if spec.startswith("@"):
+        v = _attr_get(el, spec[1:])
+        return [v] if v is not None else []
+    for prefix in ("child:", "desc:"):
+        if spec.startswith(prefix):
+            break
+    else:
+        return []
+    # the trailing @attr is the LAST '@' outside any [...] predicate
+    # ("meta[@id=title]" has no trailing attr; "pos/feat[@s=h]@class"
+    # does)
+    body, sep, attr = spec[len(prefix):].rpartition("@")
+    if not sep or "]" in attr or "=" in attr:
+        body, attr = spec[len(prefix):], ""
+    els = _walk_steps([el], _parse_steps(body), desc_first=(prefix == "desc:"))
+    out = []
+    for hit in els:
+        if attr:
+            v = _attr_get(hit, attr)
+            if v is not None:
+                out.append(v)
+        else:
+            out.append("".join(hit.itertext()).strip())
+    return out
 
 
 def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
@@ -222,6 +305,7 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
     word_full: list[str] = []
     anns: dict[str, list[str]] = {name: [] for name in cfg.annotations}
     spans: list[dict] = []
+    tok_pos: dict[str, tuple[int, int]] = {}  # token id -> (start, k)
     has_multivalue = False
     n_tok = 0  # engine-token positions emitted so far
 
@@ -237,6 +321,10 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
                 has_multivalue = True
             k = len(py_tokenize(primary))
             if k:
+                if cfg.token_id:
+                    tid = _ann_value(el, cfg.token_id)
+                    if tid:
+                        tok_pos[tid] = (n_tok, k)
                 words.append(primary)
                 word_full.extend([raw] * k)
                 for name, spec in cfg.annotations.items():
@@ -269,6 +357,59 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
                 break
     for ch in walk_root:
         walk(ch)
+
+    # standoff annotations: resolved from the DOCUMENT element (NAF's
+    # <terms> lives outside the <text> container), after the token walk
+    # so the id->position map is complete (reference processes standoff
+    # blocks per document after words, DocIndexerXPath.java:430-505).
+    # Unresolvable token refs are skipped like the reference's warn().
+    for so in cfg.standoff:
+        for el in _find_elements(doc_el, so.path):
+            refs = [
+                tok_pos[r] for r in _ann_values(el, so.token_ref)
+                if r in tok_pos
+            ]
+            if so.span_end:
+                if not refs:
+                    continue
+                start, k0 = refs[0]
+                end = start + k0
+                evs = _ann_values(el, so.span_end)
+                if evs and evs[0] in tok_pos:
+                    ep, ek = tok_pos[evs[0]]
+                    # inclusive span end refers to the LAST token inside
+                    # the span; stored end is always exclusive
+                    end = ep + ek if so.span_end_inclusive else ep
+                if end <= start:
+                    continue
+                if so.span_name.startswith("="):
+                    tag_name = so.span_name[1:]
+                else:
+                    tag_name = (
+                        _ann_value(el, so.span_name) if so.span_name else ""
+                    ) or "span"
+                attrs = {k: str(v) for k, v in el.attrib.items()}
+                for aname, spec in so.annotations.items():
+                    v = _ann_value(el, spec)
+                    if v:
+                        attrs[aname] = v
+                spans.append(
+                    {"tag": tag_name, "start": start, "end": end, "attrs": attrs}
+                )
+            else:
+                for aname, spec in so.annotations.items():
+                    v = _ann_value(el, spec)
+                    if not v:
+                        continue
+                    arr = anns.setdefault(aname, [""] * n_tok)
+                    for p0, k in refs:
+                        for p in range(p0, p0 + k):
+                            if not arr[p]:
+                                arr[p] = v
+                            elif v not in arr[p].split("|"):
+                                # extra value at an occupied position ->
+                                # multivalue cell (build splits on `|`)
+                                arr[p] = arr[p] + "|" + v
 
     conv_id = f"{file_id}-{doc_idx}"
     role = tool = ""
@@ -377,7 +518,11 @@ def read_xml(
         parsed if parsed is not None
         else parse_xml_files(spark, path, cfg, keep_xml=keep_xml)
     )
-    ann_names = list(cfg.annotations) + ["word"]
+    ann_names = list(cfg.annotations)
+    for so in cfg.standoff:
+        if not so.span_end:  # span standoffs surface via xml_spans
+            ann_names += [a for a in so.annotations if a not in ann_names]
+    ann_names.append("word")
     cols = [
         "conv_id",
         F.col("turn_idx").cast("int").alias("turn_idx"),
@@ -533,6 +678,37 @@ def load_blf_config(path: str) -> XmlFormat:
     if contents.get("inlineTags"):
         fmt.inline_tags = tuple(
             strip_ns(last_tag(t["path"])) for t in contents["inlineTags"]
+        )
+    if contents.get("tokenIdPath"):
+        fmt.token_id = norm_path(contents["tokenIdPath"]) or "@id"
+    for so in contents.get("standoffAnnotations") or []:
+        # absolute standoff paths (eaf.blf.yaml /ANNOTATION_DOCUMENT/
+        # TIER[...]) start at the document element; document-relative
+        # ones (naf.blf.yaml terms/term) already do — either way the
+        # first remaining step is descendant-searched by _find_elements
+        parts = [
+            strip_ns(s)
+            for s in (so.get("path") or "").strip().lstrip("/").lstrip("./").split("/")
+            if s and s != "."
+        ]
+        if parts and parts[0] == fmt.document_tag:
+            parts = parts[1:]
+        sn = (so.get("spanNamePath") or "").strip()
+        fmt.standoff = fmt.standoff + (
+            StandoffSpec(
+                path="/".join(parts),
+                token_ref=norm_path(so.get("tokenRefPath", "")),
+                annotations={
+                    a["name"]: norm_path(a.get("valuePath", ""), a.get("basePath"))
+                    for a in so.get("annotations") or []
+                },
+                span_end=norm_path(so.get("spanEndPath", "")),
+                span_end_inclusive=bool(so.get("spanEndIsInclusive", True)),
+                span_name=(
+                    "=" + sn.strip("'\"") if sn[:1] in ("'", '"')
+                    else norm_path(sn)
+                ),
+            ),
         )
     meta = (doc.get("metadata") or {}).get("fields") or []
     if meta:

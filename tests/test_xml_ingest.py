@@ -519,3 +519,148 @@ def test_blf_config_nested_paths(tmp_path):
         "head": "child:pos/feat@class",
     }
     assert fmt.metadata == {"title": "desc:meta[@id='title']"}
+
+
+NAF_DOC = """<NAF>
+  <text>
+    <wf id="w1">The</wf><wf id="w2">quick</wf><wf id="w3">fox</wf>
+    <wf id="w4">jumps</wf>
+  </text>
+  <terms>
+    <term id="t1" lemma="the" pos="det"><span><target id="w1"/></span></term>
+    <term id="t2" lemma="quick" pos="adj"><span><target id="w2"/></span></term>
+    <term id="t3" lemma="fox" pos="noun"><span><target id="w3"/></span></term>
+    <term id="t4" lemma="jump" pos="verb"><span><target id="w4"/></span></term>
+    <term id="mwe" lemma="quick_fox" pos="mwe"><span>
+      <target id="w2"/><target id="w3"/></span></term>
+    <term id="bad" lemma="ghost" pos="x"><span><target id="nope"/></span></term>
+  </terms>
+</NAF>"""
+
+
+def test_naf_standoff_annotations(tmp_path_factory, spark):
+    """NAF standoff layer (reference naf.blf.yaml standoffAnnotations):
+    lemma/pos live under <terms>, tied to <wf> tokens by id; a
+    multi-target term lands at every referenced position as an extra
+    `|` value; unresolved refs are skipped like the reference's warn()
+    (DocIndexerXPath.java:446-455)."""
+    d = tmp_path_factory.mktemp("naf")
+    (d / "doc.naf").write_text(NAF_DOC)
+    rows = read_xml(spark, str(d), "naf").collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "The quick fox jumps"
+    assert rows[0]["ann_lemma"] == ["the", "quick|quick_fox", "fox|quick_fox", "jump"]
+    assert rows[0]["ann_pos"] == ["det", "adj|mwe", "noun|mwe", "verb"]
+
+
+def test_naf_standoff_searchable(tmp_path_factory, spark, small_cfg):
+    """Standoff values reach the annotation search surface: both the
+    primary and the extra `|` value at a position match [lemma=...]."""
+    d = tmp_path_factory.mktemp("nafidx")
+    (d / "doc.naf").write_text(NAF_DOC)
+    tr = read_xml(spark, str(d), "naf")
+    corpus = Corpus.build(
+        spark, tr, str(d / "idx"), small_cfg,
+        extra_spans=xml_spans(spark, str(d), "naf"),
+    )
+    assert corpus.find('[lemma="quick_fox"]').df.count() == 2
+    assert corpus.find('[lemma="fox" & pos="noun"]').df.count() == 1
+
+
+def test_span_standoff(tmp_path_factory, spark):
+    """Span standoffs (ConfigStandoffAnnotations.spanEndPath): start =
+    first token ref, end from span_end (inclusive -> exclusive +1 like
+    DocIndexerXPath.java:475-477), name from spanNamePath, annotations
+    as span attributes; surfaced through xml_spans."""
+    from blacklab_spark.index.xml_ingest import StandoffSpec
+
+    fmt_inc = XmlFormat(
+        document_tag="doc", word_tag="w", annotations={}, inline_tags=(),
+        metadata={}, token_id="@id", name="t",
+        standoff=(
+            StandoffSpec(
+                path="entities/entity", token_ref="child:span/target@id",
+                span_end="child:span/last@id", span_end_inclusive=True,
+                span_name="@type", annotations={"cls": "@class"},
+            ),
+        ),
+    )
+    d = tmp_path_factory.mktemp("spanso")
+    (d / "doc.xml").write_text(
+        """<doc>
+  <w id="a">New</w><w id="b">York</w><w id="c">rocks</w>
+  <entities>
+    <entity type="loc" class="GPE"><span><target id="a"/><last id="b"/></span></entity>
+  </entities>
+</doc>"""
+    )
+    got = {
+        (r["tag"], r["start"], r["end"], r["attrs"]["cls"])
+        for r in xml_spans(spark, str(d), fmt_inc).collect()
+    }
+    assert got == {("loc", 0, 2, "GPE")}
+    # exclusive end: same doc, span_end points at the first token OUTSIDE
+    fmt_exc = XmlFormat(
+        document_tag="doc", word_tag="w", annotations={}, inline_tags=(),
+        metadata={}, token_id="@id", name="t2",
+        standoff=(
+            StandoffSpec(
+                path="entities/entity", token_ref="child:span/target@id",
+                span_end="child:span/out@id", span_end_inclusive=False,
+                span_name="=ent",
+            ),
+        ),
+    )
+    (d / "doc2.xml").write_text(
+        """<doc>
+  <w id="a">New</w><w id="b">York</w><w id="c">rocks</w>
+  <entities>
+    <entity><span><target id="a"/><out id="c"/></span></entity>
+  </entities>
+</doc>"""
+    )
+    (d / "doc.xml").unlink()
+    got2 = {
+        (r["tag"], r["start"], r["end"])
+        for r in xml_spans(spark, str(d), fmt_exc).collect()
+    }
+    assert got2 == {("ent", 0, 2)}
+
+
+def test_blf_config_standoff(tmp_path):
+    """standoffAnnotations + tokenIdPath parse from blf.yaml (the
+    reference's naf.blf.yaml shape, InputFormatReader standoff keys)."""
+    p = tmp_path / "naf.blf.yaml"
+    p.write_text(
+        "documentPath: //NAF\n"
+        "annotatedFields:\n"
+        "  contents:\n"
+        "    containerPath: .//text\n"
+        "    wordPath: .//wf\n"
+        "    tokenIdPath: \"@id\"\n"
+        "    annotations:\n"
+        "    - name: word\n"
+        "      valuePath: .\n"
+        "    standoffAnnotations:\n"
+        "    - path: terms/term\n"
+        "      tokenRefPath: ./span/target/@id\n"
+        "      annotations:\n"
+        "      - name: lemma\n"
+        "        valuePath: \"@lemma\"\n"
+        "    - path: /NAF/entities/entity\n"
+        "      tokenRefPath: ./span/target/@id\n"
+        "      spanEndPath: ./span/last/@id\n"
+        "      spanEndIsInclusive: true\n"
+        "      spanNamePath: \"'entity'\"\n"
+    )
+    fmt = load_blf_config(str(p))
+    assert fmt.token_id == "@id"
+    so_ann, so_span = fmt.standoff
+    assert so_ann.path == "terms/term"
+    assert so_ann.token_ref == "child:span/target@id"
+    assert so_ann.annotations == {"lemma": "@lemma"}
+    assert not so_ann.span_end
+    assert so_span.path == "entities/entity"
+    assert so_span.span_end == "child:span/last@id"
+    assert so_span.span_end_inclusive is True
+    assert so_span.span_name == "=entity"
