@@ -99,6 +99,16 @@ class XmlFormat:
     # standoffAnnotations analogue (ConfigStandoffAnnotations.java):
     # annotations living elsewhere in the document, tied to tokens by id
     standoff: tuple = ()
+    # multi-step wordPath analogue ("TIER[@X='Words']/ANNOTATION/W"):
+    # the LAST step must match the word element, earlier steps its
+    # nearest enclosing ancestors in order (EAF's tier-qualified words,
+    # eaf.blf.yaml wordPath). Empty = match on word_tag alone.
+    word_path: str = ""
+    # forEachPath metadata analogue (tcf/cmdi.blf.yaml: containerPath +
+    # `forEachPath: .//*[not(*) and text()]`): every leaf element with
+    # text under this document descendant becomes a metadata field named
+    # by its local tag; all fields surface as one meta_fields map column
+    metadata_foreach: str = ""
     name: str = "xml"
 
 
@@ -177,9 +187,72 @@ NAF = XmlFormat(
     name="naf",
 )
 
+# EAF / ELAN (reference eaf.blf.yaml): tokens are ALIGNABLE_ANNOTATIONs
+# of the Words TIER only (tier-predicate wordPath); lemma/pos are
+# REF_ANNOTATIONs in their own tiers referencing word ANNOTATION_IDs
+EAF = XmlFormat(
+    document_tag="ANNOTATION_DOCUMENT",
+    word_tag="ALIGNABLE_ANNOTATION",
+    word_path="TIER[@LINGUISTIC_TYPE_REF='Words']/ANNOTATION/"
+              "ALIGNABLE_ANNOTATION",
+    word_value="child:ANNOTATION_VALUE",
+    annotations={},
+    inline_tags=(),
+    metadata={},
+    token_id="@ANNOTATION_ID",
+    standoff=(
+        StandoffSpec(
+            path="TIER[@LINGUISTIC_TYPE_REF='Lemma']/ANNOTATION/"
+                 "REF_ANNOTATION",
+            token_ref="@ANNOTATION_REF",
+            annotations={"lemma": "child:ANNOTATION_VALUE"},
+        ),
+        StandoffSpec(
+            path="TIER[@LINGUISTIC_TYPE_REF='PoS']/ANNOTATION/"
+                 "REF_ANNOTATION",
+            token_ref="@ANNOTATION_REF",
+            annotations={"pos": "child:ANNOTATION_VALUE"},
+        ),
+    ),
+    name="eaf",
+)
+
+# TCF / WebLicht (reference tcf.blf.yaml): <token ID=..> under
+# <tokens>; lemmas/POS tags reference tokens via space-separated
+# @tokenIDs lists (the reference resolves them with a contains() XPath;
+# same index result via the standoff machinery). Embedded CMDI header
+# leaves become metadata fields (forEachPath idiom).
+TCF = XmlFormat(
+    document_tag="D-Spin",
+    container_tag="TextCorpus",
+    word_tag="token",
+    annotations={},
+    inline_tags=(),
+    metadata={},
+    token_id="@ID",
+    standoff=(
+        StandoffSpec(
+            path="lemmas/lemma", token_ref="@tokenIDs",
+            annotations={"lemma": "."},
+        ),
+        StandoffSpec(
+            path="POStags/tag", token_ref="@tokenIDs",
+            annotations={"pos": "."},
+        ),
+        # sentence layer -> spans (commented out in the reference yaml
+        # pending a plugin; expressible directly here)
+        StandoffSpec(
+            path="sentences/sentence", token_ref="@tokenIDs",
+            span_name="=s",
+        ),
+    ),
+    metadata_foreach="MetaData",
+    name="tcf",
+)
+
 FORMATS = {
     "xml": XmlFormat(), "tei-p5": TEI_P5, "tei": TEI_P5, "folia": FOLIA,
-    "naf": NAF,
+    "naf": NAF, "eaf": EAF, "tcf": TCF,
 }
 
 
@@ -252,6 +325,13 @@ def _walk_steps(els: list, steps, desc_first: bool) -> list:
     return els
 
 
+def _step_match(el, step) -> bool:
+    tag, p_attr, p_val = step
+    if _local(el.tag) != tag:
+        return False
+    return not p_attr or (_attr_get(el, p_attr) or "") == p_val
+
+
 def _find_elements(root, path: str) -> list:
     """Standoff `path` resolution: elements under ``root`` matching the
     chain, first step descendant-searched (NAF `terms/term`, EAF TIER
@@ -263,6 +343,8 @@ def _ann_values(el, spec: str) -> list[str]:
     """Like :func:`_ann_value` but EVERY match in document order — the
     reference's standoff tokenRefPath loop collects all matches
     (DocIndexerXPath.java:446-455)."""
+    if spec == ".":  # the element's own string value (valuePath ".")
+        return ["".join(el.itertext()).strip()]
     if spec.startswith("@"):
         v = _attr_get(el, spec[1:])
         return [v] if v is not None else []
@@ -309,10 +391,30 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
     has_multivalue = False
     n_tok = 0  # engine-token positions emitted so far
 
+    # multi-step wordPath: last step matches the element itself, the
+    # steps before it must match the nearest enclosing ancestors in
+    # order (eaf.blf.yaml TIER[@LINGUISTIC_TYPE_REF='Words']/ANNOTATION/
+    # ALIGNABLE_ANNOTATION — only the Words tier's annotations tokenize)
+    word_steps = _parse_steps(cfg.word_path) if cfg.word_path else None
+
+    def is_word(el, tag: str, stack: list) -> bool:
+        if word_steps is None:
+            return tag == cfg.word_tag
+        if not _step_match(el, word_steps[-1]):
+            return False
+        j = len(stack) - 1
+        for step in reversed(word_steps[:-1]):
+            if j < 0 or not _step_match(stack[j], step):
+                return False
+            j -= 1
+        return True
+
+    stack: list = []  # enclosing elements, innermost last
+
     def walk(el) -> None:
         nonlocal has_multivalue, n_tok
         tag = _local(el.tag)
-        if tag == cfg.word_tag:
+        if is_word(el, tag, stack):
             raw = (
                 _ann_value(el, cfg.word_value) if cfg.word_value else ""
             ) or "".join(el.itertext()).strip()
@@ -334,8 +436,10 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
         rec = tag in cfg.inline_tags
         if rec:
             start = n_tok
+        stack.append(el)
         for ch in el:
             walk(ch)
+        stack.pop()
         if rec:
             spans.append(
                 {
@@ -365,16 +469,26 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
     # Unresolvable token refs are skipped like the reference's warn().
     for so in cfg.standoff:
         for el in _find_elements(doc_el, so.path):
+            # a single tokenRef value may be a whitespace-joined id LIST
+            # (TCF `tokenIDs="t1 t2"`; the reference's contains() XPath
+            # in tcf.blf.yaml matches ids inside that list)
             refs = [
-                tok_pos[r] for r in _ann_values(el, so.token_ref)
+                tok_pos[r]
+                for v in _ann_values(el, so.token_ref)
+                for r in v.split()
                 if r in tok_pos
             ]
-            if so.span_end:
+            if so.span_end or so.span_name:
                 if not refs:
                     continue
-                start, k0 = refs[0]
-                end = start + k0
-                evs = _ann_values(el, so.span_end)
+                start = min(p for p, _ in refs)
+                # no spanEndPath (TCF sentences): the span covers every
+                # referenced token; else end comes from the span_end ref
+                end = max(p + k for p, k in refs)
+                evs = (
+                    [r for v in _ann_values(el, so.span_end) for r in v.split()]
+                    if so.span_end else []
+                )
                 if evs and evs[0] in tok_pos:
                     ep, ek = tok_pos[evs[0]]
                     # inclusive span end refers to the LAST token inside
@@ -414,6 +528,19 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
     conv_id = f"{file_id}-{doc_idx}"
     role = tool = ""
     extra_meta: dict[str, str] = {}
+    if cfg.metadata_foreach:
+        # forEachPath leaf-element metadata (tcf/cmdi.blf.yaml:
+        # `forEachPath: .//*[not(*) and text()]` + `namePath:
+        # local-name()` under a containerPath): every text-bearing leaf
+        # under the container becomes a field named by its local tag;
+        # first occurrence wins (repeated names are rare in CMDI headers)
+        for c in doc_el.iter():
+            if c is not doc_el and _local(c.tag) == cfg.metadata_foreach:
+                for leaf in c.iter():
+                    txt = (leaf.text or "").strip()
+                    if len(leaf) == 0 and txt:
+                        extra_meta.setdefault(_local(leaf.tag), txt)
+                break
     for col, spec in cfg.metadata.items():
         val = _ann_value(doc_el, spec)
         if col == "conv_id" and val:
@@ -537,6 +664,10 @@ def read_xml(
     for m in cfg.metadata:
         if m not in ("conv_id", "role", "tool"):
             cols.append(F.element_at("metadata", m).alias(f"meta_{m}"))
+    if cfg.metadata_foreach:
+        # dynamic forEach field names can't be static columns — surface
+        # the whole map (fixed fields above still get typed columns)
+        cols.append(F.col("metadata").alias("meta_fields"))
     ann_cols = []
     for name in ann_names:
         c = f"ann_{name}"
@@ -554,6 +685,8 @@ def read_xml(
     base_cols += [
         f"meta_{m}" for m in cfg.metadata if m not in ("conv_id", "role", "tool")
     ]
+    if cfg.metadata_foreach:
+        base_cols.append("meta_fields")
     out = out.select(*base_cols, *keep)
     # absent sidecar cells must still be position-aligned arrays — size
     # the filler with the ENGINE tokenizer (whitespace-splitting counts
@@ -657,7 +790,13 @@ def load_blf_config(path: str) -> XmlFormat:
     if contents.get("containerPath"):
         fmt.container_tag = strip_ns(last_tag(contents["containerPath"]))
     if contents.get("wordPath"):
-        fmt.word_tag = strip_ns(last_tag(contents["wordPath"]))
+        wp = contents["wordPath"].strip().lstrip("/").lstrip("./")
+        parts = [strip_ns(s) for s in wp.split("/") if s and s != "."]
+        fmt.word_tag = parts[-1].partition("[")[0] if parts else "w"
+        # multi-step or predicated wordPaths (eaf.blf.yaml tier-
+        # qualified words) need ancestor-anchored matching
+        if len(parts) > 1 or (parts and "[" in parts[0]):
+            fmt.word_path = "/".join(parts)
     if contents.get("annotations"):
         fmt.annotations = {}
         for a in contents["annotations"]:
@@ -710,11 +849,30 @@ def load_blf_config(path: str) -> XmlFormat:
                 ),
             ),
         )
-    meta = (doc.get("metadata") or {}).get("fields") or []
-    if meta:
-        fmt.metadata = {
-            m["name"]: norm_path(m.get("valuePath", "")) or f"@{m['name']}"
-            for m in meta
-            if not m.get("forEachPath")
-        }
+    # metadata may be one block (dict) or several (list; tcf.blf.yaml's
+    # `- containerPath: d:MetaData` + forEachPath leaf-capture idiom)
+    meta_cfg = doc.get("metadata") or {}
+    blocks = meta_cfg if isinstance(meta_cfg, list) else [meta_cfg]
+    named: dict = {}
+    for b in blocks:
+        fields = b.get("fields") or []
+        has_foreach = any(m.get("forEachPath") for m in fields)
+        for m in fields:
+            if m.get("forEachPath"):
+                # `.//*[not(*) and text()]` + namePath local-name():
+                # leaf elements under the block's container become
+                # fields named by their tag (tcf/cmdi.blf.yaml)
+                fmt.metadata_foreach = (
+                    strip_ns(last_tag(b["containerPath"]))
+                    if b.get("containerPath") else fmt.document_tag
+                )
+            elif m.get("valuePath"):
+                named[m["name"]] = norm_path(m["valuePath"])
+            elif not has_foreach:
+                # bare `- name: pid` = same-named attribute shorthand;
+                # in a forEach block it's a type-only refinement
+                # (`- name: Country` + `type: untokenized`) instead
+                named[m["name"]] = f"@{m['name']}"
+    if named:
+        fmt.metadata = named
     return fmt

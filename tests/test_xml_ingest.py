@@ -664,3 +664,155 @@ def test_blf_config_standoff(tmp_path):
     assert so_span.span_end == "child:span/last@id"
     assert so_span.span_end_inclusive is True
     assert so_span.span_name == "=entity"
+
+
+EAF_DOC = """<ANNOTATION_DOCUMENT>
+  <TIER LINGUISTIC_TYPE_REF="Words" TIER_ID="W">
+    <ANNOTATION><ALIGNABLE_ANNOTATION ANNOTATION_ID="a1">
+      <ANNOTATION_VALUE>Hello</ANNOTATION_VALUE>
+    </ALIGNABLE_ANNOTATION></ANNOTATION>
+    <ANNOTATION><ALIGNABLE_ANNOTATION ANNOTATION_ID="a2">
+      <ANNOTATION_VALUE>world</ANNOTATION_VALUE>
+    </ALIGNABLE_ANNOTATION></ANNOTATION>
+  </TIER>
+  <TIER LINGUISTIC_TYPE_REF="Utterance" TIER_ID="U">
+    <ANNOTATION><ALIGNABLE_ANNOTATION ANNOTATION_ID="u1">
+      <ANNOTATION_VALUE>Hello world</ANNOTATION_VALUE>
+    </ALIGNABLE_ANNOTATION></ANNOTATION>
+  </TIER>
+  <TIER LINGUISTIC_TYPE_REF="Lemma" TIER_ID="L">
+    <ANNOTATION><REF_ANNOTATION ANNOTATION_ID="l1" ANNOTATION_REF="a1">
+      <ANNOTATION_VALUE>hello</ANNOTATION_VALUE>
+    </REF_ANNOTATION></ANNOTATION>
+    <ANNOTATION><REF_ANNOTATION ANNOTATION_ID="l2" ANNOTATION_REF="a2">
+      <ANNOTATION_VALUE>world</ANNOTATION_VALUE>
+    </REF_ANNOTATION></ANNOTATION>
+  </TIER>
+  <TIER LINGUISTIC_TYPE_REF="PoS" TIER_ID="P">
+    <ANNOTATION><REF_ANNOTATION ANNOTATION_ID="p1" ANNOTATION_REF="a1">
+      <ANNOTATION_VALUE>intj</ANNOTATION_VALUE>
+    </REF_ANNOTATION></ANNOTATION>
+  </TIER>
+</ANNOTATION_DOCUMENT>"""
+
+
+def test_eaf_format(tmp_path_factory, spark):
+    """EAF (reference eaf.blf.yaml): only the Words tier tokenizes —
+    the tier-predicated multi-step wordPath must skip the Utterance
+    tier's ALIGNABLE_ANNOTATIONs; lemma/pos arrive as REF_ANNOTATION
+    standoffs keyed by @ANNOTATION_REF."""
+    d = tmp_path_factory.mktemp("eaf")
+    (d / "rec.eaf").write_text(EAF_DOC)
+    rows = read_xml(spark, str(d), "eaf").collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "Hello world"  # Utterance tier NOT tokenized
+    assert rows[0]["ann_lemma"] == ["hello", "world"]
+    assert rows[0]["ann_pos"] == ["intj", ""]
+
+
+TCF_DOC = """<D-Spin xmlns:tc="http://www.dspin.de/data/textcorpus"
+    xmlns:md="http://www.dspin.de/data/metadata">
+  <md:MetaData>
+    <md:Source><md:Country>NL</md:Country></md:Source>
+    <md:Title>A tiny corpus</md:Title>
+  </md:MetaData>
+  <tc:TextCorpus>
+    <tc:tokens>
+      <tc:token ID="t1">Dogs</tc:token>
+      <tc:token ID="t2">bark</tc:token>
+      <tc:token ID="t3">loudly</tc:token>
+    </tc:tokens>
+    <tc:lemmas>
+      <tc:lemma tokenIDs="t1">dog</tc:lemma>
+      <tc:lemma tokenIDs="t2 t3">bark_loudly</tc:lemma>
+    </tc:lemmas>
+    <tc:POStags>
+      <tc:tag tokenIDs="t1">noun</tc:tag>
+      <tc:tag tokenIDs="t2">verb</tc:tag>
+    </tc:POStags>
+    <tc:sentences>
+      <tc:sentence tokenIDs="t1 t2 t3"/>
+    </tc:sentences>
+  </tc:TextCorpus>
+</D-Spin>"""
+
+
+def test_tcf_format(tmp_path_factory, spark):
+    """TCF (reference tcf.blf.yaml): standoff lemma/pos layers reference
+    tokens via space-separated @tokenIDs lists (the reference resolves
+    them with a contains() XPath — same indexed result); sentence layer
+    becomes spans; CMDI header leaves become forEach metadata fields."""
+    d = tmp_path_factory.mktemp("tcf")
+    (d / "doc.tcf").write_text(TCF_DOC)
+    rows = read_xml(spark, str(d), "tcf").collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "Dogs bark loudly"
+    assert rows[0]["ann_lemma"] == ["dog", "bark_loudly", "bark_loudly"]
+    assert rows[0]["ann_pos"] == ["noun", "verb", ""]
+    assert rows[0]["meta_fields"]["Country"] == "NL"
+    assert rows[0]["meta_fields"]["Title"] == "A tiny corpus"
+    got = {
+        (r["tag"], r["start"], r["end"])
+        for r in xml_spans(spark, str(d), "tcf").collect()
+    }
+    assert got == {("s", 0, 3)}
+
+
+def test_blf_config_eaf_shape(tmp_path):
+    """A tier-predicated multi-step wordPath (eaf.blf.yaml) parses into
+    word_path + word_tag; absolute standoff TIER paths resolve."""
+    p = tmp_path / "eaf.blf.yaml"
+    p.write_text(
+        "documentPath: /ANNOTATION_DOCUMENT\n"
+        "annotatedFields:\n"
+        "  contents:\n"
+        "    wordPath: \"TIER[@LINGUISTIC_TYPE_REF='Words']"
+        "/ANNOTATION/ALIGNABLE_ANNOTATION\"\n"
+        "    tokenIdPath: \"@ANNOTATION_ID\"\n"
+        "    annotations:\n"
+        "    - name: word\n"
+        "      valuePath: ANNOTATION_VALUE\n"
+        "    standoffAnnotations:\n"
+        "    - path: \"/ANNOTATION_DOCUMENT/TIER[@LINGUISTIC_TYPE_REF="
+        "'Lemma']/ANNOTATION/REF_ANNOTATION\"\n"
+        "      tokenRefPath: \"@ANNOTATION_REF\"\n"
+        "      annotations:\n"
+        "      - name: lemma\n"
+        "        valuePath: ANNOTATION_VALUE\n"
+    )
+    fmt = load_blf_config(str(p))
+    assert fmt.word_tag == "ALIGNABLE_ANNOTATION"
+    assert fmt.word_path == (
+        "TIER[@LINGUISTIC_TYPE_REF='Words']/ANNOTATION/ALIGNABLE_ANNOTATION"
+    )
+    assert fmt.word_value == "child:ANNOTATION_VALUE"
+    (so,) = fmt.standoff
+    assert so.path == "TIER[@LINGUISTIC_TYPE_REF='Lemma']/ANNOTATION/REF_ANNOTATION"
+    assert so.token_ref == "@ANNOTATION_REF"
+
+
+def test_blf_config_foreach_metadata(tmp_path):
+    """List-form metadata blocks with containerPath + forEachPath
+    (tcf.blf.yaml CMDI idiom) set metadata_foreach; type-only field
+    refinements in the block don't become attribute shorthands."""
+    p = tmp_path / "m.blf.yaml"
+    p.write_text(
+        "documentPath: /D-Spin\n"
+        "annotatedFields:\n"
+        "  contents:\n"
+        "    containerPath: tc:TextCorpus\n"
+        "    wordPath: tc:tokens/tc:token\n"
+        "metadata:\n"
+        "- containerPath: md:MetaData\n"
+        "  fields:\n"
+        "  - forEachPath: .//*[not(*) and text()]\n"
+        "    namePath: local-name()\n"
+        "    valuePath: .\n"
+        "  - name: Country\n"
+        "    type: untokenized\n"
+    )
+    fmt = load_blf_config(str(p))
+    assert fmt.metadata_foreach == "MetaData"
+    assert fmt.word_path == "tokens/token"
+    assert fmt.word_tag == "token"
+    assert "Country" not in fmt.metadata
