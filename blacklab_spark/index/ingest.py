@@ -77,7 +77,13 @@ def read_tabular(
     fileType tabular — each row is one token position, columns are
     parallel annotations; first column/annotation is the main `word`).
     Extra columns surface as ``ann_<name>`` sidecar annotation arrays,
-    which the index build stores alongside the word annotation."""
+    which the index build stores alongside the word annotation.
+
+    ``columns`` may hold ``None`` placeholders for cells to skip
+    (reference valuePaths are 1-based column NUMBERS, so formats like
+    tsv-frog address a sparse subset: word=2, lemma=3, pos=5); the
+    entry named ``word`` (else the first named entry) is the main
+    annotation."""
     columns = columns or ["word", "lemma", "pos"]
     raw = spark.read.text(path, wholetext=True)
     lines = F.filter(
@@ -88,6 +94,10 @@ def read_tabular(
     cells = F.transform(lines, lambda l: F.split(l, sep))
     df = raw.select(_file_id().alias("conv_id"), cells.alias("_cells"))
     ann_cols = []
+    word_i = (
+        columns.index("word") if "word" in columns
+        else next(i for i, n in enumerate(columns) if n)
+    )
 
     def _pick(i: int):
         # NB: a two-parameter lambda would make transform() pass the
@@ -95,8 +105,10 @@ def read_tabular(
         return lambda c: F.trim(c.getItem(i))
 
     for i, name in enumerate(columns):
+        if name is None:
+            continue
         col = F.transform(F.col("_cells"), _pick(i))
-        if i == 0:
+        if i == word_i:
             df = df.withColumn("_words", col)
         else:
             df = df.withColumn(f"ann_{name}", col)
@@ -115,6 +127,15 @@ def read_tabular(
 
 def read_tsv(spark: SparkSession, path: str, **kw) -> DataFrame:
     kw.setdefault("sep", "\t")
+    return read_tabular(spark, path, **kw)
+
+
+def read_frog(spark: SparkSession, path: str, **kw) -> DataFrame:
+    """Frog tagger TSV (reference tsv-frog.blf.yaml): headerless
+    10-column rows; word=col2, lemma=col3, pos=col5 (1-based)."""
+    kw.setdefault("sep", "\t")
+    kw.setdefault("has_header", False)
+    kw.setdefault("columns", [None, "word", "lemma", None, "pos"])
     return read_tabular(spark, path, **kw)
 
 
@@ -196,6 +217,158 @@ def read_chat(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def parse_sketch_wpl(spark: SparkSession, path: str) -> DataFrame:
+    """Sketch Engine WPL (reference sketch-wpl.blf.yaml: fileType
+    tabular + inlineTags + glueTags): one token per line with
+    tab-separated word/pos/lemma cells (valuePaths 1/2/3), XML-ish tag
+    lines interspersed. ``<doc attrs...>`` starts a document (attributes
+    become metadata fields); other open/close tag pairs become spans
+    over token positions; ``<g/>`` glue tags affect display spacing
+    only, never token positions, so they're skipped. Output rows use
+    the same parsed schema as the XML engine, so ``read_xml`` /
+    ``xml_spans`` can consume them via ``parsed=``."""
+    import re
+
+    from blacklab_spark.index.xml_ingest import _PARSED_SCHEMA
+
+    raw = spark.read.text(path, wholetext=True).select(
+        _file_id().alias("file_id"), "value"
+    )
+    tag_re = re.compile(
+        r'^<(/?)([\w:.-]+)((?:\s+[\w:.-]+="[^"]*")*)\s*(/?)>$'
+    )
+    attr_re = re.compile(r'([\w:.-]+)="([^"]*)"')
+
+    def parse_batch(batches):
+        import pandas as pd
+
+        from blacklab_spark.analysis import py_tokenize
+
+        for pdf in batches:
+            rows = []
+            for file_id, text in zip(pdf["file_id"], pdf["value"]):
+                doc = None
+                n_docs = 0
+                open_spans: list[tuple[str, dict, int]] = []
+
+                def flush():
+                    nonlocal doc, open_spans
+                    if doc is not None and doc["words"]:
+                        n = len(doc["anns"]["pos"])  # engine tokens
+                        # unclosed spans run to doc end (lenient, like
+                        # the reference's inline-tag handling)
+                        for tag, attrs, start in open_spans:
+                            doc["spans"].append(
+                                {"tag": tag, "start": start, "end": n,
+                                 "attrs": attrs}
+                            )
+                        anns = {
+                            k: v for k, v in doc["anns"].items()
+                            if any(v)
+                        }
+                        rows.append({
+                            "conv_id": doc["meta"].get("id")
+                            or f"{file_id}-{doc['idx']}",
+                            "turn_idx": 0, "role": "",
+                            "text": " ".join(doc["words"]),
+                            "tool": "", "ts": _EPOCH, "anns": anns,
+                            "spans": doc["spans"], "xml": None,
+                            "metadata": doc["meta"],
+                        })
+                    doc, open_spans = None, []
+
+                def new_doc(meta: dict):
+                    nonlocal doc, n_docs
+                    doc = {
+                        "idx": n_docs, "meta": meta, "words": [],
+                        "anns": {"pos": [], "lemma": []}, "spans": [],
+                    }
+                    n_docs += 1
+
+                for line in text.splitlines():
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if line.startswith("<"):
+                        m = tag_re.match(line)
+                        if not m:
+                            continue  # malformed tag line: skip
+                        closing, tag, attr_s, selfclose = m.groups()
+                        if tag == "g":
+                            continue  # glue = display spacing only
+                        if tag == "doc":
+                            flush()
+                            if not closing:
+                                new_doc(dict(attr_re.findall(attr_s)))
+                            continue
+                        if doc is None:
+                            new_doc({})  # tags before any <doc>
+                        n = len(doc["anns"]["pos"])
+                        if closing:
+                            for j in range(len(open_spans) - 1, -1, -1):
+                                if open_spans[j][0] == tag:
+                                    _, attrs, start = open_spans.pop(j)
+                                    doc["spans"].append(
+                                        {"tag": tag, "start": start,
+                                         "end": n, "attrs": attrs}
+                                    )
+                                    break
+                        elif selfclose:
+                            doc["spans"].append(
+                                {"tag": tag, "start": n, "end": n,
+                                 "attrs": dict(attr_re.findall(attr_s))}
+                            )
+                        else:
+                            open_spans.append(
+                                (tag, dict(attr_re.findall(attr_s)), n)
+                            )
+                        continue
+                    if doc is None:
+                        new_doc({})  # headerless WPL: whole file = doc
+                    cells = line.split("\t")
+                    word = cells[0].strip()
+                    # positions count ENGINE tokens (same contract as
+                    # the XML parser: k sub-tokens per input word)
+                    k = len(py_tokenize(word))
+                    if not k:
+                        continue
+                    doc["words"].append(word)
+                    pos = cells[1].strip() if len(cells) > 1 else ""
+                    lem = cells[2].strip() if len(cells) > 2 else ""
+                    doc["anns"]["pos"].extend([pos] * k)
+                    doc["anns"]["lemma"].extend([lem] * k)
+                flush()
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "turn_idx", "role", "text", "tool", "ts",
+                    "anns", "spans", "xml", "metadata",
+                ],
+            )
+
+    return raw.mapInPandas(parse_batch, schema=_PARSED_SCHEMA)
+
+
+def read_sketch_wpl(spark: SparkSession, path: str) -> DataFrame:
+    """Sketch WPL -> canonical transcript rows with lemma/pos sidecars
+    and doc-attribute metadata (as the ``meta_fields`` map column)."""
+    from blacklab_spark.index.xml_ingest import XmlFormat, read_xml
+
+    cfg = XmlFormat(
+        annotations={"lemma": "@l", "pos": "@p"},  # names only; parsed=
+        metadata={}, metadata_foreach="doc", inline_tags=(),
+        name="sketch-wpl",
+    )
+    return read_xml(spark, path, cfg, parsed=parse_sketch_wpl(spark, path))
+
+
+def sketch_wpl_spans(spark: SparkSession, path: str) -> DataFrame:
+    """Inline-tag spans of a Sketch WPL corpus, as extra_spans rows."""
+    from blacklab_spark.index.xml_ingest import xml_spans
+
+    return xml_spans(spark, path, parsed=parse_sketch_wpl(spark, path))
+
+
 def _read_xml(spark: SparkSession, path: str, **kw) -> DataFrame:
     from blacklab_spark.index.xml_ingest import read_xml
 
@@ -213,10 +386,14 @@ READERS = {
     "txt": read_plaintext,
     "csv": read_tabular,
     "tsv": read_tsv,
+    "tsv-frog": read_frog,
+    "frog": read_frog,
     "jsonl": read_jsonl,
     "chat": read_chat,
     "xml": _read_xml,
     "tei": _read_tei,
+    "sketch-wpl": read_sketch_wpl,
+    "wpl": read_sketch_wpl,
 }
 
 

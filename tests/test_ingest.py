@@ -99,3 +99,85 @@ def test_build_from_tabular(spark, docs_dir, tmp_path_factory):
     c = Corpus.build(spark, tr, idx, EngineConfig(segment_size=4, block_size=4))
     assert c.find('[pos="adj"]').df.count() == 1
     assert c.find('"the" [pos="adj"]').df.count() == 1
+
+
+WPL_DOC = """<doc id="d1" year="1999">
+<s>
+The\tart\tthe
+quick\tadj\tquick
+fox\tnou\tfox
+</s>
+<s>
+It\tpro\tit
+<g/>
+jumps\tvrb\tjump
+</s>
+</doc>
+<doc id="d2">
+<p>
+over\tpre\tover
+</p>
+</doc>
+"""
+
+
+@pytest.fixture(scope="module")
+def wpl_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wpl")
+    (d / "corpus.wpl").write_text(WPL_DOC)
+    return d
+
+
+def test_sketch_wpl(spark, wpl_dir):
+    """Sketch WPL (reference sketch-wpl.blf.yaml): word/pos/lemma
+    columns, <doc> attributes as metadata, <s>/<p> inline tags as
+    spans, <g/> glue skipped."""
+    from blacklab_spark.index.ingest import read_sketch_wpl, sketch_wpl_spans
+
+    rows = {r["conv_id"]: r for r in read_sketch_wpl(spark, str(wpl_dir)).collect()}
+    assert set(rows) == {"d1", "d2"}
+    assert rows["d1"]["text"] == "The quick fox It jumps"
+    assert rows["d1"]["ann_lemma"] == ["the", "quick", "fox", "it", "jump"]
+    assert rows["d1"]["ann_pos"] == ["art", "adj", "nou", "pro", "vrb"]
+    assert rows["d1"]["meta_fields"] == {"id": "d1", "year": "1999"}
+    assert rows["d2"]["ann_pos"] == ["pre"]
+    spans = {
+        (r["conv_id"], r["tag"], r["start"], r["end"])
+        for r in sketch_wpl_spans(spark, str(wpl_dir)).collect()
+    }
+    assert spans == {
+        ("d1", "s", 0, 3), ("d1", "s", 3, 5), ("d2", "p", 0, 1),
+    }
+
+
+def test_frog_tsv(spark, tmp_path_factory):
+    """tsv-frog (reference tsv-frog.blf.yaml): headerless, word=col2,
+    lemma=col3, pos=col5 of 10 columns."""
+    from blacklab_spark.index.ingest import read_frog
+
+    d = tmp_path_factory.mktemp("frog")
+    (d / "x.tsv").write_text(
+        "1\tDe\tde\t[de]\tLID(bep)\t0.99\tO\tB-NP\t2\tdet\n"
+        "2\thond\thond\t[hond]\tN(soort)\t0.98\tO\tI-NP\t3\tsu\n"
+    )
+    rows = read_frog(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "De hond"
+    assert rows[0]["ann_lemma"] == ["de", "hond"]
+    assert rows[0]["ann_pos"] == ["LID(bep)", "N(soort)"]
+
+
+def test_sketch_wpl_indexed(spark, wpl_dir, tmp_path_factory):
+    """End-to-end: WPL corpus builds an index; pos annotation and <s>
+    spans are queryable."""
+    from blacklab_spark import Corpus, EngineConfig
+    from blacklab_spark.index.ingest import read_sketch_wpl, sketch_wpl_spans
+
+    idx = str(tmp_path_factory.mktemp("idx_wpl"))
+    tr = read_sketch_wpl(spark, str(wpl_dir)).drop("meta_fields")
+    c = Corpus.build(
+        spark, tr, idx, EngineConfig(segment_size=4, block_size=4),
+        extra_spans=sketch_wpl_spans(spark, str(wpl_dir)),
+    )
+    assert c.find('[pos="adj"]').df.count() == 1
+    assert c.find('"the" [pos="adj"] within <s/>').df.count() == 1
