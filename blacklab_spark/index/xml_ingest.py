@@ -147,6 +147,28 @@ TEI_P5 = XmlFormat(
     name="tei-p5",
 )
 
+# Legacy TEI variants (reference tei-p5-legacy.blf.yaml /
+# tei-p4-legacy.blf.yaml): identical to P5 except PoS lives in @type;
+# P4 additionally roots at <TEI.2>
+TEI_P5_LEGACY = XmlFormat(
+    document_tag="TEI",
+    container_tag="text",
+    word_tag="w",
+    annotations={"lemma": "@lemma", "pos": "@type"},
+    inline_tags=("s", "u", "p", "pb", "lb"),
+    metadata={"title": "desc:titleStmt/title"},
+    name="tei-p5-legacy",
+)
+TEI_P4_LEGACY = XmlFormat(
+    document_tag="TEI.2",
+    container_tag="text",
+    word_tag="w",
+    annotations={"lemma": "@lemma", "pos": "@type"},
+    inline_tags=("s", "u", "p", "pb", "lb"),
+    metadata={"title": "desc:titleStmt/title"},
+    name="tei-p4-legacy",
+)
+
 # FoLiA (reference folia.blf.yaml): word text lives in the <t> child
 # (`valuePath: folia:t`); annotation children carry their value in a
 # `class` attribute; pos subannotations (head, ... — folia.blf.yaml
@@ -250,9 +272,24 @@ TCF = XmlFormat(
     name="tcf",
 )
 
+# CMDI (reference cmdi.blf.yaml): metadata-only documents — no word
+# tokens; every text-bearing leaf under /CMD/Components becomes a
+# metadata field (forEach idiom). Used as the linked-metadata side of
+# index.linked.read_linked_metadata.
+CMDI = XmlFormat(
+    document_tag="Components",
+    word_tag="",  # metadata-only: nothing tokenizes
+    annotations={},
+    inline_tags=(),
+    metadata={},
+    metadata_foreach="Components",
+    name="cmdi",
+)
+
 FORMATS = {
     "xml": XmlFormat(), "tei-p5": TEI_P5, "tei": TEI_P5, "folia": FOLIA,
-    "naf": NAF, "eaf": EAF, "tcf": TCF,
+    "naf": NAF, "eaf": EAF, "tcf": TCF, "cmdi": CMDI,
+    "tei-p5-legacy": TEI_P5_LEGACY, "tei-p4-legacy": TEI_P4_LEGACY,
 }
 
 
@@ -533,9 +570,11 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
         # `forEachPath: .//*[not(*) and text()]` + `namePath:
         # local-name()` under a containerPath): every text-bearing leaf
         # under the container becomes a field named by its local tag;
-        # first occurrence wins (repeated names are rare in CMDI headers)
+        # first occurrence wins (repeated names are rare in CMDI
+        # headers). The container may be the document element itself
+        # (cmdi.blf.yaml has no metadata containerPath).
         for c in doc_el.iter():
-            if c is not doc_el and _local(c.tag) == cfg.metadata_foreach:
+            if _local(c.tag) == cfg.metadata_foreach:
                 for leaf in c.iter():
                     txt = (leaf.text or "").strip()
                     if len(leaf) == 0 and txt:

@@ -816,3 +816,41 @@ def test_blf_config_foreach_metadata(tmp_path):
     assert fmt.word_path == "tokens/token"
     assert fmt.word_tag == "token"
     assert "Country" not in fmt.metadata
+
+
+def test_tei_legacy_variants(tmp_path_factory, spark):
+    """Legacy TEI presets (reference tei-p4-legacy / tei-p5-legacy
+    .blf.yaml): PoS in @type; P4 roots at <TEI.2>."""
+    d = tmp_path_factory.mktemp("teileg")
+    (d / "p4.xml").write_text(
+        "<TEI.2><text><s>"
+        "<w lemma='old' type='adj'>Olde</w>"
+        "<w lemma='book' type='nou'>booke</w>"
+        "</s></text></TEI.2>"
+    )
+    rows = read_xml(spark, str(d), "tei-p4-legacy").collect()
+    assert len(rows) == 1
+    assert rows[0]["ann_pos"] == ["adj", "nou"]
+    (d / "p4.xml").unlink()
+    (d / "p5.xml").write_text(
+        "<TEI><text><s><w lemma='new' type='adj'>Newe</w></s></text></TEI>"
+    )
+    rows = read_xml(spark, str(d), "tei-p5-legacy").collect()
+    assert rows[0]["ann_pos"] == ["adj"]
+
+
+def test_cmdi_metadata_only(tmp_path_factory, spark):
+    """CMDI (reference cmdi.blf.yaml): metadata-only — the forEach
+    container is the document element itself; no tokens."""
+    from blacklab_spark.index.xml_ingest import parse_xml_files
+
+    d = tmp_path_factory.mktemp("cmdi_fmt")
+    (d / "m.cmdi").write_text(
+        "<CMD><Components><Session><Country>NL</Country></Session>"
+        "<id>rec1</id></Components></CMD>"
+    )
+    rows = parse_xml_files(spark, str(d), "cmdi").collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == ""
+    assert rows[0]["metadata"]["Country"] == "NL"
+    assert rows[0]["metadata"]["id"] == "rec1"
