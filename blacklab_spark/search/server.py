@@ -1,0 +1,296 @@
+"""BlackLab-Server JSON response envelopes.
+
+The reference's primary user surface is blacklab-server's JSON wire
+format (server/.../requesthandlers/RequestHandlerHits.java:58-117
+assembles {summary, hits, docInfos}; DStream.java:180-341 writes the
+summary/hit/docInfo shapes; site/docs/server/rest-api/ documents the
+endpoints). This module produces the same envelopes from the Spark
+engine: the parameter algebra and all heavy lifting stay in
+`search.facade` / `search.results` DataFrame plans — response assembly
+collects ONLY the requested page (≤ `number` rows, the BLS pageSize
+contract) plus its page-sized docInfos, so building a response is
+O(page), never O(corpus), regardless of result-set size.
+
+Documented divergences from the reference:
+- totals are exact and `stillCounting` is false unless the caller asks
+  for a running count (`waitfortotal=False` still returns the exact
+  total here once the count job finishes; the reference may answer
+  with a partial count sooner);
+- `docPid` is the stable synthetic pid `"<conv_id>/<turn_idx>"` (the
+  reference reads a configured pidField; transcript turns have no
+  natural pid field);
+- `searchTime`/`countTime` are wall-clock ms of the Spark jobs this
+  request ran (the reference reports its own processing timings).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def _pid(row) -> str:
+    return f"{row['conv_id']}/{row['turn_idx']}"
+
+
+def _split(joined: str) -> list[str]:
+    # kwic columns are space-joined token arrays; tokens never contain
+    # spaces (tokenizer is [letters/digits]+), so the split is lossless
+    return joined.split(" ") if joined else []
+
+
+def _context_entry(row, side: str, annotations: list[str]) -> dict:
+    # DStream.contextList (DataStreamJson.java:122-145): one JSON key
+    # per annotation, each a token-aligned list
+    out = {"word": _split(row[side])}
+    for a in annotations:
+        out[a] = _split(row[f"{side}_{a}"])
+    return out
+
+
+def _doc_infos(corpus, doc_ids: list[int]) -> dict:
+    """Page-sized docInfos map (DStream.documentInfos, DStream.java:
+    101-136): every metadata field as a value list, plus lengthInTokens
+    and mayView."""
+    if not doc_ids:
+        return {}
+    rows = corpus.doc_stats.filter(F.col("doc_id").isin(doc_ids)).collect()
+    infos = {}
+    for r in rows:
+        d = r.asDict()
+        meta = {
+            k: [str(v)]
+            for k, v in d.items()
+            if k not in ("doc_id", "segment_id", "num_tokens") and v is not None
+        }
+        meta["lengthInTokens"] = d["num_tokens"]
+        meta["mayView"] = True
+        infos[_pid(r)] = meta
+    return infos
+
+
+def _summary_common(search_param: dict, first: int, number: int,
+                    actual: int, total: int, t_search: float) -> dict:
+    # DStream.summaryCommonFields + summaryNumHits (DStream.java:180-258)
+    return {
+        "searchParam": {k: str(v) for k, v in search_param.items()
+                        if v is not None},
+        "searchTime": int(t_search * 1000),
+        "countTime": int(t_search * 1000),
+        "windowFirstResult": first,
+        "requestedWindowSize": number,
+        "actualWindowSize": actual,
+        "windowHasPrevious": first > 0,
+        "windowHasNext": first + number < total,
+        "stillCounting": False,
+    }
+
+
+def _num_hits(hits_df) -> tuple[int, int]:
+    """(numberOfHits, numberOfDocs) in ONE aggregation job."""
+    row = hits_df.agg(
+        F.count(F.lit(1)).alias("h"),
+        F.countDistinct("doc_id").alias("d"),
+    ).collect()[0]
+    return row["h"], row["d"]
+
+
+def hits_response(
+    corpus,
+    patt: str,
+    first: int = 0,
+    number: int = 50,
+    wordsaroundhit: int = 5,
+    listvalues: str | None = None,
+    group: str | None = None,
+    viewgroup: str | None = None,
+    calc: str | None = None,
+    facets: str | None = None,
+    **params,
+) -> dict:
+    """The /corpus/hits endpoint (RequestHandlerHits.java:30-117).
+
+    Returns the hits page envelope; with ``group`` (and no
+    ``viewgroup``) the hitGroups envelope; with ``calc='colloc'`` the
+    tokenFrequencies envelope — the same dispatch the reference handler
+    performs. Extra ``params`` pass through to the facade (filter,
+    sort, sample, hitfiltercrit, maxretrieve, usecontent, ...).
+    """
+    t0 = time.time()
+    echo = {"patt": patt, "first": first, "number": number,
+            "wordsaroundhit": wordsaroundhit, "group": group,
+            "viewgroup": viewgroup, "calc": calc, "facets": facets,
+            "listvalues": listvalues, **params}
+
+    # ---- collocations envelope (dstreamCollocationsResponse) --------
+    if calc == "colloc":
+        df = corpus.search(patt=patt, calc="colloc",
+                           wordsaroundhit=wordsaroundhit, **params)
+        toks = {r[0]: r[1] for r in df.collect()}
+        return {"tokenFrequencies": toks}
+
+    # ---- grouped envelope (RequestHandlerHitsGrouped.java:40-104) ---
+    if group is not None and viewgroup is None:
+        gdf = corpus.search(patt=patt, group=group, **params)
+        cols = gdf.columns
+        size_col = next(
+            c for c in ("size", "n_hits", "n_docs") if c in cols
+        )
+        key_cols = [c for c in cols
+                    if c not in ("size", "n_hits", "n_docs", "sample_hits")]
+        page = gdf.offset(first).limit(number).collect() \
+            if first else gdf.limit(number).collect()
+        total_groups = gdf.count()
+        groups = []
+        for r in page:
+            props = [{"name": k, "value": str(r[k])} for k in key_cols]
+            ident = ";".join(f"{p['name']}={p['value']}" for p in props)
+            g = {
+                "identity": ident,
+                "identityDisplay": ", ".join(str(r[k]) for k in key_cols),
+                "size": r[size_col],
+                "properties": props,
+            }
+            if "n_docs" in cols and size_col != "n_docs":
+                g["numberOfDocs"] = r["n_docs"]
+            groups.append(g)
+        summary = _summary_common(echo, first, number, len(groups),
+                                  total_groups, time.time() - t0)
+        summary["numberOfGroups"] = total_groups
+        summary["largestGroupSize"] = max((g["size"] for g in groups),
+                                          default=0)
+        return {"summary": summary, "hitGroups": groups}
+
+    # ---- plain hits page ---------------------------------------------
+    from blacklab_spark.search.results import Hits
+
+    anns = [a.strip() for a in listvalues.split(",") if a.strip()] \
+        if listvalues else []
+    # full decorated hit set (sort/filter/sample applied), no window:
+    # the facade returns the bare hits DataFrame when no kwic/window
+    # params are passed
+    full = corpus.search(patt=patt, viewgroup=viewgroup, group=group,
+                         **params)
+    total, n_docs = _num_hits(full)
+    hits = Hits(corpus, full)
+    win = hits.window(first, number)
+    # page rows twice: once for positions + capture groups, once for
+    # per-annotation contexts — both jobs are O(page)
+    pos_rows = win.df.collect()
+    kwic_rows = win.kwic(wordsaroundhit, annotations=anns or None).collect()
+    ctx_by_key = {(r["doc_id"], r["start"], r["end"]): r for r in kwic_rows}
+
+    cap_names = sorted(
+        c[len("cap_"):-len("_start")]
+        for c in win.df.columns
+        if c.startswith("cap_") and c.endswith("_start")
+    )
+    out_hits = []
+    for r in pos_rows:
+        k = (r["doc_id"], r["start"], r["end"])
+        ctx = ctx_by_key.get(k)
+        h = {"docPid": _pid(ctx) if ctx else str(r["doc_id"]),
+             "start": r["start"], "end": r["end"]}
+        if cap_names:
+            h["captureGroups"] = [
+                {"name": n, "start": r[f"cap_{n}_start"],
+                 "end": r[f"cap_{n}_end"]}
+                for n in cap_names
+                if r[f"cap_{n}_start"] is not None
+            ]
+        if ctx is not None:
+            h["left"] = _context_entry(ctx, "left", anns)
+            h["match"] = _context_entry(ctx, "match", anns)
+            h["right"] = _context_entry(ctx, "right", anns)
+        out_hits.append(h)
+
+    summary = _summary_common(echo, first, number, len(out_hits), total,
+                              time.time() - t0)
+    summary.update({
+        "numberOfHits": total,
+        "numberOfHitsRetrieved": total,
+        "stoppedCountingHits": False,
+        "stoppedRetrievingHits": False,
+        "numberOfDocs": n_docs,
+        "numberOfDocsRetrieved": n_docs,
+        "docFields": {"pidField": "pid", "titleField": "conv_id"},
+        "metadataFieldDisplayNames": {
+            c: c for c in corpus.doc_stats.columns
+            if c not in ("doc_id", "segment_id", "num_tokens")
+        },
+    })
+    resp = {
+        "summary": summary,
+        "hits": out_hits,
+        "docInfos": _doc_infos(corpus, sorted({r["doc_id"] for r in pos_rows})),
+    }
+
+    # ---- facets entry (RequestHandlerHits facets block) --------------
+    if facets:
+        fdf = corpus.search(patt=patt, facets=facets, **params)
+        fmap: dict[str, list] = {}
+        for r in fdf.collect():
+            fmap.setdefault(r["facet"], []).append(
+                {"identity": r["value"], "size": r["n_docs"]}
+            )
+        resp["facets"] = fmap
+    return resp
+
+
+def docs_response(
+    corpus,
+    patt: str | None = None,
+    first: int = 0,
+    number: int = 50,
+    **params,
+) -> dict:
+    """The /corpus/docs endpoint (RequestHandlerDocs.java): documents
+    matching a pattern (with per-doc hit counts) or, with no ``patt``,
+    a metadata-filtered document listing."""
+    t0 = time.time()
+    echo = {"patt": patt, "first": first, "number": number, **params}
+
+    if patt is None:
+        docs = corpus.search(**params)  # doc_stats, optionally filtered
+        total = docs.count()
+        page = docs.orderBy("doc_id").offset(first).limit(number).collect() \
+            if first else docs.orderBy("doc_id").limit(number).collect()
+        infos = _doc_infos(corpus, [r["doc_id"] for r in page])
+        out = [{"docPid": _pid(r), "docInfo": infos.get(_pid(r), {})}
+               for r in page]
+        summary = _summary_common(echo, first, number, len(out), total,
+                                  time.time() - t0)
+        summary.update({"numberOfDocs": total,
+                        "numberOfDocsRetrieved": total})
+        return {"summary": summary, "docs": out}
+
+    from blacklab_spark.search.results import Hits
+
+    hits_df = corpus.search(patt=patt, **params)
+    per_doc = Hits(corpus, hits_df).per_doc()
+    total_hits, n_docs = _num_hits(hits_df)
+    page = per_doc.offset(first).limit(number).collect() \
+        if first else per_doc.limit(number).collect()
+    infos = _doc_infos(corpus, [r["doc_id"] for r in page])
+    out = []
+    for r in page:
+        pid = _pid(r)
+        out.append({"docPid": pid, "numberOfHits": r["n_hits"],
+                    "docInfo": infos.get(pid, {})})
+    summary = _summary_common(echo, first, number, len(out), n_docs,
+                              time.time() - t0)
+    summary.update({
+        "numberOfHits": total_hits,
+        "numberOfHitsRetrieved": total_hits,
+        "numberOfDocs": n_docs,
+        "numberOfDocsRetrieved": n_docs,
+        "stillCounting": False,
+    })
+    return {"summary": summary, "docs": out}
+
+
+def error_response(code: str, message: str) -> dict:
+    """BLS error envelope (reference ResponseStreamer error shape:
+    {"error": {"code", "message"}})."""
+    return {"error": {"code": code, "message": message}}

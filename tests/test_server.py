@@ -1,0 +1,180 @@
+"""BLS JSON response envelopes (reference RequestHandlerHits.java:58-117,
+DStream.java:180-341, site/docs/server/rest-api/): shape goldens over
+the shared 1000-turn corpus."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from blacklab_spark.config import EngineConfig
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.search.server import (
+    docs_response, error_response, hits_response,
+)
+from micro_corpus import spans_pdf, transcripts_pdf
+
+
+@pytest.fixture(scope="module")
+def micro(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("microsrv") / "idx")
+    return Corpus.build(
+        spark,
+        spark.createDataFrame(transcripts_pdf()),
+        d,
+        EngineConfig(segment_size=2, block_size=4),
+        extra_spans=spark.createDataFrame(
+            spans_pdf(),
+            schema="conv_id string, turn_idx long, tag string, "
+            "start int, end int, attrs map<string,string>",
+        ),
+    )
+
+
+def test_hits_envelope_shape(small_corpus):
+    corpus, pdf = small_corpus
+    resp = hits_response(corpus, '"word00001"', number=5, wordsaroundhit=2)
+    # top-level envelope (RequestHandlerHits.dstreamHitsResponse)
+    assert set(resp) == {"summary", "hits", "docInfos"}
+    s = resp["summary"]
+    # summaryCommonFields + summaryNumHits keys (DStream.java:180-258)
+    for key in ("searchParam", "searchTime", "countTime",
+                "windowFirstResult", "requestedWindowSize",
+                "actualWindowSize", "windowHasPrevious", "windowHasNext",
+                "stillCounting", "numberOfHits", "numberOfHitsRetrieved",
+                "stoppedCountingHits", "stoppedRetrievingHits",
+                "numberOfDocs", "numberOfDocsRetrieved", "docFields",
+                "metadataFieldDisplayNames"):
+        assert key in s, key
+    assert s["searchParam"]["patt"] == '"word00001"'
+    assert s["windowFirstResult"] == 0
+    assert s["requestedWindowSize"] == 5
+    assert s["actualWindowSize"] == 5
+    assert not s["windowHasPrevious"]
+    assert s["windowHasNext"]  # way more than 5 hits for a common term
+    assert s["numberOfHits"] > 5
+    assert s["stillCounting"] is False
+    # hit entries (DStream.hit, DStream.java:306-341)
+    h = resp["hits"][0]
+    assert set(h) == {"docPid", "start", "end", "left", "match", "right"}
+    assert h["match"]["word"] == ["word00001"]
+    assert isinstance(h["left"]["word"], list)
+    assert len(h["left"]["word"]) <= 2
+    # docPid = conv_id/turn_idx, resolvable in docInfos
+    assert h["docPid"] in resp["docInfos"]
+    info = resp["docInfos"][h["docPid"]]
+    assert info["mayView"] is True
+    assert info["lengthInTokens"] > 0
+    assert "role" in info and isinstance(info["role"], list)
+    # whole response is JSON-serializable (it IS the wire format)
+    json.dumps(resp)
+
+
+def test_hits_envelope_window_and_total_consistency(small_corpus):
+    corpus, _ = small_corpus
+    r1 = hits_response(corpus, '"word00001"', first=0, number=3)
+    r2 = hits_response(corpus, '"word00001"', first=3, number=3)
+    assert r1["summary"]["numberOfHits"] == r2["summary"]["numberOfHits"]
+    assert r2["summary"]["windowHasPrevious"]
+    # windows are disjoint pages of the same deterministic order
+    k1 = {(h["docPid"], h["start"]) for h in r1["hits"]}
+    k2 = {(h["docPid"], h["start"]) for h in r2["hits"]}
+    assert not (k1 & k2)
+
+
+def test_hits_envelope_listvalues_annotations(micro):
+    resp = hits_response(micro, '"force"', number=2,
+                         wordsaroundhit=2, listvalues="pos")
+    h = resp["hits"][0]
+    # contextList writes one token-aligned list per annotation
+    # (DataStreamJson.java:122-145)
+    assert set(h["match"]) == {"word", "pos"}
+    assert h["match"]["word"] == ["force"]
+    assert h["match"]["pos"] == ["nou"]
+    assert len(h["left"]["pos"]) == len(h["left"]["word"])
+
+
+def test_hits_envelope_capture_groups(small_corpus):
+    corpus, _ = small_corpus
+    resp = hits_response(corpus, 'A:"word00001" "word00002"', number=5)
+    got_any = False
+    for h in resp["hits"]:
+        assert "captureGroups" in h
+        for g in h["captureGroups"]:
+            assert set(g) == {"name", "start", "end"}
+            assert g["name"] == "A"
+            got_any = True
+    assert got_any or resp["hits"] == []
+
+
+def test_hits_grouped_envelope(small_corpus):
+    corpus, _ = small_corpus
+    resp = hits_response(corpus, '"word00001" []', group="field:role")
+    assert set(resp) == {"summary", "hitGroups"}
+    assert resp["summary"]["numberOfGroups"] == len(resp["hitGroups"])
+    g = resp["hitGroups"][0]
+    assert set(g) >= {"identity", "identityDisplay", "size", "properties"}
+    assert g["properties"][0]["name"] == "role"
+    # groups ordered by size descending (reference default)
+    sizes = [x["size"] for x in resp["hitGroups"]]
+    assert sizes == sorted(sizes, reverse=True)
+    assert resp["summary"]["largestGroupSize"] == sizes[0]
+
+
+def test_colloc_envelope(small_corpus):
+    corpus, _ = small_corpus
+    resp = hits_response(corpus, '"word00001"', calc="colloc",
+                         wordsaroundhit=3)
+    assert set(resp) == {"tokenFrequencies"}
+    assert all(isinstance(v, int) for v in resp["tokenFrequencies"].values())
+    assert len(resp["tokenFrequencies"]) > 0
+
+
+def test_hits_envelope_facets(small_corpus):
+    corpus, _ = small_corpus
+    resp = hits_response(corpus, '"word00001"', number=2,
+                         facets="field:role")
+    assert "facets" in resp
+    vals = resp["facets"]["field:role"]
+    assert all(set(v) == {"identity", "size"} for v in vals)
+    # facet doc counts sum to the matched-doc count
+    assert sum(v["size"] for v in vals) == resp["summary"]["numberOfDocs"]
+
+
+def test_docs_envelope_with_pattern(small_corpus):
+    corpus, _ = small_corpus
+    resp = docs_response(corpus, '"word00001"', number=4)
+    assert set(resp) == {"summary", "docs"}
+    d = resp["docs"][0]
+    assert set(d) == {"docPid", "numberOfHits", "docInfo"}
+    assert d["numberOfHits"] >= 1
+    assert d["docInfo"]["mayView"] is True
+    assert resp["summary"]["numberOfDocs"] >= len(resp["docs"])
+    # per-doc hit counts over all docs sum to total hits
+    full = docs_response(corpus, '"word00001"', number=10**6)
+    assert sum(x["numberOfHits"] for x in full["docs"]) \
+        == resp["summary"]["numberOfHits"]
+
+
+def test_docs_envelope_metadata_only(small_corpus):
+    corpus, _ = small_corpus
+    resp = docs_response(corpus, filter="role:user", number=3)
+    assert len(resp["docs"]) == 3
+    assert all(d["docInfo"]["role"] == ["user"] for d in resp["docs"])
+    assert resp["summary"]["numberOfDocs"] > 3
+
+
+def test_error_envelope():
+    resp = error_response("INVALID_QUERY", "parse error")
+    assert resp == {"error": {"code": "INVALID_QUERY",
+                              "message": "parse error"}}
+
+
+def test_hits_envelope_filter_and_sort_passthrough(small_corpus):
+    corpus, _ = small_corpus
+    resp = hits_response(corpus, '"word00001"', number=5,
+                         filter="role:user", sort="hit")
+    assert resp["summary"]["numberOfHits"] > 0
+    for pid, info in resp["docInfos"].items():
+        assert info["role"] == ["user"]
