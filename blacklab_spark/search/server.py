@@ -107,6 +107,7 @@ def hits_response(
     viewgroup: str | None = None,
     calc: str | None = None,
     facets: str | None = None,
+    explain: bool = False,
     **params,
 ) -> dict:
     """The /corpus/hits endpoint (RequestHandlerHits.java:30-117).
@@ -114,8 +115,10 @@ def hits_response(
     Returns the hits page envelope; with ``group`` (and no
     ``viewgroup``) the hitGroups envelope; with ``calc='colloc'`` the
     tokenFrequencies envelope — the same dispatch the reference handler
-    performs. Extra ``params`` pass through to the facade (filter,
-    sort, sample, hitfiltercrit, maxretrieve, usecontent, ...).
+    performs. ``explain=True`` adds the query-rewrite trace to the
+    summary (RequestHandlerHits.java:84-100 explanation block). Extra
+    ``params`` pass through to the facade (filter, sort, sample,
+    hitfiltercrit, maxretrieve, usecontent, ...).
     """
     t0 = time.time()
     echo = {"patt": patt, "first": first, "number": number,
@@ -220,6 +223,13 @@ def hits_response(
             if c not in ("doc_id", "segment_id", "num_tokens")
         },
     })
+    if explain:
+        # {originalQuery, rewrittenQuery} (RequestHandlerHits explain
+        # block); our rewrite trace carries the AST + rewrite list
+        summary["explanation"] = {
+            "originalQuery": patt,
+            "rewrittenQuery": corpus.explain(patt),
+        }
     resp = {
         "summary": summary,
         "hits": out_hits,
@@ -288,6 +298,40 @@ def docs_response(
         "stillCounting": False,
     })
     return {"summary": summary, "docs": out}
+
+
+def index_metadata_response(corpus, name: str = "corpus") -> dict:
+    """The /corpus info endpoint (RequestHandlerIndexMetadata /
+    ResultIndexMetadata; DStream annotatedField + metadataFieldInfo
+    writers): index-level counts, the annotated field's annotations,
+    and metadata field descriptors."""
+    f = corpus.fields()
+    af = f["annotated_field"]
+    return {
+        "indexName": name,
+        "displayName": name,
+        "status": "available",
+        "tokenCount": f["total_tokens"],
+        "documentCount": f["n_docs"],
+        "annotatedFields": {
+            af["name"]: {
+                "fieldName": af["name"],
+                "isAnnotatedField": True,
+                "mainAnnotation": af["main_annotation"],
+                "annotations": {
+                    a: {"name": a, "sensitivity":
+                        "SENSITIVE_AND_INSENSITIVE"}
+                    for a in af["annotations"]
+                },
+            }
+        },
+        "metadataFields": {
+            m: {"fieldName": m, "isAnnotatedField": False,
+                "type": "TOKENIZED"}
+            for m in f["metadata_fields"]
+        },
+        "docFields": {"pidField": "pid", "titleField": "conv_id"},
+    }
 
 
 def error_response(code: str, message: str) -> dict:

@@ -165,6 +165,30 @@ def test_docs_envelope_metadata_only(small_corpus):
     assert resp["summary"]["numberOfDocs"] > 3
 
 
+def test_hits_envelope_explain(small_corpus):
+    corpus, _ = small_corpus
+    resp = hits_response(corpus, '"word00001" []', number=1, explain=True)
+    exp = resp["summary"]["explanation"]
+    assert exp["originalQuery"] == '"word00001" []'
+    assert "rewrites:" in exp["rewrittenQuery"]
+
+
+def test_index_metadata_envelope(small_corpus):
+    from blacklab_spark.search.server import index_metadata_response
+
+    corpus, pdf = small_corpus
+    resp = index_metadata_response(corpus, "transcripts")
+    assert resp["indexName"] == "transcripts"
+    assert resp["documentCount"] == len(pdf)
+    assert resp["tokenCount"] > 0
+    af = resp["annotatedFields"]["contents"]
+    assert af["mainAnnotation"] == "word"
+    assert "word" in af["annotations"]
+    assert set(resp["metadataFields"]) == {"conv_id", "turn_idx", "role",
+                                           "tool"}
+    json.dumps(resp)
+
+
 def test_error_envelope():
     resp = error_response("INVALID_QUERY", "parse error")
     assert resp == {"error": {"code": "INVALID_QUERY",
