@@ -1,0 +1,155 @@
+"""HTTP adapter for the BLS REST protocol (reference server webapp,
+RequestHandler.java:54-73): real requests over a loopback socket
+against the shared corpus."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from blacklab_spark.search.webservice import serve
+
+
+@pytest.fixture(scope="module")
+def bls(small_corpus):
+    corpus, _ = small_corpus
+    srv = serve({"transcripts": corpus}, port=0)
+    port = srv.server_address[1]
+
+    def get(path: str):
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=120
+        ) as r:
+            body = r.read().decode()
+            ctype = r.headers.get("Content-Type", "")
+            return r.status, json.loads(body) if "json" in ctype else body
+
+    def get_err(path: str):
+        try:
+            return get(path)
+        except urllib.error.HTTPError as e:
+            body = e.read().decode()
+            return e.code, json.loads(body)
+
+    yield get, get_err
+    srv.shutdown()
+
+
+def test_server_info(bls):
+    get, _ = bls
+    status, body = get("/")
+    assert status == 200
+    assert body["indices"]["transcripts"]["status"] == "available"
+
+
+def test_corpus_metadata(bls):
+    get, _ = bls
+    status, body = get("/transcripts")
+    assert status == 200
+    assert body["documentCount"] == 1000
+    assert "contents" in body["annotatedFields"]
+
+
+def test_hits_endpoint(bls):
+    get, _ = bls
+    status, body = get(
+        '/transcripts/hits?patt="word00001"&number=3&wordsaroundhit=2'
+    )
+    assert status == 200
+    assert body["summary"]["numberOfHits"] > 3
+    assert len(body["hits"]) == 3
+    assert body["hits"][0]["match"]["word"] == ["word00001"]
+    assert body["hits"][0]["docPid"] in body["docInfos"]
+
+
+def test_hits_grouped_endpoint(bls):
+    get, _ = bls
+    status, body = get(
+        '/transcripts/hits?patt="word00001"&group=field:role'
+    )
+    assert status == 200
+    assert body["hitGroups"]
+    assert body["summary"]["numberOfGroups"] == len(body["hitGroups"])
+
+
+def test_hits_csv_endpoint(bls):
+    get, _ = bls
+    status, body = get(
+        '/transcripts/hits?patt="word00001"&number=2&wordsaroundhit=1'
+        "&outputformat=csv"
+    )
+    assert status == 200
+    assert isinstance(body, str) and "doc_id" in body.splitlines()[0]
+
+
+def test_docs_endpoint(bls):
+    get, _ = bls
+    status, body = get('/transcripts/docs?patt="word00001"&number=2')
+    assert status == 200
+    assert len(body["docs"]) == 2
+    assert body["docs"][0]["numberOfHits"] >= 1
+
+
+def test_doc_info_and_contents(bls):
+    get, _ = bls
+    # find a real pid via a hits request
+    _, h = get('/transcripts/hits?patt="word00001"&number=1')
+    pid = h["hits"][0]["docPid"]
+    enc = pid.replace("/", "%2F")
+    status, info = get(f"/transcripts/docs/{enc}")
+    assert status == 200
+    assert info["docPid"] == pid
+    assert info["docInfo"]["lengthInTokens"] > 0
+    status, text = get(f"/transcripts/docs/{enc}/contents")
+    assert status == 200
+    assert "word00001" in text.lower()
+
+
+def test_termfreq_endpoint(bls):
+    get, _ = bls
+    status, body = get("/transcripts/termfreq?number=5")
+    assert status == 200
+    tf = body["termFreq"]
+    assert len(tf) == 5
+    freqs = list(tf.values())
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_autocomplete_endpoint(bls):
+    get, _ = bls
+    status, body = get("/transcripts/autocomplete/contents/word?term=word0000")
+    assert status == 200
+    assert isinstance(body, list)
+    assert all(t.startswith("word0000") for t in body)
+
+
+def test_status_and_cache_info(bls):
+    get, _ = bls
+    assert get("/transcripts/status")[0] == 200
+    assert get("/transcripts/cache-info")[0] == 200
+
+
+def test_explain_endpoint(bls):
+    get, _ = bls
+    status, body = get('/transcripts/explain?patt="word00001"+[]')
+    assert status == 200
+    assert "rewrites:" in body["explanation"]["rewrittenQuery"]
+
+
+def test_error_envelopes(bls):
+    _, get_err = bls
+    code, body = get_err("/nosuchcorpus/hits?patt=%22x%22")
+    assert code == 404
+    assert body["error"]["code"] == "CANNOT_OPEN_INDEX"
+    code, body = get_err("/transcripts/hits")
+    assert code == 400
+    assert body["error"]["code"] == "NO_PATTERN_GIVEN"
+    code, body = get_err("/transcripts/hits?patt=%22unclosed")
+    assert code == 400
+    assert body["error"]["code"] == "INVALID_QUERY"
+    code, body = get_err("/transcripts/docs/zzz%2Fnope")
+    assert code == 404
+    assert body["error"]["code"] == "DOC_NOT_FOUND"
