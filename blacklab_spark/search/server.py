@@ -144,7 +144,14 @@ def hits_response(
                     if c not in ("size", "n_hits", "n_docs", "sample_hits")]
         page = gdf.offset(first).limit(number).collect() \
             if first else gdf.limit(number).collect()
-        total_groups = gdf.count()
+        # one job for every summary number: group count, hit total,
+        # doc total, largest group
+        totals = gdf.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum(size_col).alias("h"),
+            F.max(size_col).alias("mx"),
+            (F.sum("n_docs") if "n_docs" in cols else F.lit(None)).alias("d"),
+        ).collect()[0]
         groups = []
         for r in page:
             props = [{"name": k, "value": str(r[k])} for k in key_cols]
@@ -159,10 +166,17 @@ def hits_response(
                 g["numberOfDocs"] = r["n_docs"]
             groups.append(g)
         summary = _summary_common(echo, first, number, len(groups),
-                                  total_groups, time.time() - t0)
-        summary["numberOfGroups"] = total_groups
-        summary["largestGroupSize"] = max((g["size"] for g in groups),
-                                          default=0)
+                                  totals["g"], time.time() - t0)
+        summary.update({
+            "numberOfGroups": totals["g"],
+            "largestGroupSize": totals["mx"] or 0,
+            "numberOfHits": totals["h"],
+            "numberOfHitsRetrieved": totals["h"],
+            "stoppedCountingHits": False,
+            "stoppedRetrievingHits": False,
+            "numberOfDocs": totals["d"],
+            "numberOfDocsRetrieved": totals["d"],
+        })
         return {"summary": summary, "hitGroups": groups}
 
     # ---- plain hits page ---------------------------------------------
@@ -217,11 +231,7 @@ def hits_response(
         "stoppedRetrievingHits": False,
         "numberOfDocs": n_docs,
         "numberOfDocsRetrieved": n_docs,
-        "docFields": {"pidField": "pid", "titleField": "conv_id"},
-        "metadataFieldDisplayNames": {
-            c: c for c in corpus.doc_stats.columns
-            if c not in ("doc_id", "segment_id", "num_tokens")
-        },
+        **_doc_fields(corpus),
     })
     if explain:
         # {originalQuery, rewrittenQuery} (RequestHandlerHits explain
@@ -239,13 +249,25 @@ def hits_response(
     # ---- facets entry (RequestHandlerHits facets block) --------------
     if facets:
         fdf = corpus.search(patt=patt, facets=facets, **params)
+        # {facet: [{value, size}]} (saved-responses/hits/document
+        # facets.json shape)
         fmap: dict[str, list] = {}
         for r in fdf.collect():
             fmap.setdefault(r["facet"], []).append(
-                {"identity": r["value"], "size": r["n_docs"]}
+                {"value": r["value"], "size": r["n_docs"]}
             )
         resp["facets"] = fmap
     return resp
+
+
+def _doc_fields(corpus) -> dict:
+    return {
+        "docFields": {"pidField": "pid", "titleField": "conv_id"},
+        "metadataFieldDisplayNames": {
+            c: c for c in corpus.doc_stats.columns
+            if c not in ("doc_id", "segment_id", "num_tokens")
+        },
+    }
 
 
 def docs_response(
@@ -253,11 +275,15 @@ def docs_response(
     patt: str | None = None,
     first: int = 0,
     number: int = 50,
+    wordsaroundhit: int | None = None,
+    maxsnippets: int = 3,
     **params,
 ) -> dict:
     """The /corpus/docs endpoint (RequestHandlerDocs.java): documents
     matching a pattern (with per-doc hit counts) or, with no ``patt``,
-    a metadata-filtered document listing."""
+    a metadata-filtered document listing. With ``wordsaroundhit`` each
+    doc entry carries up to ``maxsnippets`` KWIC snippets (the saved
+    docs responses include snippets per doc)."""
     t0 = time.time()
     echo = {"patt": patt, "first": first, "number": number, **params}
 
@@ -272,7 +298,8 @@ def docs_response(
         summary = _summary_common(echo, first, number, len(out), total,
                                   time.time() - t0)
         summary.update({"numberOfDocs": total,
-                        "numberOfDocsRetrieved": total})
+                        "numberOfDocsRetrieved": total,
+                        **_doc_fields(corpus)})
         return {"summary": summary, "docs": out}
 
     from blacklab_spark.search.results import Hits
@@ -282,20 +309,49 @@ def docs_response(
     total_hits, n_docs = _num_hits(hits_df)
     page = per_doc.offset(first).limit(number).collect() \
         if first else per_doc.limit(number).collect()
-    infos = _doc_infos(corpus, [r["doc_id"] for r in page])
+    page_ids = [r["doc_id"] for r in page]
+    infos = _doc_infos(corpus, page_ids)
+
+    # per-doc snippets (saved-responses/docs/*.json carry up to N KWIC
+    # snippets per doc): one distributed job over the page's docs —
+    # row_number caps hits per doc BEFORE the kwic join
+    snips: dict[int, list] = {}
+    if wordsaroundhit is not None and page_ids:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("doc_id").orderBy("start", "end")
+        capped = (
+            hits_df.filter(F.col("doc_id").isin(page_ids))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= maxsnippets).drop("_rn")
+        )
+        kw = Hits(corpus, capped).kwic(wordsaroundhit).collect()
+        for r in kw:
+            snips.setdefault(r["doc_id"], []).append({
+                "left": {"word": _split(r["left"])},
+                "match": {"word": _split(r["match"])},
+                "right": {"word": _split(r["right"])},
+            })
+
     out = []
     for r in page:
         pid = _pid(r)
-        out.append({"docPid": pid, "numberOfHits": r["n_hits"],
-                    "docInfo": infos.get(pid, {})})
+        entry = {"docPid": pid, "numberOfHits": r["n_hits"],
+                 "docInfo": infos.get(pid, {})}
+        if wordsaroundhit is not None:
+            entry["snippets"] = snips.get(r["doc_id"], [])
+        out.append(entry)
     summary = _summary_common(echo, first, number, len(out), n_docs,
                               time.time() - t0)
     summary.update({
         "numberOfHits": total_hits,
         "numberOfHitsRetrieved": total_hits,
+        "stoppedCountingHits": False,
+        "stoppedRetrievingHits": False,
         "numberOfDocs": n_docs,
         "numberOfDocsRetrieved": n_docs,
         "stillCounting": False,
+        **_doc_fields(corpus),
     })
     return {"summary": summary, "docs": out}
 

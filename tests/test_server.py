@@ -137,7 +137,7 @@ def test_hits_envelope_facets(small_corpus):
                          facets="field:role")
     assert "facets" in resp
     vals = resp["facets"]["field:role"]
-    assert all(set(v) == {"identity", "size"} for v in vals)
+    assert all(set(v) == {"value", "size"} for v in vals)
     # facet doc counts sum to the matched-doc count
     assert sum(v["size"] for v in vals) == resp["summary"]["numberOfDocs"]
 
@@ -187,6 +187,82 @@ def test_index_metadata_envelope(small_corpus):
     assert set(resp["metadataFields"]) == {"conv_id", "turn_idx", "role",
                                            "tool"}
     json.dumps(resp)
+
+
+REF_SAVED = "/root/reference/test/data/saved-responses"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REF_SAVED),
+                    reason="reference saved responses not available")
+class TestReferenceWireParity:
+    """Key-structure parity against the reference's own saved server
+    responses (test/data/saved-responses/): every key the reference
+    emits in an envelope must appear in ours, same nesting."""
+
+    def _load(self, rel):
+        import os
+        with open(os.path.join(REF_SAVED, rel)) as f:
+            return json.load(f)
+
+    def test_hits_envelope_keys(self, small_corpus):
+        corpus, _ = small_corpus
+        ref = self._load("hits/single word the.json")
+        got = hits_response(corpus, '"word00001"', number=3,
+                            wordsaroundhit=5)
+        assert set(got) == set(ref)
+        assert set(got["summary"]) == set(ref["summary"])
+        # hit keys: ours must carry everything the reference does
+        # except `punct` context (transcript tokenization has no
+        # punctuation annotation — documented divergence)
+        assert set(got["hits"][0]) == set(ref["hits"][0])
+        for side in ("left", "match", "right"):
+            assert "word" in got["hits"][0][side]
+        ref_info = next(iter(ref["docInfos"].values()))
+        got_info = next(iter(got["docInfos"].values()))
+        # shared structural keys: value-list metadata + length + view
+        assert {"lengthInTokens", "mayView"} <= set(got_info)
+        assert isinstance(got_info["lengthInTokens"],
+                          type(ref_info["lengthInTokens"]))
+
+    def test_capture_group_keys(self, small_corpus):
+        corpus, _ = small_corpus
+        ref = self._load("hits/simple capture group.json")
+        got = hits_response(corpus, 'A:"word00001"', number=1)
+        ref_hit = ref["hits"][0]
+        got_hit = got["hits"][0]
+        assert set(got_hit["captureGroups"][0]) \
+            == set(ref_hit["captureGroups"][0])
+
+    def test_grouped_envelope_keys(self, small_corpus):
+        corpus, _ = small_corpus
+        ref = self._load("hits-grouped/any token grouped by word.json")
+        got = hits_response(corpus, '"word00001"', group="field:role")
+        assert set(got) == set(ref)
+        # subcorpusSize is reference-optional (computed only for
+        # metadata groupings there); all other summary keys must match
+        assert set(got["summary"]) \
+            == set(ref["summary"]) - {"subcorpusSize"}
+        assert set(got["hitGroups"][0]) == set(ref["hitGroups"][0])
+
+    def test_docs_envelope_keys(self, small_corpus):
+        corpus, _ = small_corpus
+        ref = self._load("docs/single word she.json")
+        got = docs_response(corpus, '"word00001"', number=2,
+                            wordsaroundhit=5)
+        assert set(got) == set(ref)
+        assert set(got["summary"]) == set(ref["summary"])
+        assert set(got["docs"][0]) == set(ref["docs"][0])
+        s = got["docs"][0]["snippets"]
+        assert s and set(s[0]) == {"left", "match", "right"}
+
+    def test_facets_envelope_keys(self, small_corpus):
+        corpus, _ = small_corpus
+        ref = self._load("hits/document facets.json")
+        got = hits_response(corpus, '"word00001"', number=1,
+                            facets="field:role")
+        ref_facet_entry = next(iter(ref["facets"].values()))[0]
+        got_facet_entry = next(iter(got["facets"].values()))[0]
+        assert set(got_facet_entry) == set(ref_facet_entry)
 
 
 def test_error_envelope():
