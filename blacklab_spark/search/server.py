@@ -108,6 +108,7 @@ def hits_response(
     calc: str | None = None,
     facets: str | None = None,
     explain: bool = False,
+    includegroupcontents: bool = False,
     **params,
 ) -> dict:
     """The /corpus/hits endpoint (RequestHandlerHits.java:30-117).
@@ -135,6 +136,11 @@ def hits_response(
 
     # ---- grouped envelope (RequestHandlerHitsGrouped.java:40-104) ---
     if group is not None and viewgroup is None:
+        if includegroupcontents:
+            return _hits_grouped_with_contents(
+                corpus, patt, group, echo, first, number,
+                wordsaroundhit, t0, params,
+            )
         gdf = corpus.search(patt=patt, group=group, **params)
         cols = gdf.columns
         size_col = next(
@@ -260,6 +266,94 @@ def hits_response(
     return resp
 
 
+def _hits_grouped_with_contents(corpus, patt, group, echo, first, number,
+                                wordsaroundhit, t0, params,
+                                max_stored: int = 10) -> dict:
+    """hitGroups with per-group hits (BLS includegroupcontents;
+    RequestHandlerHitsGrouped.java:60-66 attaches each group's stored
+    hits). One distributed plan: `_with_keys` attaches the grouping
+    keys, the group table aggregates over them, and a row_number cap
+    bounds stored hits per group BEFORE the context join — never
+    O(hits) on the driver (the reference likewise stores at most
+    maxHitsToStorePerGroup per group)."""
+    from pyspark.sql.window import Window
+
+    from blacklab_spark.search.results import Hits
+
+    crits = [c.strip() for c in group.split(",") if c.strip()]
+    full = corpus.search(patt=patt, **params)
+    hk, keys = Hits(corpus, full)._with_keys(crits)
+    gdf = (
+        hk.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("size"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("size"), *keys)
+    )
+    page = gdf.offset(first).limit(number).collect() \
+        if first else gdf.limit(number).collect()
+    totals = gdf.agg(
+        F.count(F.lit(1)).alias("g"), F.sum("size").alias("h"),
+        F.max("size").alias("mx"), F.sum("n_docs").alias("d"),
+    ).collect()[0]
+
+    # stored hits: restrict to the PAGE's groups first (a corpus can
+    # have millions of groups; only ≤`number` are in the response),
+    # then cap per group, then ONE kwic pass over the capped set
+    def ident(row):
+        return tuple(str(row[k]) for k in keys)
+
+    page_gids = {ident(r) for r in page}
+    gid = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    w = Window.partitionBy(*keys).orderBy("doc_id", "start", "end")
+    capped = (
+        hk.filter(gid.isin(["\x1f".join(g) for g in page_gids]))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_stored)
+    )
+    cap_rows = capped.collect()
+    kw = Hits(corpus, capped.select(*full.columns)) \
+        .kwic(wordsaroundhit or corpus.cfg.context_size).collect()
+    ctx = {(r["doc_id"], r["start"], r["end"]): r for r in kw}
+
+    by_group: dict[tuple, list] = {}
+    doc_ids: set[int] = set()
+    for r in cap_rows:
+        c = ctx.get((r["doc_id"], r["start"], r["end"]))
+        if c is None:
+            continue
+        by_group.setdefault(ident(r), []).append({
+            "docPid": _pid(c), "start": r["start"], "end": r["end"],
+            "left": {"word": _split(c["left"])},
+            "match": {"word": _split(c["match"])},
+            "right": {"word": _split(c["right"])},
+        })
+        doc_ids.add(r["doc_id"])
+
+    groups = []
+    for r in page:
+        vals = ident(r)
+        props = [{"name": c, "value": v} for c, v in zip(crits, vals)]
+        groups.append({
+            "identity": ";".join(f"{c}={v}" for c, v in zip(crits, vals)),
+            "identityDisplay": ", ".join(vals),
+            "size": r["size"],
+            "properties": props,
+            "numberOfDocs": r["n_docs"],
+            "hits": by_group.get(vals, []),
+        })
+    summary = _summary_common(echo, first, number, len(groups),
+                              totals["g"], time.time() - t0)
+    summary.update({
+        "numberOfGroups": totals["g"],
+        "largestGroupSize": totals["mx"] or 0,
+        "numberOfHits": totals["h"], "numberOfHitsRetrieved": totals["h"],
+        "stoppedCountingHits": False, "stoppedRetrievingHits": False,
+        "numberOfDocs": totals["d"], "numberOfDocsRetrieved": totals["d"],
+    })
+    return {"summary": summary, "hitGroups": groups,
+            "docInfos": _doc_infos(corpus, sorted(doc_ids))}
+
+
 def _doc_fields(corpus) -> dict:
     return {
         "docFields": {"pidField": "pid", "titleField": "conv_id"},
@@ -277,15 +371,22 @@ def docs_response(
     number: int = 50,
     wordsaroundhit: int | None = None,
     maxsnippets: int = 3,
+    group: str | None = None,
     **params,
 ) -> dict:
     """The /corpus/docs endpoint (RequestHandlerDocs.java): documents
     matching a pattern (with per-doc hit counts) or, with no ``patt``,
     a metadata-filtered document listing. With ``wordsaroundhit`` each
     doc entry carries up to ``maxsnippets`` KWIC snippets (the saved
-    docs responses include snippets per doc)."""
+    docs responses include snippets per doc). With ``group`` returns
+    the docGroups envelope (RequestHandlerDocsGrouped /
+    saved-responses/docs-grouped/)."""
     t0 = time.time()
     echo = {"patt": patt, "first": first, "number": number, **params}
+
+    if group is not None:
+        return _docs_grouped(corpus, patt, group, echo, first, number,
+                             t0, params)
 
     if patt is None:
         docs = corpus.search(**params)  # doc_stats, optionally filtered
@@ -354,6 +455,71 @@ def docs_response(
         **_doc_fields(corpus),
     })
     return {"summary": summary, "docs": out}
+
+
+def _docs_grouped(corpus, patt, group, echo, first, number, t0,
+                  params) -> dict:
+    """docGroups envelope (RequestHandlerDocsGrouped.java;
+    saved-responses/docs-grouped/*.json): groups of documents by a
+    metadata criterion, each with size, token count, and the group's
+    share of the whole corpus (subcorpusSize, DStream.java:286-292)."""
+    col = group.split(":", 1)[1] if group.startswith("field:") else group
+    key = (F.year("ts") - F.year("ts") % 10).alias("_grp") \
+        if col == "decade" else F.col(col).alias("_grp")
+
+    # matched docs (with hit counts when a pattern is given)
+    if patt is not None:
+        hits_df = corpus.search(patt=patt, **params)
+        docs = (
+            hits_df.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .join(corpus.doc_stats, "doc_id")
+        )
+    else:
+        docs = corpus.search(**params).withColumn("n_hits", F.lit(0))
+    gdf = (
+        docs.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("size"),
+             F.sum("num_tokens").alias("tokens"),
+             F.sum("n_hits").alias("hits"))
+        .orderBy(F.desc("size"), "_grp")
+    )
+    # subcorpus share per group value: the WHOLE corpus grouped the
+    # same way (independent of the pattern), one broadcast-sized agg
+    sub = {
+        str(r["_grp"]): {"documents": r["sd"], "tokens": r["st"]}
+        for r in corpus.doc_stats.groupBy(key).agg(
+            F.count(F.lit(1)).alias("sd"),
+            F.sum("num_tokens").alias("st"),
+        ).collect()
+    }
+    page = gdf.offset(first).limit(number).collect() \
+        if first else gdf.limit(number).collect()
+    totals = gdf.agg(
+        F.count(F.lit(1)).alias("g"), F.sum("size").alias("d"),
+        F.max("size").alias("mx"), F.sum("hits").alias("h"),
+    ).collect()[0]
+    groups = []
+    for r in page:
+        v = str(r["_grp"])
+        groups.append({
+            "identity": f"str:{v}",
+            "identityDisplay": v,
+            "size": r["size"],
+            "properties": [{"name": group, "value": v}],
+            "numberOfTokens": r["tokens"],
+            "subcorpusSize": sub.get(v),
+        })
+    summary = _summary_common(echo, first, number, len(groups),
+                              totals["g"], time.time() - t0)
+    summary.update({
+        "numberOfGroups": totals["g"],
+        "largestGroupSize": totals["mx"] or 0,
+        "numberOfHits": totals["h"], "numberOfHitsRetrieved": totals["h"],
+        "stoppedCountingHits": False, "stoppedRetrievingHits": False,
+        "numberOfDocs": totals["d"], "numberOfDocsRetrieved": totals["d"],
+    })
+    return {"summary": summary, "docGroups": groups}
 
 
 def index_metadata_response(corpus, name: str = "corpus") -> dict:

@@ -189,6 +189,52 @@ def test_index_metadata_envelope(small_corpus):
     json.dumps(resp)
 
 
+def test_hits_grouped_includegroupcontents(small_corpus):
+    corpus, _ = small_corpus
+    resp = hits_response(corpus, '"word00001"', group="field:role",
+                         number=2, includegroupcontents=True,
+                         wordsaroundhit=2)
+    assert set(resp) == {"summary", "hitGroups", "docInfos"}
+    assert len(resp["hitGroups"]) == 2
+    for g in resp["hitGroups"]:
+        # stored hits capped at 10 per group (reference
+        # maxHitsToStorePerGroup), each a full hit entry
+        assert 1 <= len(g["hits"]) <= 10
+        h = g["hits"][0]
+        assert h["match"]["word"] == ["word00001"]
+        assert h["docPid"] in resp["docInfos"]
+    # grouping totals agree with the plain grouped envelope
+    plain = hits_response(corpus, '"word00001"', group="field:role")
+    assert resp["summary"]["numberOfGroups"] \
+        == plain["summary"]["numberOfGroups"]
+    assert {g["identityDisplay"]: g["size"] for g in resp["hitGroups"]} \
+        == {g["identityDisplay"]: g["size"]
+            for g in plain["hitGroups"][:2]}
+
+
+def test_docs_grouped_envelope(small_corpus):
+    corpus, _ = small_corpus
+    resp = docs_response(corpus, '"word00001"', group="field:role")
+    assert set(resp) == {"summary", "docGroups"}
+    g = resp["docGroups"][0]
+    assert set(g) == {"identity", "identityDisplay", "size", "properties",
+                      "numberOfTokens", "subcorpusSize"}
+    assert g["subcorpusSize"]["documents"] >= g["size"]
+    assert resp["summary"]["numberOfGroups"] == len(resp["docGroups"])
+    # group sizes sum to the matched-doc total
+    assert sum(x["size"] for x in resp["docGroups"]) \
+        == resp["summary"]["numberOfDocs"]
+
+
+def test_docs_grouped_no_pattern(small_corpus):
+    corpus, _ = small_corpus
+    resp = docs_response(corpus, group="field:role")
+    assert sum(x["size"] for x in resp["docGroups"]) == 1000
+    # without a pattern every group's size equals its subcorpus share
+    for g in resp["docGroups"]:
+        assert g["size"] == g["subcorpusSize"]["documents"]
+
+
 REF_SAVED = "/root/reference/test/data/saved-responses"
 
 
@@ -254,6 +300,15 @@ class TestReferenceWireParity:
         assert set(got["docs"][0]) == set(ref["docs"][0])
         s = got["docs"][0]["snippets"]
         assert s and set(s[0]) == {"left", "match", "right"}
+
+    def test_docs_grouped_envelope_keys(self, small_corpus):
+        corpus, _ = small_corpus
+        ref = self._load("docs-grouped/a grouped by title.json")
+        got = docs_response(corpus, '"word00001"', group="field:role")
+        assert set(got) == set(ref)
+        assert set(got["summary"]) \
+            == set(ref["summary"]) - {"subcorpusSize"}
+        assert set(got["docGroups"][0]) == set(ref["docGroups"][0])
 
     def test_facets_envelope_keys(self, small_corpus):
         corpus, _ = small_corpus
