@@ -522,6 +522,40 @@ def _docs_grouped(corpus, patt, group, echo, first, number, t0,
     return {"summary": summary, "docGroups": groups}
 
 
+def doc_snippet_response(
+    corpus,
+    doc_id: int,
+    hitstart: int | None = None,
+    hitend: int | None = None,
+    wordstart: int | None = None,
+    wordend: int | None = None,
+    wordsaroundhit: int = 5,
+) -> dict:
+    """The /corpus/docs/<pid>/snippet endpoint
+    (RequestHandlerDocSnippet.java:34-100): a hit plus context
+    ({left, match, right}, hitstart/hitend + wordsaroundhit) or a bare
+    word-range fragment ({snippet}, wordstart/wordend). One single-doc
+    lookup; slicing is driver-side over that one doc's tokens."""
+    rows = (
+        corpus.tokenized.filter(F.col("doc_id") == doc_id)
+        .select("tokens").collect()
+    )
+    if not rows:
+        raise KeyError(f"document {doc_id} not found")
+    toks = list(rows[0]["tokens"])
+    if wordstart is not None or wordend is not None:
+        s, e = max(0, wordstart or 0), min(len(toks), wordend or len(toks))
+        return {"snippet": {"word": toks[s:e]}}
+    if hitstart is None or hitend is None:
+        raise ValueError("need hitstart+hitend or wordstart+wordend")
+    s, e = max(0, hitstart), min(len(toks), hitend)
+    return {
+        "left": {"word": toks[max(0, s - wordsaroundhit):s]},
+        "match": {"word": toks[s:e]},
+        "right": {"word": toks[e:e + wordsaroundhit]},
+    }
+
+
 def index_metadata_response(corpus, name: str = "corpus") -> dict:
     """The /corpus info endpoint (RequestHandlerIndexMetadata /
     ResultIndexMetadata; DStream annotatedField + metadataFieldInfo

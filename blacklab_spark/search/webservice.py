@@ -29,7 +29,8 @@ from blacklab_spark.search.server import (
 # query-string → python types for facade/envelope params
 # (server/.../BlackLabServerParams.java parameter table)
 _INT = {"first", "number", "wordsaroundhit", "samplenum", "maxretrieve",
-        "fimatch", "n"}
+        "fimatch", "n", "hitstart", "hitend", "wordstart", "wordend",
+        "maxsnippets"}
 _FLOAT = {"sample"}
 _BOOL = {"waitfortotal", "explain", "usecache", "sensitive"}
 
@@ -114,6 +115,15 @@ class _Router:
                                          "mayView": True}}
             if rest[2] == "contents":
                 return 200, corpus.doc_contents(doc) or ""
+            if rest[2] == "snippet":
+                from blacklab_spark.search.server import doc_snippet_response
+
+                return 200, doc_snippet_response(
+                    corpus, doc,
+                    hitstart=q.get("hitstart"), hitend=q.get("hitend"),
+                    wordstart=q.get("wordstart"), wordend=q.get("wordend"),
+                    wordsaroundhit=q.get("wordsaroundhit", 5),
+                )
             return 404, error_response("UNKNOWN_OPERATION", rest[2])
         if ep == "termfreq":
             from blacklab_spark.search.results import term_frequencies

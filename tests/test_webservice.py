@@ -108,6 +108,30 @@ def test_doc_info_and_contents(bls):
     assert "word00001" in text.lower()
 
 
+def test_doc_snippet_endpoint(bls):
+    get, _ = bls
+    _, h = get('/transcripts/hits?patt="word00001"&number=1')
+    hit = h["hits"][0]
+    enc = hit["docPid"].replace("/", "%2F")
+    # hit + context shape (saved-responses/docs/document snippet
+    # hitstart.json: {left, match, right})
+    status, body = get(
+        f"/transcripts/docs/{enc}/snippet?hitstart={hit['start']}"
+        f"&hitend={hit['end']}&wordsaroundhit=2"
+    )
+    assert status == 200
+    assert set(body) == {"left", "match", "right"}
+    assert body["match"]["word"] == ["word00001"]
+    assert len(body["left"]["word"]) <= 2
+    # fragment shape (document snippet wordstart.json: {snippet})
+    status, body = get(
+        f"/transcripts/docs/{enc}/snippet?wordstart=0&wordend=4"
+    )
+    assert status == 200
+    assert set(body) == {"snippet"}
+    assert len(body["snippet"]["word"]) == 4
+
+
 def test_termfreq_endpoint(bls):
     get, _ = bls
     status, body = get("/transcripts/termfreq?number=5")
