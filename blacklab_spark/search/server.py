@@ -522,6 +522,17 @@ def _docs_grouped(corpus, patt, group, echo, first, number, t0,
     return {"summary": summary, "docGroups": groups}
 
 
+def docs_csv(corpus, patt: str | None = None, **params) -> str:
+    """docs-csv endpoint (RequestHandlerDocsCsv): the per-doc result
+    table as CSV — distributed until the page-bounded export."""
+    from blacklab_spark.search.results import Hits, export_csv
+
+    if patt is None:
+        return export_csv(corpus.search(**params))
+    hits_df = corpus.search(patt=patt, **params)
+    return export_csv(Hits(corpus, hits_df).per_doc())
+
+
 def doc_snippet_response(
     corpus,
     doc_id: int,

@@ -96,6 +96,10 @@ class _Router:
             return 200, hits_response(corpus, q.pop("patt"), **q)
         if ep == "docs":
             if len(rest) == 1:
+                if q.pop("outputformat", None) == "csv":
+                    from blacklab_spark.search.server import docs_csv
+
+                    return 200, docs_csv(corpus, q.pop("patt", None), **q)
                 return 200, docs_response(corpus, q.pop("patt", None), **q)
             # /docs/<pid>[/contents] — pid is "<conv_id>/<turn_idx>"
             # with the slash URL-encoded (%2F), or a bare doc_id

@@ -93,6 +93,16 @@ def test_docs_endpoint(bls):
     assert body["docs"][0]["numberOfHits"] >= 1
 
 
+def test_docs_csv_endpoint(bls):
+    get, _ = bls
+    status, body = get(
+        '/transcripts/docs?patt="word00001"&outputformat=csv'
+    )
+    assert status == 200
+    header = body.splitlines()[0]
+    assert "doc_id" in header and "n_hits" in header
+
+
 def test_doc_info_and_contents(bls):
     get, _ = bls
     # find a real pid via a hits request
