@@ -409,16 +409,22 @@ def _ann_values(el, spec: str) -> list[str]:
 
 
 def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
-               keep_xml: bool = False) -> dict:
+               keep_xml: bool = False,
+               token_pattern: str | None = None) -> dict:
     """Positions are counted in ENGINE tokens, not <w> elements: the
     build re-tokenizes ``text`` with the engine token pattern, so a
     <w> whose content yields k != 1 regex tokens ("New-York" -> 2,
     an empty <w/> -> 0) would silently shift every later annotation
     and span. Each <w> therefore contributes k aligned entries per
     annotation (value repeated across its sub-tokens) and k to the
-    running position counter. Assumes the default token pattern
-    (EngineConfig.token_pattern), like read_xml's sidecar padding."""
-    from blacklab_spark.analysis import py_tokenize
+    running position counter. ``token_pattern`` must be the SAME
+    pattern the index build will use (EngineConfig.token_pattern,
+    default when None) — with ``[^\\s]+`` every <w> is exactly one
+    engine token, which reproduces the reference's <w>-element
+    positions exactly (see tests/test_voice_parity.py)."""
+    from blacklab_spark.analysis import py_token_pattern, py_tokenize
+
+    tok_pat = py_token_pattern(token_pattern) if token_pattern else None
 
     words: list[str] = []
     word_full: list[str] = []
@@ -458,7 +464,8 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
             primary = raw.split("|", 1)[0]
             if "|" in raw:
                 has_multivalue = True
-            k = len(py_tokenize(primary))
+            k = len(py_tokenize(primary, tok_pat)) if tok_pat \
+                else len(py_tokenize(primary))
             if k:
                 if cfg.token_id:
                     tid = _ann_value(el, cfg.token_id)
@@ -617,11 +624,15 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
 
 def parse_xml_files(
     spark: SparkSession, path: str, cfg: XmlFormat | str | None = None,
-    keep_xml: bool = False,
+    keep_xml: bool = False, token_pattern: str | None = None,
 ) -> DataFrame:
     """Whole-file XML scan -> one parsed row per document element, with
     annotation arrays and inline-tag span rows still nested (split into
-    the canonical tables by ``read_xml`` / ``xml_spans``)."""
+    the canonical tables by ``read_xml`` / ``xml_spans``).
+
+    ``token_pattern``: the EngineConfig.token_pattern the index build
+    will use, when not the default — annotation/span positions are
+    counted in engine tokens, so the two must agree."""
     import os
 
     if isinstance(cfg, str):
@@ -654,7 +665,8 @@ def parse_xml_files(
                     ]
                 )
                 for i, doc_el in enumerate(docs):
-                    rows.append(_parse_doc(doc_el, cfg, file_id, i, keep_xml))
+                    rows.append(_parse_doc(doc_el, cfg, file_id, i,
+                                           keep_xml, token_pattern))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -669,6 +681,7 @@ def parse_xml_files(
 def read_xml(
     spark: SparkSession, path: str, cfg: XmlFormat | str | None = None,
     parsed: DataFrame | None = None, keep_xml: bool = False,
+    token_pattern: str | None = None,
 ) -> DataFrame:
     """XML files -> canonical transcript rows (+ ``ann_*`` sidecars).
     Pass ``parsed=parse_xml_files(...)`` (optionally persisted) to share
@@ -682,7 +695,8 @@ def read_xml(
     cfg = cfg or XmlFormat()
     df = (
         parsed if parsed is not None
-        else parse_xml_files(spark, path, cfg, keep_xml=keep_xml)
+        else parse_xml_files(spark, path, cfg, keep_xml=keep_xml,
+                             token_pattern=token_pattern)
     )
     ann_names = list(cfg.annotations)
     for so in cfg.standoff:
@@ -748,11 +762,12 @@ def read_xml(
 
 def xml_spans(
     spark: SparkSession, path: str, cfg: XmlFormat | str | None = None,
-    parsed: DataFrame | None = None,
+    parsed: DataFrame | None = None, token_pattern: str | None = None,
 ) -> DataFrame:
     """Inline-tag spans as ``extra_spans`` input rows for build_index
     (the starttag analogue, reference SpansTags.java:81-102)."""
-    df = parsed if parsed is not None else parse_xml_files(spark, path, cfg)
+    df = parsed if parsed is not None else parse_xml_files(
+        spark, path, cfg, token_pattern=token_pattern)
     return df.select(
         "conv_id", "turn_idx", F.explode("spans").alias("sp")
     ).select(
