@@ -151,6 +151,43 @@ def test_metadata_parity(voice):
         assert ours[d["docPid"]] == d["docInfo"]["title"][0], d["docPid"]
 
 
+def test_collocations_match_reference(voice):
+    """calc=colloc parity (colloc.js: wordsaroundhit=10, insensitive;
+    saved-responses/colloc/single word the.json): every collocation
+    frequency identical."""
+    ref = _saved("colloc", "single word the")["tokenFrequencies"]
+    got = {r[0]: r[1] for r in
+           voice.find('"the"').collocations(10).collect()}
+    assert got == ref
+
+
+def test_grouped_by_hit_text_matches_reference(voice):
+    """hits-grouped parity (hits-grouped.js: patt=[], group=hit:word:i;
+    saved-responses/hits-grouped/any token grouped by word.json):
+    every group size identical."""
+    ref = _saved("hits-grouped", "any token grouped by word")
+    expected = {g["identityDisplay"]: g["size"] for g in ref["hitGroups"]}
+    gg = voice.find("[]").group_by_hit_text("word")
+    got = {r["grp"]: r["size"] for r in gg.collect()}
+    # the saved response stores one page of groups; every saved group's
+    # size must match, and the group total must match the summary
+    for name, size in expected.items():
+        assert got.get(name) == size, name
+    assert ref["summary"]["numberOfGroups"] == len(got)
+
+
+def test_grouped_by_wordright_matches_reference(voice):
+    """wordright:word:i grouping (saved-responses/hits-grouped/very
+    grouped by word right.json)."""
+    from blacklab_spark.search.results import Hits
+
+    ref = _saved("hits-grouped", "very grouped by word right")
+    expected = {g["identityDisplay"]: g["size"] for g in ref["hitGroups"]}
+    gw = Hits(voice, voice.find('"very"').df).group_by(["wordright:word"])
+    got = {r[0]: r[1] for r in gw.collect()}
+    assert got == expected
+
+
 def test_capture_groups_match_reference(voice):
     """Capture-group spans, not just hit spans (saved-responses/hits/
     simple capture group.json)."""
