@@ -109,6 +109,12 @@ class XmlFormat:
     # text under this document descendant becomes a metadata field named
     # by its local tag; all fields surface as one meta_fields map column
     metadata_foreach: str = ""
+    # punctPath analogue (voice-tei.blf.yaml `punctPath: .//text()[not(
+    # ancestor::w)]`): collect the text BETWEEN word elements as a
+    # `punct` annotation, one whitespace-collapsed value per token (the
+    # text preceding that token) — the reference carries punct in every
+    # Kwic context (Kwic.java, DocIndexerXPath punct handling)
+    punct: bool = True
     name: str = "xml"
 
 
@@ -422,12 +428,16 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
     default when None) — with ``[^\\s]+`` every <w> is exactly one
     engine token, which reproduces the reference's <w>-element
     positions exactly (see tests/test_voice_parity.py)."""
+    import re
+
     from blacklab_spark.analysis import py_token_pattern, py_tokenize
 
     tok_pat = py_token_pattern(token_pattern) if token_pattern else None
 
     words: list[str] = []
     word_full: list[str] = []
+    punct: list[str] = []   # text before token i (punctPath analogue)
+    pend: list[str] = []    # inter-word text fragments not yet flushed
     anns: dict[str, list[str]] = {name: [] for name in cfg.annotations}
     spans: list[dict] = []
     tok_pos: dict[str, tuple[int, int]] = {}  # token id -> (start, k)
@@ -475,14 +485,26 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
                 word_full.extend([raw] * k)
                 for name, spec in cfg.annotations.items():
                     anns[name].extend([_ann_value(el, spec)] * k)
+                # flush accumulated inter-word text as this token's
+                # preceding punct; a word's extra sub-tokens have none
+                punct.append(re.sub(r"\s+", " ", "".join(pend)))
+                punct.extend([""] * (k - 1))
+                pend.clear()
                 n_tok += k
+            else:
+                # a word the tokenizer drops entirely ("(.)" pauses):
+                # its text survives as punctuation, like the
+                # reference's punctPath picking up non-word text
+                pend.append(raw)
             return  # a word's children are its own markup, not tokens
         rec = tag in cfg.inline_tags
         if rec:
             start = n_tok
         stack.append(el)
+        pend.append(el.text or "")
         for ch in el:
             walk(ch)
+            pend.append(ch.tail or "")
         stack.pop()
         if rec:
             spans.append(
@@ -503,8 +525,10 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
             if el is not doc_el and _local(el.tag) == cfg.container_tag:
                 walk_root = el
                 break
+    pend.append(walk_root.text or "")
     for ch in walk_root:
         walk(ch)
+        pend.append(ch.tail or "")
 
     # standoff annotations: resolved from the DOCUMENT element (NAF's
     # <terms> lives outside the <text> container), after the token walk
@@ -601,6 +625,9 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
     for name, vals in anns.items():
         if any(v for v in vals):
             out_anns[name] = vals
+    if cfg.punct and "punct" not in cfg.annotations \
+            and any(v for v in punct):
+        out_anns["punct"] = punct
     if has_multivalue:
         out_anns["word"] = word_full
     xml = None
@@ -702,6 +729,8 @@ def read_xml(
     for so in cfg.standoff:
         if not so.span_end:  # span standoffs surface via xml_spans
             ann_names += [a for a in so.annotations if a not in ann_names]
+    if cfg.punct and "punct" not in ann_names:
+        ann_names.append("punct")
     ann_names.append("word")
     cols = [
         "conv_id",
@@ -748,7 +777,7 @@ def read_xml(
     from blacklab_spark.config import EngineConfig
     from blacklab_spark.index.build import _case_expanded
 
-    pat = _case_expanded(EngineConfig().token_pattern)
+    pat = _case_expanded(token_pattern or EngineConfig().token_pattern)
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
     for c in keep:
         out = out.withColumn(

@@ -151,6 +151,36 @@ def test_metadata_parity(voice):
         assert ours[d["docPid"]] == d["docInfo"]["title"][0], d["docPid"]
 
 
+def test_kwic_contexts_match_reference(voice):
+    """FULL context equality for the saved 'single word the' hits:
+    word, lemma AND punct values per context token (the punctPath
+    analogue; reference Kwic carries punct in every context)."""
+    hits = voice.find('"the"')
+    ref = _saved("hits", "single word the")
+    by_ann = {}
+    for ann in ("word", "lemma", "punct"):
+        ctx = hits.with_context(1, ann, sensitive=True).join(
+            voice.doc_stats.select("doc_id", "conv_id"), "doc_id"
+        ).collect()
+        by_ann[ann] = {
+            (r["conv_id"].rsplit("-", 1)[0], r["start"], r["end"]): r
+            for r in ctx
+        }
+    for h in ref["hits"]:
+        key = (h["docPid"], h["start"], h["end"])
+        for ann in ("word", "lemma", "punct"):
+            r = by_ann[ann][key]
+            for side in ("left", "match", "right"):
+                got = list(r[side])
+                want = list(h[side][ann])
+                if ann == "punct":
+                    # the reference normalizes inter-word whitespace to
+                    # a single space; so do we — compare stripped-equal
+                    got = [v.strip() for v in got]
+                    want = [v.strip() for v in want]
+                assert got == want, (key, ann, side)
+
+
 def test_collocations_match_reference(voice):
     """calc=colloc parity (colloc.js: wordsaroundhit=10, insensitive;
     saved-responses/colloc/single word the.json): every collocation
