@@ -467,16 +467,27 @@ def _docs_grouped(corpus, patt, group, echo, first, number, t0,
     key = (F.year("ts") - F.year("ts") % 10).alias("_grp") \
         if col == "decade" else F.col(col).alias("_grp")
 
+    # metadata columns beyond the canonical transcript set (XML-format
+    # meta_<field> columns) live on the tokenized table, not the
+    # doc_stats projection
+    stats = corpus.doc_stats
+    if col != "decade" and col not in stats.columns:
+        stats = stats.join(
+            corpus.tokenized.select("doc_id", col), "doc_id"
+        )
+
     # matched docs (with hit counts when a pattern is given)
     if patt is not None:
         hits_df = corpus.search(patt=patt, **params)
         docs = (
             hits_df.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_hits"))
-            .join(corpus.doc_stats, "doc_id")
+            .join(stats, "doc_id")
         )
     else:
         docs = corpus.search(**params).withColumn("n_hits", F.lit(0))
+        if col != "decade" and col not in docs.columns:
+            docs = docs.join(corpus.tokenized.select("doc_id", col), "doc_id")
     gdf = (
         docs.groupBy(key)
         .agg(F.count(F.lit(1)).alias("size"),
@@ -488,7 +499,7 @@ def _docs_grouped(corpus, patt, group, echo, first, number, t0,
     # same way (independent of the pattern), one broadcast-sized agg
     sub = {
         str(r["_grp"]): {"documents": r["sd"], "tokens": r["st"]}
-        for r in corpus.doc_stats.groupBy(key).agg(
+        for r in stats.groupBy(key).agg(
             F.count(F.lit(1)).alias("sd"),
             F.sum("num_tokens").alias("st"),
         ).collect()

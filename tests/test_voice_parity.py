@@ -218,6 +218,32 @@ def test_grouped_by_wordright_matches_reference(voice):
     assert got == expected
 
 
+def test_docs_grouped_by_title_matches_reference(voice):
+    """docs-grouped parity (hits-grouped.js: patt='"a"',
+    group=field:title; saved-responses/docs-grouped/a grouped by
+    title.json): group sizes and per-group token counts. The
+    reference's subcorpusSize.tokens includes one hidden
+    end-of-document token per doc (Lucene's closing token) while its
+    numberOfTokens excludes it; our count equals the actual token
+    count (= reference docInfo lengthInTokens = subcorpusSize.tokens)."""
+    from blacklab_spark.search.server import docs_response
+
+    ref = _saved("docs-grouped", "a grouped by title")
+    got = docs_response(voice, '"a"', group="field:meta_title")
+    ref_groups = {g["identityDisplay"]: g for g in ref["docGroups"]}
+    got_groups = {g["identityDisplay"]: g for g in got["docGroups"]}
+    assert set(got_groups) == set(ref_groups)
+    for name, rg in ref_groups.items():
+        gg = got_groups[name]
+        assert gg["size"] == rg["size"], name
+        docs_in_group = rg["subcorpusSize"]["documents"]
+        assert gg["numberOfTokens"] \
+            == rg["numberOfTokens"] + docs_in_group, name
+        assert gg["subcorpusSize"]["documents"] == docs_in_group, name
+        assert gg["subcorpusSize"]["tokens"] \
+            == rg["subcorpusSize"]["tokens"], name
+
+
 def test_capture_groups_match_reference(voice):
     """Capture-group spans, not just hit spans (saved-responses/hits/
     simple capture group.json)."""
