@@ -588,17 +588,30 @@ def index_metadata_response(corpus, name: str = "corpus") -> dict:
     return {
         "indexName": name,
         "displayName": name,
+        "description": "",
         "status": "available",
+        "contentViewable": True,
+        "textDirection": "ltr",
         "tokenCount": f["total_tokens"],
         "documentCount": f["n_docs"],
+        "versionInfo": {
+            "indexFormat": str(corpus.meta.get("block_size", "")),
+            "generation": corpus.meta.get("generation", 0),
+        },
+        "fieldInfo": {"pidField": "pid", "titleField": "conv_id",
+                      "authorField": "", "dateField": "ts"},
         "annotatedFields": {
             af["name"]: {
                 "fieldName": af["name"],
                 "isAnnotatedField": True,
+                "hasContentStore": True,
+                "hasXmlTags": True,
                 "mainAnnotation": af["main_annotation"],
+                "displayOrder": af["annotations"],
                 "annotations": {
-                    a: {"name": a, "sensitivity":
-                        "SENSITIVE_AND_INSENSITIVE"}
+                    a: {"displayName": a, "hasForwardIndex": True,
+                        "sensitivity": "SENSITIVE_AND_INSENSITIVE",
+                        "isInternal": False}
                     for a in af["annotations"]
                 },
             }

@@ -244,6 +244,44 @@ def test_docs_grouped_by_title_matches_reference(voice):
             == rg["subcorpusSize"]["tokens"], name
 
 
+def test_index_metadata_structure_matches_reference(voice):
+    """Corpus-info envelope structure vs the reference's saved index
+    metadata (saved-responses/indices/expected-index-metadata.json):
+    every top-level key the reference emits is present, annotated-field
+    descriptors carry the same keys, and corpus-level counts match the
+    3-doc VOICE corpus."""
+    from blacklab_spark.search.server import index_metadata_response
+
+    with open(os.path.join(REF, "saved-responses", "indices",
+                           "expected-index-metadata.json")) as f:
+        ref = json.load(f)
+    got = index_metadata_response(voice, "voice")
+    # documentFormat / UI-grouping keys are format-registry concerns
+    # the engine doesn't model
+    assert set(ref) <= set(got) | {
+        "documentFormat", "metadataFieldGroups", "annotationGroups",
+    }
+    ref_af = ref["annotatedFields"]["contents"]
+    got_af = got["annotatedFields"]["contents"]
+    for k in ("fieldName", "isAnnotatedField", "hasContentStore",
+              "mainAnnotation", "displayOrder", "annotations"):
+        assert k in got_af, k
+    ref_ann = ref_af["annotations"]["word"]
+    got_ann = got_af["annotations"]["word"]
+    for k in ("hasForwardIndex", "sensitivity", "isInternal"):
+        assert k in got_ann, k
+    assert got_ann["sensitivity"] == ref_ann["sensitivity"]
+    # the saved metadata is for a 1-doc index (PBsve430 only):
+    # tokenCount per doc must line up with our per-doc count
+    ours_430 = {
+        r["conv_id"].rsplit("-", 1)[0]: r["num_tokens"]
+        for r in voice.doc_stats.collect()
+    }["PBsve430"]
+    assert ref["tokenCount"] == ours_430 == 334
+    # lemma + pos annotations registered like the reference's
+    assert {"word", "lemma"} <= set(got_af["annotations"])
+
+
 def test_capture_groups_match_reference(voice):
     """Capture-group spans, not just hit spans (saved-responses/hits/
     simple capture group.json)."""
