@@ -36,7 +36,10 @@ def _pid(row) -> str:
 
 def _split(joined: str) -> list[str]:
     # kwic columns are space-joined token arrays; tokens never contain
-    # spaces (tokenizer is [letters/digits]+), so the split is lossless
+    # spaces (the tokenizer excludes whitespace), so the split is
+    # lossless for word/lemma/pos-style annotations. The `punct`
+    # annotation's values may BE whitespace — request it via
+    # Hits.with_context (arrays) rather than a listvalues context here.
     return joined.split(" ") if joined else []
 
 

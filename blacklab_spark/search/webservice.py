@@ -200,9 +200,23 @@ def make_handler(corpora: dict):
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 - stdlib API
+            self._respond({})
+
+        def do_POST(self):  # noqa: N802 - BLS accepts POSTed params
+            # (large pattgapdata exceeds URL limits; reference docs:
+            # rest-api hits "you should use a POST request")
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n).decode() if n else ""
+            ctype = self.headers.get("Content-Type", "")
+            extra = parse_qs(body) if "form-urlencoded" in ctype else {}
+            self._respond(extra)
+
+        def _respond(self, extra_params: dict):
             u = urlparse(self.path)
             try:
-                status, body = router.handle(u.path, _coerce(parse_qs(u.query)))
+                q = parse_qs(u.query)
+                q.update(extra_params)
+                status, body = router.handle(u.path, _coerce(q))
             except Exception as e:  # engine error → INTERNAL_ERROR envelope
                 status, body = 500, error_response("INTERNAL_ERROR", str(e))
             if isinstance(body, str):

@@ -34,6 +34,7 @@ def bls(small_corpus):
             body = e.read().decode()
             return e.code, json.loads(body)
 
+    get.port = port
     yield get, get_err
     srv.shutdown()
 
@@ -171,6 +172,29 @@ def test_explain_endpoint(bls):
     status, body = get('/transcripts/explain?patt="word00001"+[]')
     assert status == 200
     assert "rewrites:" in body["explanation"]["rewrittenQuery"]
+
+
+def test_post_pattgapdata(bls):
+    """POSTed form parameters (the reference recommends POST for large
+    pattgapdata TSV payloads)."""
+    import urllib.parse
+
+    get, _ = bls
+    port = get.port
+    data = urllib.parse.urlencode({
+        "patt": '"@@" "@@"',
+        "pattgapdata": "word00001\tword00002\nword00003\tword00004",
+        "number": 5,
+    }).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/transcripts/hits", data=data,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read().decode())
+    assert body["summary"]["numberOfHits"] > 0
+    words = {tuple(h["match"]["word"]) for h in body["hits"]}
+    assert words <= {("word00001", "word00002"), ("word00003", "word00004")}
 
 
 def test_error_envelopes(bls):
