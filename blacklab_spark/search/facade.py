@@ -265,7 +265,11 @@ def search(
             hits = Hits(corpus, hits.df.join(docs, "doc_id", "leftsemi"))
         elif group.startswith("field:"):
             col = group.split(":", 1)[1]
-            docs = corpus.doc_stats.filter(F.col(col) == viewgroup).select("doc_id")
+            # XML-format meta_<field> columns live on the tokenized
+            # table, not the doc_stats projection
+            docs = corpus.doc_stats if col in corpus.doc_stats.columns \
+                else corpus.tokenized
+            docs = docs.filter(F.col(col) == viewgroup).select("doc_id")
             hits = Hits(corpus, hits.df.join(docs, "doc_id", "leftsemi"))
         elif group == "hit" or group.startswith("hit:"):
             ann = group.split(":", 1)[1] if ":" in group else "word"

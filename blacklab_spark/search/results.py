@@ -490,8 +490,13 @@ class Hits:
         )
 
     def group_by_metadata(self, *cols: str) -> DataFrame:
-        """DocProperty grouping (reference DocGroups.java)."""
-        ds = self.corpus.doc_stats.select("doc_id", *cols)
+        """DocProperty grouping (reference DocGroups.java). Metadata
+        columns beyond the canonical projection (XML-format meta_*
+        fields) resolve from the tokenized table."""
+        stats = self.corpus.doc_stats
+        src = stats if all(c in stats.columns for c in cols) \
+            else self.corpus.tokenized
+        ds = src.select("doc_id", *cols)
         return (
             self.df.join(ds, "doc_id")
             .groupBy(*cols)

@@ -181,6 +181,39 @@ def test_kwic_contexts_match_reference(voice):
                 assert got == want, (key, ann, side)
 
 
+def test_view_single_group_matches_reference(voice):
+    """hits.js 'view single group': patt='"a"', group=field:title,
+    viewgroup=one title — the group's hits, rank-identical."""
+    ref = _saved("hits", "view single group")
+    df = voice.search(
+        patt='"a"', group="field:meta_title",
+        viewgroup="service encounter about visa application for family members",
+    )
+    rows = df.join(
+        voice.doc_stats.select("doc_id", "conv_id"), "doc_id"
+    ).collect()
+    got = sorted(
+        (r["conv_id"].rsplit("-", 1)[0], r["start"], r["end"]) for r in rows
+    )
+    expected = sorted(
+        (h["docPid"], h["start"], h["end"]) for h in ref["hits"]
+    )
+    assert got == expected
+    assert len(got) == ref["summary"]["numberOfHits"]
+
+
+def test_hits_grouped_by_title_matches_reference(voice):
+    """hits-grouped.js 'a grouped by title' (group=field:title):
+    per-title hit-group sizes."""
+    from blacklab_spark.search.results import Hits
+
+    ref = _saved("hits-grouped", "a grouped by title")
+    expected = {g["identityDisplay"]: g["size"] for g in ref["hitGroups"]}
+    gg = Hits(voice, voice.find('"a"').df).group_by_metadata("meta_title")
+    got = {r["meta_title"]: r["n_hits"] for r in gg.collect()}
+    assert got == expected
+
+
 def test_collocations_match_reference(voice):
     """calc=colloc parity (colloc.js: wordsaroundhit=10, insensitive;
     saved-responses/colloc/single word the.json): every collocation
