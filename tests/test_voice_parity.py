@@ -214,6 +214,34 @@ def test_hits_grouped_by_title_matches_reference(voice):
     assert got == expected
 
 
+def test_grouped_with_filter_and_negation_matches_reference(voice):
+    """hits-grouped.js regular-vs-fast path pair with metadata filter:
+    patt=[word != "abcdefg"] + doc filter, group hit:word:i — and the
+    reference asserts '[]' produces the IDENTICAL grouping (we check
+    both against the same saved response)."""
+    ref = _saved("hits-grouped", "any token grouped by word with filter")
+    expected = {g["identityDisplay"]: g["size"] for g in ref["hitGroups"]}
+    for patt in ('[word != "abcdefg"]', "[]"):
+        hits = voice.find(patt).filter_docs("meta_pid = 'PBsve430'")
+        got = {r["grp"]: r["size"]
+               for r in hits.group_by_hit_text("word").collect()}
+        for name, size in expected.items():
+            assert got.get(name) == size, (patt, name)
+        assert sum(got.values()) == ref["summary"]["numberOfHits"], patt
+        assert len(got) == ref["summary"]["numberOfGroups"], patt
+
+
+def test_group_by_capture_matches_reference(voice):
+    """hits-grouped.js 'group by capture': patt='"a|the" X:[]' +
+    doc filter, group capture:word:i:X."""
+    ref = _saved("hits-grouped", "group by capture")
+    expected = {g["identityDisplay"]: g["size"] for g in ref["hitGroups"]}
+    hits = voice.find('"a|the" X:[]').filter_docs("meta_pid = 'PBsve430'")
+    got = {r["grp"]: r["size"]
+           for r in hits.group_by_capture("X").collect()}
+    assert got == expected
+
+
 def test_collocations_match_reference(voice):
     """calc=colloc parity (colloc.js: wordsaroundhit=10, insensitive;
     saved-responses/colloc/single word the.json): every collocation
