@@ -93,6 +93,9 @@ class _Router:
             if q.pop("outputformat", None) == "csv":
                 # hits-csv endpoint: facade's CSV path
                 return 200, corpus.search(outputformat="csv", **q)
+            # the reference's BlsCache is ON by default (usecache=no
+            # disables); paging/re-sorting then reuses the hit set
+            q.setdefault("usecache", True)
             return 200, hits_response(corpus, q.pop("patt"), **q)
         if ep == "docs":
             if len(rest) == 1:
@@ -100,6 +103,7 @@ class _Router:
                     from blacklab_spark.search.server import docs_csv
 
                     return 200, docs_csv(corpus, q.pop("patt", None), **q)
+                q.setdefault("usecache", True)
                 return 200, docs_response(corpus, q.pop("patt", None), **q)
             # /docs/<pid>[/contents] — pid is "<conv_id>/<turn_idx>"
             # with the slash URL-encoded (%2F), or a bare doc_id

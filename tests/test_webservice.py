@@ -197,6 +197,23 @@ def test_post_pattgapdata(bls):
     assert words <= {("word00001", "word00002"), ("word00003", "word00004")}
 
 
+def test_usecache_default_on(bls, small_corpus):
+    """The reference's BlsCache is on by default: repeated requests
+    reuse the cached hit set; usecache=no opts out per request."""
+    get, _ = bls
+    corpus, _pdf = small_corpus
+    corpus.cache.clear()
+    _, r1 = get('/transcripts/hits?patt="word00007"&number=2')
+    n_cached = corpus.cache.info()["entries"]
+    assert n_cached >= 1
+    _, r2 = get('/transcripts/hits?patt="word00007"&number=2&first=2')
+    assert r2["summary"]["numberOfHits"] == r1["summary"]["numberOfHits"]
+    # opting out leaves the cache untouched
+    corpus.cache.clear()
+    get('/transcripts/hits?patt="word00007"&number=2&usecache=no')
+    assert corpus.cache.info()["entries"] == 0
+
+
 def test_error_envelopes(bls):
     _, get_err = bls
     code, body = get_err("/nosuchcorpus/hits?patt=%22x%22")
