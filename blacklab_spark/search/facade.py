@@ -181,10 +181,20 @@ def search(
     )
     if crits:
         # the hit plan runs once: one distinct doc-id set feeds every
-        # facet branch (criteria are independent 1-D counts)
-        docs = hits.df.select("doc_id").distinct().join(
-            corpus.doc_stats, "doc_id"
-        )
+        # facet branch (criteria are independent 1-D counts). XML-format
+        # meta_* fields live on the tokenized table, not doc_stats
+        stats = corpus.doc_stats
+        extra = [
+            c.split(":", 1)[1] if c.startswith("field:") else c
+            for c in crits
+        ]
+        missing = [c for c in extra
+                   if c != "decade" and c not in stats.columns]
+        if missing:
+            stats = stats.join(
+                corpus.tokenized.select("doc_id", *missing), "doc_id"
+            )
+        docs = hits.df.select("doc_id").distinct().join(stats, "doc_id")
         out = None
         for crit in crits:
             col = crit.split(":", 1)[1] if crit.startswith("field:") else crit
@@ -287,8 +297,10 @@ def search(
             hits = hits.sort_by([c.strip() for c in sort.split(",")])
         elif sort.startswith("field:"):
             col = sort.split(":", 1)[1]
+            src = corpus.doc_stats if col in corpus.doc_stats.columns \
+                else corpus.tokenized
             j = hits.df.join(
-                corpus.doc_stats.select("doc_id", col), "doc_id"
+                src.select("doc_id", col), "doc_id"
             ).orderBy(col, "doc_id", "start", "end").drop(col)
             hits = Hits(corpus, j)
         elif sort in ("left", "right"):

@@ -55,10 +55,18 @@ def _context_entry(row, side: str, annotations: list[str]) -> dict:
 def _doc_infos(corpus, doc_ids: list[int]) -> dict:
     """Page-sized docInfos map (DStream.documentInfos, DStream.java:
     101-136): every metadata field as a value list, plus lengthInTokens
-    and mayView."""
+    and mayView. XML-format meta_* fields (tokenized-table columns)
+    are included alongside the canonical doc_stats projection."""
     if not doc_ids:
         return {}
-    rows = corpus.doc_stats.filter(F.col("doc_id").isin(doc_ids)).collect()
+    stats = corpus.doc_stats
+    meta_cols = [c for c in corpus.tokenized.columns
+                 if c.startswith("meta_") and c not in stats.columns]
+    if meta_cols:
+        stats = stats.join(
+            corpus.tokenized.select("doc_id", *meta_cols), "doc_id"
+        )
+    rows = stats.filter(F.col("doc_id").isin(doc_ids)).collect()
     infos = {}
     for r in rows:
         d = r.asDict()
