@@ -263,6 +263,10 @@ def search(
             return _out(hits.group_by_hit_text(ann or "word"))
         if group.startswith("capture:"):
             return _out(hits.group_by_capture(group.split(":", 1)[1]))
+        if group == "context" or group.startswith("context:"):
+            # reference HitPropertyContextWords serialization
+            # (context:<ann>:<sens>:<spec>, e.g. context:word:s:L1-1)
+            return _out(hits.group_by([group]))
         raise ValueError(f"unknown group criterion: {group}")
 
     if viewgroup is not None:
@@ -288,6 +292,8 @@ def search(
                 F.col("_grp") == viewgroup
             )
             hits = Hits(corpus, h.select(*[c for c in hits.df.columns]))
+        elif group == "context" or group.startswith("context:"):
+            hits = hits.filter_by_property(group, viewgroup)
         else:
             raise ValueError(f"unsupported viewgroup criterion: {group!r}")
 
@@ -311,6 +317,8 @@ def search(
             hits = hits.sort_by_hit_text(
                 sort.split(":", 1)[1] if ":" in sort else "word"
             )
+        elif sort.startswith("context"):
+            hits = hits.sort_by([sort])
         else:
             raise ValueError(f"unknown sort criterion: {sort}")
 
@@ -321,6 +329,7 @@ def search(
     # ---- window + KWIC ----------------------------------------------
     if number is not None:
         hits = hits.window(first, number)
+    ord_cols = hits._order_cols
     if wordsaroundhit is not None:
         if usecontent == "orig":
             # concordances from the content store (original text) with
@@ -328,10 +337,23 @@ def search(
             # Concordances.java / ConcordanceType.CONTENT_STORE)
             from blacklab_spark.search.snippets import snippets
 
-            return _out(
-                snippets(corpus, hits.df, context_chars=8 * wordsaroundhit)
-            )
+            snip = snippets(corpus, hits.df, context_chars=8 * wordsaroundhit)
+            if ord_cols:
+                # snippets drops the hidden sort keys; join them back
+                # from the (already windowed, small) hit set and
+                # re-assert the sorted order
+                snip = (
+                    snip.join(
+                        hits.df.select("doc_id", "start", "end", *ord_cols),
+                        ["doc_id", "start", "end"],
+                    )
+                    .orderBy(*ord_cols, "doc_id", "start", "end")
+                    .drop(*ord_cols)
+                )
+            return _out(snip)
         anns = [a.strip() for a in listvalues.split(",") if a.strip()] \
             if listvalues else None
         return _out(hits.kwic(wordsaroundhit, annotations=anns))
-    return _out(hits.df)
+    # hidden sort keys stay out of the response schema; the projection
+    # preserves the orderBy they established
+    return _out(hits.df.drop(*ord_cols) if ord_cols else hits.df)

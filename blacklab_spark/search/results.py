@@ -37,6 +37,127 @@ def _ctx_slices(toks: str, size: int):
     return left, match, right
 
 
+# ---- context-words property spec (HitPropertyContextWords) ----------------
+
+NO_TERM = "~"  # reference Terms.NO_TERM as serialized by
+# PropertyValueContext.serializeTerm (resultproperty/PropertyValueContext.java)
+
+_MAX_HIT_LENGTH = 10  # reference HitPropertyContextWords.MAX_HIT_LENGTH
+
+
+def serialize_context_term(term: str | None) -> str:
+    """NO_TERM -> "~"; terms starting with "~" get one more "~"
+    prepended so the sentinel round-trips (reference
+    PropertyValueContext.serializeTerm, asserted by
+    TestHitProperties.testTermSerialization: aap->aap, ~->~~, ~~->~~~,
+    ""->"")."""
+    if term is None:
+        return NO_TERM
+    return "~" + term if term.startswith("~") else term
+
+
+def deserialize_context_term(s: str) -> str | None:
+    """Inverse of serialize_context_term ("~" -> NO_TERM/None)."""
+    if s == NO_TERM:
+        return None
+    return s[1:] if s.startswith("~") else s
+
+
+def parse_context_spec(spec: str, ctx_size: int) -> list[tuple[str, int, int, int]]:
+    """Parse a context-words spec ("L1-1;H1-2", "L1;H2-1;R1") into
+    (letter, first_word, abs_direction, max_length) parts — the grammar
+    of reference HitPropertyContextWords.parseContextWordSpec
+    (resultproperty/HitPropertyContextWords.java:130-171) with init()'s
+    maxLength clamps (:222-250): L/R/E/H anchor letters (left of hit,
+    right of hit, hit-from-end, hit-from-start), 1-based word numbers,
+    ``n-m`` ranges where m<n walks back toward the anchor, bare letter =
+    the whole part (hit parts capped at MAX_HIT_LENGTH, context parts at
+    the context size)."""
+    parts: list[tuple[str, int, int, int]] = []
+    for raw in spec.split(";"):
+        raw = raw.strip()
+        if not raw:
+            continue
+        letter = raw[0].upper()
+        if letter not in ("L", "R", "E", "H"):
+            letter = "H"  # reference switch default
+        rest = raw[1:]
+        first: int = 0
+        last: int | None = None  # None == "as much as possible"
+        if rest:
+            if "-" in rest:
+                nums = rest.split("-")
+                try:
+                    first = int(nums[0]) - 1
+                    if len(nums) > 1 and nums[1]:
+                        last = int(nums[1]) - 1
+                except ValueError:
+                    first, last = 0, None  # reference ignores bad ranges
+            else:
+                first = last = int(rest) - 1
+        if last is None:
+            direction, max_len = 1, None
+        else:
+            direction = 1 if first <= last else -1
+            max_len = abs(first - last) + 1
+        if direction < 0:
+            max_len = min(max_len, first + 1)
+        else:
+            bound = (_MAX_HIT_LENGTH if letter in ("H", "E") else ctx_size) - first
+            max_len = bound if max_len is None else min(max_len, bound)
+        max_len = max(max_len, 0)
+        # L and E anchor-relative numbering runs leftward, so their
+        # absolute walk direction is the inverse (absoluteDirection())
+        abs_dir = direction if letter in ("H", "R") else -direction
+        parts.append((letter, first, abs_dir, max_len))
+    return parts
+
+
+def _context_words_key(toks, ctx_size: int, parts) -> "F.Column":
+    """Fixed-length serialized-term tuple for one context-words spec
+    (reference HitPropertyContextWords.get:258-326): each part walks
+    from its anchor in its direction until the window/part boundary and
+    pads with NO_TERM to its max length, so every hit yields a
+    same-shape grouping key. Pure codegen (get + when over the joined
+    token array). Divergence: anchor offsets that leave the context
+    window entirely yield NO_TERM here; the reference reads undefined
+    buffer content there (context array underflow)."""
+    s, e = F.col("start"), F.col("end")
+    w0 = F.greatest(F.lit(0), s - ctx_size)  # context window start
+    w1 = F.least(F.size(toks), e + ctx_size)  # context window end (excl)
+    elems = []
+    for letter, first, abs_dir, m in parts:
+        if letter == "L":
+            anchor = s - 1
+            first_src = anchor - first
+            invalid = (w0 - 1) if abs_dir < 0 else s
+        elif letter == "R":
+            anchor = e
+            first_src = anchor + first
+            invalid = w1 if abs_dir > 0 else (e - 1)
+        elif letter == "E":
+            anchor = e - 1
+            first_src = anchor - first
+            invalid = s if abs_dir < 0 else (e - 1)
+        else:  # H
+            anchor = s
+            first_src = anchor + first
+            invalid = e if abs_dir > 0 else (s - 1)
+        if abs_dir > 0:
+            invalid = F.least(invalid, anchor + first + m)
+        else:
+            invalid = F.greatest(invalid, anchor - first - m)
+        for i in range(m):
+            pos = first_src + F.lit(i * abs_dir)
+            ok = (pos < invalid) if abs_dir > 0 else (pos > invalid)
+            term = F.get(toks, pos)  # 0-based, null off both edges
+            ser = F.when(
+                term.startswith("~"), F.concat(F.lit("~"), term)
+            ).otherwise(term)
+            elems.append(F.coalesce(F.when(ok, ser), F.lit(NO_TERM)))
+    return F.array_join(F.array(*elems), " ")
+
+
 class RunningCount:
     """Asynchronous total count with a live RUNNING tally — the BLS
     waitfortotal=no semantics (reference HitsAbstract.ensureResultsRead
@@ -116,6 +237,39 @@ class Hits:
         self.corpus = corpus
         self.df = df
 
+    # -- sort-order plumbing ------------------------------------------------
+    # A Spark orderBy is destroyed by the next join/shuffle, but the
+    # reference's Hits KEEP their sort through windowing and KWIC
+    # rendering (HitsAbstract.java:154-196 window over sorted hits).
+    # Sorts therefore materialize their keys as hidden ``_ordN``
+    # columns that ride along the hits DataFrame; window() and kwic()
+    # re-assert the order from them. They are name-detected so every
+    # `Hits(corpus, out)` construction propagates them for free.
+
+    @property
+    def _order_cols(self) -> list[str]:
+        return sorted(
+            (c for c in self.df.columns if c.startswith("_ord")),
+            key=lambda c: int(c[4:] or 0),
+        )
+
+    def _hit_order(self) -> list:
+        return [*self._order_cols, "doc_id", "start", "end"]
+
+    def _sorted(self, keys: list, base_df: DataFrame | None = None) -> "Hits":
+        """New Hits sorted by ``keys`` (Column expressions over
+        ``base_df``, default self.df), keys kept as ``_ordN``."""
+        df = base_df if base_df is not None else self.df
+        stale = [c for c in df.columns if c.startswith("_ord")]
+        if stale:  # a re-sort replaces the previous order
+            df = df.drop(*stale)
+        for i, k in enumerate(keys):
+            df = df.withColumn(f"_ord{i}", k)
+        ords = [f"_ord{i}" for i in range(len(keys))]
+        keep = [c for c in self.df.columns if not c.startswith("_ord")]
+        out = df.orderBy(*ords, "doc_id", "start", "end").select(*keep, *ords)
+        return Hits(self.corpus, out)
+
     # -- basic ------------------------------------------------------------
     def count(self) -> int:
         """ResultCount analogue (reference ResultCount.java:8)."""
@@ -156,7 +310,7 @@ class Hits:
         """Truncate processing to the first max_retrieve hits in
         deterministic (doc,start,end) order — the maxHitsToProcess
         analogue; downstream sort/group/kwic see only these."""
-        out = self.df.orderBy("doc_id", "start", "end").limit(max_retrieve)
+        out = self.df.orderBy(*self._hit_order()).limit(max_retrieve)
         return Hits(self.corpus, out)
 
     def doc_count(self) -> int:
@@ -171,8 +325,10 @@ class Hits:
         TakeOrderedAndProject with offset (per-partition top-
         (first+number) heaps + tiny merge) and STAYS LAZY — deep pages
         never pull preceding hits into driver memory, and downstream
-        transforms keep a distributed plan."""
-        out = self.df.orderBy("doc_id", "start", "end").offset(first).limit(number)
+        transforms keep a distributed plan. A prior sort's hidden
+        ``_ordN`` keys lead the ordering, so pagination walks the
+        SORTED hits like the reference."""
+        out = self.df.orderBy(*self._hit_order()).offset(first).limit(number)
         return Hits(self.corpus, out)
 
     def sample(self, n: int | None = None, fraction: float | None = None,
@@ -264,15 +420,22 @@ class Hits:
                 F.array_join(match, " ").alias(f"match{sfx}"),
                 F.array_join(right, " ").alias(f"right{sfx}"),
             ]
+        # the join scrambles row order; re-assert a prior sort (the
+        # reference renders KWICs in the hits' own order, Kwics.java)
+        if self._order_cols:
+            j = j.orderBy(*self._hit_order())
         return j.select(*cols)
 
     def concordance(self) -> DataFrame:
         """Original-content concordances (reference Concordances.java;
         content store = the source text column)."""
-        return self.df.join(
+        j = self.df.join(
             self.corpus.context_store.select("doc_id", "conv_id", "turn_idx", "text"),
             "doc_id",
         )
+        if self._order_cols:
+            j = j.orderBy(*self._hit_order()).drop(*self._order_cols)
+        return j
 
     # -- sort ---------------------------------------------------------------
     def sort_by_hit_text(self, annotation: str = "word") -> "Hits":
@@ -298,10 +461,7 @@ class Hits:
             [icu_key] if icu_key is not None
             else [fold_col(F.lower(raw)), raw]
         )
-        out = ctx.orderBy(*keys, "doc_id", "start", "end").select(
-            *self.df.columns
-        )
-        return Hits(self.corpus, out)
+        return self._sorted(keys, base_df=ctx)
 
     def sort_by_context(self, side: str = "left", size: int | None = None) -> "Hits":
         """Sort on left/right context words (reference HitProperty
@@ -322,10 +482,7 @@ class Hits:
             [icu_key] if icu_key is not None
             else [fold_col(F.lower(raw)), raw]
         )
-        out = ctx.orderBy(*keys, "doc_id", "start", "end").select(
-            *self.df.columns
-        )
-        return Hits(self.corpus, out)
+        return self._sorted(keys, base_df=ctx)
 
     # -- group ----------------------------------------------------------------
     def group_by_hit_text(self, annotation: str = "word", max_stored: int = 10) -> DataFrame:
@@ -349,7 +506,8 @@ class Hits:
     def sort_by_hit_position(self) -> "Hits":
         """HitProperty `hitposition` — corpus order (doc, start, end)
         (reference resultproperty/HitPropertyHitPosition)."""
-        return Hits(self.corpus, self.df.orderBy("doc_id", "start", "end"))
+        df = self.df.drop(*self._order_cols)  # replaces any prior sort
+        return Hits(self.corpus, df.orderBy("doc_id", "start", "end"))
 
     # -- multi-criteria properties (HitPropertyMultiple) ---------------------
     def _with_keys(self, criteria: list[str], size: int | None = None):
@@ -361,8 +519,11 @@ class Hits:
 
         Criteria: ``hit[:ann]``, ``left[:ann]``, ``right[:ann]``,
         ``wordleft[:ann]``, ``wordright[:ann]``, ``capture:name``,
-        ``field:col``, ``decade``, ``hitposition``. Text keys use the
-        desensitized annotation (primary collation strength)."""
+        ``field:col``, ``decade``, ``hitposition``, and the reference's
+        context-words DSL ``context[:ann[:sens[:spec]]]`` (reference
+        HitPropertyContextWords serialization ``context:word:s:L1-1``).
+        Text keys use the desensitized annotation (primary collation
+        strength); ``context`` honors its sensitivity part."""
         if size is None:
             size = self.corpus.cfg.context_size
         df = self.df
@@ -371,12 +532,24 @@ class Hits:
             parts = crit.split(":")
             return parts[1] if len(parts) > 1 and parts[1] else "word"
 
+        def ctx_of(crit: str) -> tuple[str, str, str]:
+            # context:<ann>:<sens>:<spec>, every part optional
+            parts = crit.split(":")
+            ann = parts[1] if len(parts) > 1 and parts[1] else "word"
+            sens = parts[2] if len(parts) > 2 and parts[2] else "s"
+            spec = parts[3] if len(parts) > 3 and parts[3] else "H"
+            return ann, "i" if sens in ("i", "di") else "s", spec
+
         anns: set[str] = set()
+        ctx_srcs: set[tuple[str, str]] = set()
         meta_cols: set[str] = set()
         for crit in criteria:
             base = crit.split(":")[0]
             if base in ("hit", "left", "right", "wordleft", "wordright"):
                 anns.add(ann_of(crit))
+            elif base == "context":
+                ann, sens, _ = ctx_of(crit)
+                ctx_srcs.add((ann, sens))
             elif base == "capture":
                 anns.add("word")
             elif base == "field":
@@ -387,6 +560,16 @@ class Hits:
             src = "tokens_i" if a in ("word", "") else f"ann_{a}"
             tk = self.corpus.context_store.select(
                 "doc_id", F.col(src).alias(f"_toks_{a}")
+            )
+            df = df.join(tk, "doc_id")
+        for a, sens in sorted(ctx_srcs):
+            src = F.col("tokens" if a in ("word", "") else f"ann_{a}")
+            if sens == "i":
+                from blacklab_spark.analysis import desensitize_col
+
+                src = F.transform(src, lambda t: desensitize_col(t, "i"))
+            tk = self.corpus.context_store.select(
+                "doc_id", src.alias(f"_ctxtoks_{a}_{sens}")
             )
             df = df.join(tk, "doc_id")
         if meta_cols:
@@ -402,6 +585,13 @@ class Hits:
                 toks = F.col(f"_toks_{ann_of(crit)}")
             if crit == "decade":
                 col = F.year("ts") - F.year("ts") % 10
+            elif base == "context":
+                ann, sens, spec = ctx_of(crit)
+                col = _context_words_key(
+                    F.col(f"_ctxtoks_{ann}_{sens}"),
+                    size,
+                    parse_context_spec(spec, size),
+                )
             elif crit == "hitposition":
                 col = F.struct("doc_id", "start", "end")
             elif base == "field":
@@ -454,8 +644,7 @@ class Hits:
         """Compound sort over any criterion list (HitPropertyMultiple),
         (doc,start,end) tie-break."""
         df, keys = self._with_keys(criteria)
-        out = df.orderBy(*keys, "doc_id", "start", "end").select(*self.df.columns)
-        return Hits(self.corpus, out)
+        return self._sorted([F.col(k) for k in keys], base_df=df)
 
     def group_by(self, criteria: list[str]) -> DataFrame:
         """Compound grouping over any criterion list: one groupBy over
@@ -467,7 +656,9 @@ class Hits:
         )
         names = []
         for k, crit in zip(keys, criteria):
-            name = crit.replace(":", "_")
+            name = "".join(
+                c if c.isalnum() or c == "_" else "_" for c in crit
+            )
             out = out.withColumnRenamed(k, name)
             names.append(name)
         return out.orderBy(F.desc("size"), *names)

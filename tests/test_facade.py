@@ -337,3 +337,47 @@ def test_subtree_cache_reuses_hits_across_decorations(small_corpus):
     gplan = g._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in gplan
     assert "postings" not in gplan.split("InMemoryRelation")[0]
+
+
+def test_group_by_context_words_param(micro):
+    # BLS group=context:<ann>:<sens>:<spec> (reference
+    # HitPropertyContextWords serialization; TestHitProperties
+    # expectations over the same corpus)
+    out = micro.search(patt='"the"', group="context:word:s:L1-1;H1-2")
+    key = [c for c in out.columns if c.startswith("context_")][0]
+    got = {r[key]: r["size"] for r in out.collect()}
+    assert got == {"~ The ~": 1, "over the ~": 1, "May the ~": 1,
+                   "is the ~": 1}
+    # viewgroup drills into one context-words group
+    vg = micro.search(
+        patt='"the"', group="context:word:s:L1-1;H1-2",
+        viewgroup="over the ~", wordsaroundhit=1,
+    )
+    rows = vg.collect()
+    assert len(rows) == 1 and rows[0]["match"] == "the"
+    # sort through the same DSL
+    s = micro.search(patt='"the"', sort="context:word:i:L1-1")
+    got = [(r["doc_id"], r["start"]) for r in s.select("doc_id", "start").collect()]
+    assert got == [(3, 8), (2, 1), (0, 6), (0, 0)]
+
+
+def test_sort_survives_window_and_kwic(micro):
+    # Pagination walks the SORTED hits (reference windows over the
+    # sorted Hits object, HitsAbstract.java:154-196), and KWIC rows
+    # come back in sorted order — a plain orderBy would be destroyed
+    # by window()'s re-order and kwic()'s context join.
+    out = micro.search(patt="[]", sort="hit", wordsaroundhit=1)
+    m = [r["match"] for r in out.collect()]
+    assert m == sorted(m, key=str.lower)
+    out = micro.search(patt="[]", sort="hit", wordsaroundhit=1, number=3)
+    assert [r["match"] for r in out.collect()] == ["aap", "aap", "aap"]
+    # plain sorted hits: hidden _ord keys stay out of the schema
+    out = micro.search(patt="[]", sort="hit", number=3)
+    assert out.columns == ["doc_id", "start", "end"]
+    assert [(r["doc_id"], r["start"]) for r in out.collect()] == [
+        (1, 2), (1, 8), (1, 9)]
+    # original-content concordances keep the sort too
+    out = micro.search(patt='"the"', sort="hit", wordsaroundhit=2,
+                       usecontent="orig")
+    texts = [r["match_text"] for r in out.collect()]
+    assert texts == sorted(texts, key=str.lower)

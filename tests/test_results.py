@@ -225,3 +225,71 @@ def test_frequency_lists_tool(small_corpus):
         },
     )
     assert set(lists) == {"contents_word", "contents_word_role"}
+
+
+# ---- HitPropertyContextWords parity (reference core/src/test/java/nl/
+# inl/blacklab/search/grouping/TestHitProperties.java) -----------------------
+
+def _groups(corpus, patt, crit):
+    g = corpus.find(patt).group_by([crit])
+    key = [c for c in g.columns if c not in ("size", "n_docs")][0]
+    return {r[key]: r["size"] for r in g.collect()}
+
+
+def test_hit_prop_hit_text_sensitive(micro):
+    # testHitPropHitText: group 'the' hits by SENSITIVE hit text ->
+    # {the: 3, The: 1} (TestHitProperties.java:57-66). H1-1 of a
+    # one-word hit IS the hit text.
+    got = _groups(micro, '"the"', "context:word:s:H1-1")
+    assert got == {"the": 3, "The": 1}
+
+
+def test_hit_prop_context_words(micro):
+    # testHitPropContextWords: group 'the' by "L1-1;H1-2" -> 4 groups
+    # of one hit each, missing words as NO_TERM ("~")
+    # (TestHitProperties.java:68-87)
+    got = _groups(micro, '"the"', "context:word:s:L1-1;H1-2")
+    assert got == {
+        "~ The ~": 1,
+        "over the ~": 1,
+        "May the ~": 1,
+        "is the ~": 1,
+    }
+
+
+def test_hit_prop_context_words_reverse(micro):
+    # testHitPropContextWordsReverse: group 'the' 'lazy' by
+    # "L1;H2-1;R1" -> one group [over, lazy, the, dog]
+    # (TestHitProperties.java:89-100)
+    got = _groups(micro, '"the" "lazy"', "context:word:s:L1;H2-1;R1")
+    assert got == {"over lazy the dog": 1}
+
+
+def test_context_term_serialization():
+    # testTermSerialization (TestHitProperties.java:102-113)
+    from blacklab_spark.search.results import (
+        deserialize_context_term, serialize_context_term,
+    )
+
+    words = ["aap", "~", "~~", ""]
+    expected = ["aap", "~~", "~~~", ""]
+    for w, exp in zip(words, expected):
+        assert serialize_context_term(w) == exp
+        assert serialize_context_term(deserialize_context_term(exp)) == exp
+    assert serialize_context_term(None) == "~"
+    assert deserialize_context_term("~") is None
+
+
+def test_context_property_sort_and_filter(micro):
+    # the same DSL drives sort (orderBy on the key) and
+    # hitfiltercrit/hitfilterval (reference HitProperty.deserialize
+    # surface); left-word-insensitive sort puts the doc-edge hit
+    # (NO_TERM "~") after the word keys ("~" > letters)
+    h = micro.find('"the"')
+    s = h.sort_by(["context:word:i:L1-1"])
+    got = [(r["doc_id"], r["start"]) for r in s.df.collect()]
+    # keys: is(3,8) < may(2,1) < over(0,6) < "~"(0,0 doc edge)
+    assert got == [(3, 8), (2, 1), (0, 6), (0, 0)]
+    f = h.filter_by_property("context:word:s:L1-1", "over")
+    got = [(r["doc_id"], r["start"]) for r in f.df.collect()]
+    assert got == [(0, 6)]
