@@ -292,10 +292,19 @@ CMDI = XmlFormat(
     name="cmdi",
 )
 
+# the reference's own integration-test format (testformat.blf.yaml,
+# TestIndex.java corpus): <doc pid= title=><s><entity><w l= p=>word —
+# the default XmlFormat shape plus title metadata
+TESTFORMAT = XmlFormat(
+    metadata={"conv_id": "@pid", "title": "@title"},
+    name="testformat",
+)
+
 FORMATS = {
     "xml": XmlFormat(), "tei-p5": TEI_P5, "tei": TEI_P5, "folia": FOLIA,
     "naf": NAF, "eaf": EAF, "tcf": TCF, "cmdi": CMDI,
     "tei-p5-legacy": TEI_P5_LEGACY, "tei-p4-legacy": TEI_P4_LEGACY,
+    "testformat": TESTFORMAT,
 }
 
 

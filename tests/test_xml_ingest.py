@@ -854,3 +854,36 @@ def test_cmdi_metadata_only(tmp_path_factory, spark):
     assert rows[0]["text"] == ""
     assert rows[0]["metadata"]["Country"] == "NL"
     assert rows[0]["metadata"]["id"] == "rec1"
+
+
+REF_TESTFORMAT = (
+    "/root/reference/core/src/main/resources/formats/testformat.blf.yaml"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REF_TESTFORMAT), reason="reference repo not present"
+)
+def test_reference_testformat_yaml_loads_and_ingests(spark, xml_dir):
+    # The reference's ACTUAL shipped testformat.blf.yaml (not a
+    # hand-copy) drives ingestion of its own TEST_DATA corpus
+    # (TestIndex.java:117-170): same doc lengths, annotations,
+    # metadata, and inline spans as the registered preset.
+    from blacklab_spark.index.xml_ingest import FORMATS
+
+    fmt = load_blf_config(REF_TESTFORMAT)
+    assert fmt.document_tag == "doc" and fmt.word_tag == "w"
+    assert fmt.annotations == {"lemma": "@l", "pos": "@p"}
+    assert fmt.inline_tags == ("s", "entity")
+    assert fmt.metadata.get("title") == "@title"
+    df = read_xml(spark, str(xml_dir), fmt).orderBy("meta_pid")
+    rows = df.collect()
+    assert [len(r["text"].split()) for r in rows] == [9, 12, 6, 10]
+    assert [r["meta_pid"] for r in rows] == ["0", "1", "2", "3"]
+    assert rows[0]["meta_title"] == "Pangram"
+    assert list(rows[0]["ann_lemma"][:4]) == ["the", "quick", "brown", "fox"]
+    # the registered 15th preset matches the shipped config's shape
+    reg = FORMATS["testformat"]
+    assert reg.word_tag == fmt.word_tag
+    assert reg.annotations == fmt.annotations
+    assert reg.inline_tags == fmt.inline_tags
