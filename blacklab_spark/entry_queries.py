@@ -708,6 +708,31 @@ WHERE a.t = 'table'
 """
 
 
+def q_context_words_group(spark, sf_dir):
+    """HitPropertyContextWords grouping: hits of one term grouped by
+    the L1-1;R1 context-words spec (reference
+    resultproperty/HitPropertyContextWords.java parseContextWordSpec;
+    missing words serialize as the NO_TERM sentinel '~',
+    PropertyValueContext.serializeTerm)."""
+    c = _corpus(spark, sf_dir)
+    g = c.find('"table"').group_by(["context:word:i:L1-1;R1"])
+    return g.select(
+        F.col("context_word_i_L1_1_R1").alias("ctx"), "size", "n_docs"
+    )
+
+
+O_CONTEXT_WORDS_GROUP = f"""
+WITH {_DUCK_TOKPOS},
+hits AS (SELECT doc_id, pos FROM tok WHERE t = 'table')
+SELECT coalesce(l.t, '~') || ' ' || coalesce(r.t, '~') AS ctx,
+       count(*) AS size, count(DISTINCT h.doc_id) AS n_docs
+FROM hits h
+LEFT JOIN tok l ON l.doc_id = h.doc_id AND l.pos = h.pos - 1
+LEFT JOIN tok r ON r.doc_id = h.doc_id AND r.pos = h.pos + 1
+GROUP BY ctx
+"""
+
+
 def q_capture_hits(spark, sf_dir):
     """Named capture groups threaded through joins
     (reference SpanQueryCaptureGroup.java:205)."""
@@ -1777,6 +1802,7 @@ FOLDED_QUERIES = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "exact_neardup_vectors": q_exact_neardup_vectors,
+    "context_words_group": q_context_words_group,
 }
 
 FOLDED_ORACLES = {
@@ -1792,4 +1818,5 @@ FOLDED_ORACLES = {
     "token_counts": O_TOKEN_COUNTS,
     "fingerprint": O_FINGERPRINT,
     "exact_neardup_vectors": O_EXACT_NEARDUP_VECTORS,
+    "context_words_group": O_CONTEXT_WORDS_GROUP,
 }
