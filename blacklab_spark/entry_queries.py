@@ -1259,6 +1259,66 @@ JOIN sizes sb ON sb.doc_id = c.doc_b
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-component duplicate clusters: LSH candidates verified
+    at Jaccard >= 0.8 plus exact-dup star edges, cluster id = min
+    reachable doc_id (distributed min-label propagation with pointer
+    jumping; the oracle walks the same graph with a recursive CTE)."""
+    from blacklab_spark.pipeline import dedup as D
+
+    return D.dedup_clusters(_docs(spark, sf_dir)).select(
+        "doc_id", "cluster_id"
+    )
+
+
+O_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+bands0 AS ({_duck_bands()}),
+ok AS (
+  SELECT band_idx, band_key FROM bands0
+  GROUP BY band_idx, band_key HAVING count(*) <= {D.DEFAULT_MAX_BUCKET}
+),
+bands AS (SELECT b.* FROM bands0 b JOIN ok USING (band_idx, band_key)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shx AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_common
+  FROM pairs p
+  JOIN shx a ON a.doc_id = p.doc_a
+  JOIN shx b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+jpairs AS (
+  SELECT c.doc_a, c.doc_b FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE 10000.0 * c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 8000
+),
+roots AS (SELECT md5(text) AS h, min(doc_id) AS root FROM documents GROUP BY 1),
+estar AS (
+  SELECT r.root AS doc_a, d.doc_id AS doc_b
+  FROM documents d JOIN roots r ON md5(d.text) = r.h AND d.doc_id <> r.root
+),
+e0 AS (SELECT doc_a, doc_b FROM jpairs UNION SELECT doc_a, doc_b FROM estar),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM e0
+  UNION SELECT doc_b AS src, doc_a AS dst FROM e0
+),
+walk(n, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.n
+)
+SELECT n AS doc_id, min(r) AS cluster_id FROM walk GROUP BY n
+"""
+
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1803,6 +1863,7 @@ FOLDED_QUERIES = {
     "fingerprint": q_fingerprint,
     "exact_neardup_vectors": q_exact_neardup_vectors,
     "context_words_group": q_context_words_group,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 FOLDED_ORACLES = {
@@ -1819,4 +1880,5 @@ FOLDED_ORACLES = {
     "fingerprint": O_FINGERPRINT,
     "exact_neardup_vectors": O_EXACT_NEARDUP_VECTORS,
     "context_words_group": O_CONTEXT_WORDS_GROUP,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
 }

@@ -233,3 +233,98 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
     return cand.withColumn(
         "hamming", F.expr("bit_count(fp_a ^ fp_b)")
     ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold_x10000: int = 8000,
+    pairs: DataFrame | None = None,
+    include_exact: bool = True,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    verified near-duplicate graph. Output one row per document,
+    ``(doc_id, cluster_id)`` where cluster_id = min doc_id reachable
+    through edges; a training pipeline keeps ``doc_id == cluster_id``
+    rows and drops the rest.
+
+    Edges: LSH candidate pairs verified at shingle-Jaccard >=
+    ``threshold_x10000`` (exact verification — LSH recall never
+    *creates* false merges), plus exact-duplicate star edges (md5
+    groups) so byte-identical docs cluster even when the bucket cap
+    dropped their degenerate LSH buckets.
+
+    Scale: distributed min-label propagation with pointer jumping
+    (path halving) — per round one edge join + hash agg plus one
+    label self-join, so label depth halves each round and convergence
+    is O(log max-component-diameter) rounds, not O(diameter) (the
+    two-phase star algorithms of Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14, have the same round bound; the
+    label-table variant here avoids their collect-neighbors step, so
+    no hub node ever materializes its adjacency list in one task).
+    Near-dup components are near-cliques in practice, so typical
+    convergence is 2-3 rounds. Each round localCheckpoints the label
+    table: lineage stays O(1) and a lost executor recomputes one
+    round, not the whole chain."""
+    if pairs is None:
+        pairs = ngram_jaccard(docs).filter(
+            F.col("jaccard_x10000") >= threshold_x10000
+        ).select("doc_a", "doc_b")
+    else:
+        pairs = pairs.select("doc_a", "doc_b")
+    if include_exact:
+        exact = docs.select("doc_id", F.expr("md5(text)").alias("h"))
+        grp = exact.groupBy("h").agg(F.min("doc_id").alias("root"))
+        star = (
+            exact.join(grp, "h")
+            .filter(F.col("doc_id") != F.col("root"))
+            .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+        pairs = pairs.unionByName(star)
+    # symmetric edge list; shuffle key is always a doc id — skew-free
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    ).distinct()
+    lab = docs.select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint()
+    for _ in range(max_iter):
+        # min label among neighbors (one hop)...
+        neigh = (
+            edges.join(lab, edges.src == lab.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lab").alias("nmin"))
+        )
+        # ...and the label's own label (pointer jump / path halving)
+        jump = (
+            lab.alias("a")
+            .join(
+                lab.select(
+                    F.col("doc_id").alias("lid"), F.col("lab").alias("jmin")
+                ),
+                F.col("a.lab") == F.col("lid"),
+            )
+            .select(F.col("a.doc_id").alias("doc_id"), "jmin")
+        )
+        new = (
+            lab.join(neigh, "doc_id", "left")
+            .join(jump, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "lab", F.coalesce("nmin", "lab"), F.coalesce("jmin", "lab")
+                ).alias("lab"),
+            )
+            .localCheckpoint()  # also materializes for the change count
+        )
+        changed = (
+            new.join(lab.withColumnRenamed("lab", "old"), "doc_id")
+            .filter(F.col("lab") < F.col("old"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    return lab.select("doc_id", F.col("lab").alias("cluster_id"))

@@ -317,3 +317,36 @@ def test_clean_corpus_composition(spark):
         assert got[d]["quality_x1000"] == q[d]["quality_x1000"]
         assert got[d]["n_tokens"] == q[d]["n_tokens"]
         assert got[d]["lang_pred"] == l[d] == "en"
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    # Connected components must merge TRANSITIVELY: a~b and b~c cluster
+    # {a,b,c} even when a and c share no LSH bucket. The chain of
+    # near-identical docs (one token changed per step) plus an exact
+    # duplicate and two singletons exercises multi-round label
+    # propagation and the exact-star edges.
+    import pandas as pd
+
+    from blacklab_spark.pipeline.dedup import dedup_clusters
+
+    base = [f"tok{i:03d}" for i in range(40)]
+    chain = []
+    for j in range(4):  # doc j differs from doc j-1 by j tokens
+        toks = list(base)
+        for k in range(j):
+            toks[k] = f"alt{k}"
+        chain.append(" ".join(toks))
+    rows = [
+        {"doc_id": i, "text": t} for i, t in enumerate(chain)
+    ] + [
+        {"doc_id": 4, "text": chain[0]},              # exact dup of 0
+        {"doc_id": 5, "text": "completely different words here"},
+        {"doc_id": 6, "text": "another unrelated single document"},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, threshold_x10000=8000).collect()
+    }
+    assert got[0] == got[1] == got[2] == got[3] == got[4] == 0
+    assert got[5] == 5 and got[6] == 6
