@@ -76,7 +76,8 @@ def minhash_signature(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
                         band_rows: int = BAND_ROWS,
-                        max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+                        max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                        persist_bands: bool = True) -> DataFrame:
     """Banded LSH: docs sharing any band of their MinHash signature.
     Shuffle key = (band_idx, band_key): bucket sizes are bounded by
     collision probability, not corpus size — the scale path that
@@ -109,16 +110,32 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    if persist_bands:
+        # the band table is ~200 B/doc (vs KBs of text): persisting it
+        # means tokenize/shingle/hash runs ONCE even though the
+        # self-join + bucket audit read it multiple times (at 10^8 docs
+        # this is ~20 GB across executors, MEMORY_AND_DISK spills).
+        # The handle rides on the result as _blspark_bands so a long
+        # pipeline can unpersist after its dedup stage.
+        from pyspark import StorageLevel
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     dropped = None
     if max_bucket is not None:
-        sizes = bands.groupBy("band_idx", "band_key").agg(
-            F.count(F.lit(1)).alias("size")
+        # bucket-size guard via a window over the SAME (band_idx,
+        # band_key) exchange the join needs — no second signature scan
+        # and no semi-join; the two identical join branches below then
+        # share one ReusedExchange, so tokenize/shingle/hash runs once
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        bands = bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        dropped = (
+            bands.filter(F.col("_bsz") > max_bucket)
+            .groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("size"))
         )
-        ok = sizes.filter(F.col("size") <= max_bucket).select(
-            "band_idx", "band_key"
-        )
-        dropped = sizes.filter(F.col("size") > max_bucket)
-        bands = bands.join(ok, ["band_idx", "band_key"], "leftsemi")
+        bands = bands.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
     a, b = bands.alias("a"), bands.alias("b")
     out = (
         a.join(
@@ -132,6 +149,8 @@ def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES,
     )
     if dropped is not None:
         out._blspark_dropped_buckets = dropped
+    if persist_bands:
+        out._blspark_bands = bands
     return out
 
 
