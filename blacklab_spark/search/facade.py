@@ -25,6 +25,34 @@ from pyspark.sql import DataFrame
 from blacklab_spark.search.results import Hits
 
 
+def _sort_groups(g: DataFrame, sort: str | None) -> DataFrame:
+    """Group-level sort on a grouped result (reference
+    HitGroupProperty/DocGroupProperty deserialization: ``size`` —
+    descending by default, HitGroupPropertySize.sortDescendingByDefault
+    — and ``identity`` (the group key) ascending; a ``-`` prefix
+    reverses). Hit-level sort criteria don't apply to grouped output
+    and leave the default size-desc order."""
+    from pyspark.sql import functions as F
+
+    if not sort:
+        return g
+    rev = sort.startswith("-")
+    crit = sort[1:] if rev else sort
+    counts = {"size", "n_hits", "n_docs", "sample_hits"}
+    if crit in ("size", "numhits"):
+        col = "size" if "size" in g.columns else "n_hits"
+        keys = [c for c in g.columns if c not in counts]
+        return g.orderBy(
+            F.col(col).asc() if rev else F.col(col).desc(), *keys
+        )
+    if crit == "identity":
+        keys = [c for c in g.columns if c not in counts]
+        return g.orderBy(
+            *[F.col(k).desc() if rev else F.col(k).asc() for k in keys]
+        )
+    return g
+
+
 def search(
     corpus,
     patt: str | None = None,
@@ -140,11 +168,12 @@ def search(
         if filter_sql:
             docs = docs.filter(filter_sql)
         if group:
-            return _out(
+            g = (
                 docs.groupBy(group)
                 .agg(F.count(F.lit(1)).alias("n_docs"))
                 .orderBy(F.desc("n_docs"), group)
             )
+            return _out(_sort_groups(g, sort))
         return _out(docs)
 
     if pattlang == "bcql":
@@ -253,21 +282,23 @@ def search(
     if group and viewgroup is None:
         if "," in group:
             # compound criteria (reference HitPropertyMultiple)
-            return _out(hits.group_by([c.strip() for c in group.split(",")]))
-        if group == "decade":
-            return _out(hits.group_by_decade())
-        if group.startswith("field:"):
-            return _out(hits.group_by_metadata(group.split(":", 1)[1]))
-        if group.startswith("hit:") or group == "hit":
+            g = hits.group_by([c.strip() for c in group.split(",")])
+        elif group == "decade":
+            g = hits.group_by_decade()
+        elif group.startswith("field:"):
+            g = hits.group_by_metadata(group.split(":", 1)[1])
+        elif group.startswith("hit:") or group == "hit":
             ann = group.split(":", 1)[1] if ":" in group else "word"
-            return _out(hits.group_by_hit_text(ann or "word"))
-        if group.startswith("capture:"):
-            return _out(hits.group_by_capture(group.split(":", 1)[1]))
-        if group == "context" or group.startswith("context:"):
+            g = hits.group_by_hit_text(ann or "word")
+        elif group.startswith("capture:"):
+            g = hits.group_by_capture(group.split(":", 1)[1])
+        elif group == "context" or group.startswith("context:"):
             # reference HitPropertyContextWords serialization
             # (context:<ann>:<sens>:<spec>, e.g. context:word:s:L1-1)
-            return _out(hits.group_by([group]))
-        raise ValueError(f"unknown group criterion: {group}")
+            g = hits.group_by([group])
+        else:
+            raise ValueError(f"unknown group criterion: {group}")
+        return _out(_sort_groups(g, sort))
 
     if viewgroup is not None:
         # hits of one group (reference RequestHandler viewgroup param)

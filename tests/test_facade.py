@@ -381,3 +381,25 @@ def test_sort_survives_window_and_kwic(micro):
                        usecontent="orig")
     texts = [r["match_text"] for r in out.collect()]
     assert texts == sorted(texts, key=str.lower)
+
+
+def test_group_level_sort(micro):
+    # sort=identity / -size on grouped requests (reference
+    # HitGroupProperty.deserialize: size desc-by-default, identity asc,
+    # '-' reverses)
+    out = micro.search(patt='"the"', group="hit", sort="identity")
+    assert [r["grp"] for r in out.collect()] == ["the"]
+    out = micro.search(patt="[]", group="field:role", sort="identity")
+    keys = [r["role"] for r in out.collect()]
+    assert keys == sorted(keys)
+    out = micro.search(patt="[]", group="field:role", sort="-identity")
+    assert [r["role"] for r in out.collect()] == sorted(keys, reverse=True)
+    by_size = micro.search(patt="[]", group="hit:lemma", sort="size")
+    sizes = [r["size"] for r in by_size.collect()]
+    assert sizes == sorted(sizes, reverse=True)
+    asc = micro.search(patt="[]", group="hit:lemma", sort="-size")
+    assert [r["size"] for r in asc.collect()] == sorted(sizes)
+    # docs-only grouped request honors identity sort too
+    d = micro.search(group="role", sort="identity")
+    roles = [r["role"] for r in d.collect()]
+    assert roles == sorted(roles)
