@@ -30,6 +30,37 @@ import time
 from pyspark.sql import functions as F
 
 
+def _sort_docs(df, sort: str | None):
+    """DocProperty sort for docs responses (reference
+    DocProperty.deserialize: ``field:<name>``, ``decade``, ``id``,
+    ``numhits`` — numhits descending by default like
+    DocPropertyNumberOfHits.sortDescendingByDefault; ``-`` reverses).
+    Unknown criteria keep the default order."""
+    if not sort:
+        return df
+    rev = sort.startswith("-")
+    crit = sort[1:] if rev else sort
+    if crit in ("numhits", "size") and "n_hits" in df.columns:
+        c = F.col("n_hits")
+        return df.orderBy(c.asc() if rev else c.desc(), "doc_id")
+    if crit in ("id", "docid"):
+        c = F.col("doc_id")
+        return df.orderBy(c.desc() if rev else c.asc())
+    if crit.startswith("field:"):
+        name = crit.split(":", 1)[1]
+        col = name if name in df.columns else (
+            f"meta_{name}" if f"meta_{name}" in df.columns else None
+        )
+        if col:
+            c = F.col(col)
+            return df.orderBy(c.desc() if rev else c.asc(), "doc_id")
+        return df
+    if crit == "decade" and "ts" in df.columns:
+        d = F.year("ts") - F.year("ts") % 10
+        return df.orderBy(d.desc() if rev else d.asc(), "doc_id")
+    return df
+
+
 def _pid(row) -> str:
     return f"{row['conv_id']}/{row['turn_idx']}"
 
@@ -399,11 +430,15 @@ def docs_response(
         return _docs_grouped(corpus, patt, group, echo, first, number,
                              t0, params)
 
+    # doc-level sort criteria are consumed here, not by the hit facade
+    sort = params.pop("sort", None)
+
     if patt is None:
         docs = corpus.search(**params)  # doc_stats, optionally filtered
         total = docs.count()
-        page = docs.orderBy("doc_id").offset(first).limit(number).collect() \
-            if first else docs.orderBy("doc_id").limit(number).collect()
+        docs = _sort_docs(docs, sort) if sort else docs.orderBy("doc_id")
+        page = docs.offset(first).limit(number).collect() \
+            if first else docs.limit(number).collect()
         infos = _doc_infos(corpus, [r["doc_id"] for r in page])
         out = [{"docPid": _pid(r), "docInfo": infos.get(_pid(r), {})}
                for r in page]
@@ -417,7 +452,7 @@ def docs_response(
     from blacklab_spark.search.results import Hits
 
     hits_df = corpus.search(patt=patt, **params)
-    per_doc = Hits(corpus, hits_df).per_doc()
+    per_doc = _sort_docs(Hits(corpus, hits_df).per_doc(), sort)
     total_hits, n_docs = _num_hits(hits_df)
     page = per_doc.offset(first).limit(number).collect() \
         if first else per_doc.limit(number).collect()

@@ -333,3 +333,23 @@ def test_hits_envelope_filter_and_sort_passthrough(small_corpus):
     assert resp["summary"]["numberOfHits"] > 0
     for pid, info in resp["docInfos"].items():
         assert info["role"] == ["user"]
+
+
+def test_docs_sort_properties(small_corpus):
+    # DocProperty sort on /docs (reference DocProperty.deserialize):
+    # numhits desc-by-default, -numhits asc, id, field:<name>
+    corpus, _ = small_corpus
+    resp = docs_response(corpus, '"word00001"', number=100, sort="numhits")
+    counts = [d["numberOfHits"] for d in resp["docs"]]
+    assert counts == sorted(counts, reverse=True)
+    resp = docs_response(corpus, '"word00001"', number=100, sort="-numhits")
+    counts = [d["numberOfHits"] for d in resp["docs"]]
+    assert counts == sorted(counts)
+    resp = docs_response(corpus, '"word00001"', number=10**6, sort="id")
+    pids = [d["docPid"] for d in resp["docs"]]
+    rev = docs_response(corpus, '"word00001"', number=10**6, sort="-id")
+    assert [d["docPid"] for d in rev["docs"]] == list(reversed(pids))
+    # metadata-only listing sorted by a stored field
+    resp = docs_response(corpus, number=100, sort="field:role")
+    roles = [d["docInfo"]["role"][0] for d in resp["docs"]]
+    assert roles == sorted(roles)
