@@ -292,12 +292,11 @@ def search(
             g = hits.group_by_hit_text(ann or "word")
         elif group.startswith("capture:"):
             g = hits.group_by_capture(group.split(":", 1)[1])
-        elif group == "context" or group.startswith("context:"):
-            # reference HitPropertyContextWords serialization
-            # (context:<ann>:<sens>:<spec>, e.g. context:word:s:L1-1)
-            g = hits.group_by([group])
         else:
-            raise ValueError(f"unknown group criterion: {group}")
+            # any other single criterion _with_keys understands
+            # (context DSL, doc/docid, fieldlen, numhits, ...) —
+            # unknown names raise there
+            g = hits.group_by([group])
         return _out(_sort_groups(g, sort))
 
     if viewgroup is not None:
@@ -348,10 +347,11 @@ def search(
             hits = hits.sort_by_hit_text(
                 sort.split(":", 1)[1] if ":" in sort else "word"
             )
-        elif sort.startswith("context"):
-            hits = hits.sort_by([sort])
         else:
-            raise ValueError(f"unknown sort criterion: {sort}")
+            # any other single criterion _with_keys understands
+            # (context DSL, doc/docid, fieldlen, numhits, wordleft,
+            # capture, decade, ...) — unknown names raise there
+            hits = hits.sort_by([sort])
 
     # ---- collocations ----------------------------------------------
     if calc == "colloc":

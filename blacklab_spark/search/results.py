@@ -250,25 +250,35 @@ class Hits:
     def _order_cols(self) -> list[str]:
         return sorted(
             (c for c in self.df.columns if c.startswith("_ord")),
-            key=lambda c: int(c[4:] or 0),
+            key=lambda c: int(c.lstrip("_ordD") or 0),
         )
 
     def _hit_order(self) -> list:
-        return [*self._order_cols, "doc_id", "start", "end"]
+        # a _ordD<i> name marks a descending key (reference '-' prefix
+        # on a serialized property reverses that part)
+        return [
+            F.col(c).desc() if c.startswith("_ordD") else F.col(c)
+            for c in self._order_cols
+        ] + ["doc_id", "start", "end"]
 
-    def _sorted(self, keys: list, base_df: DataFrame | None = None) -> "Hits":
+    def _sorted(self, keys: list, base_df: DataFrame | None = None,
+                descs: list[bool] | None = None) -> "Hits":
         """New Hits sorted by ``keys`` (Column expressions over
-        ``base_df``, default self.df), keys kept as ``_ordN``."""
+        ``base_df``, default self.df), keys kept as ``_ord[D]N``."""
         df = base_df if base_df is not None else self.df
         stale = [c for c in df.columns if c.startswith("_ord")]
         if stale:  # a re-sort replaces the previous order
             df = df.drop(*stale)
-        for i, k in enumerate(keys):
-            df = df.withColumn(f"_ord{i}", k)
-        ords = [f"_ord{i}" for i in range(len(keys))]
+        descs = descs or [False] * len(keys)
+        ords = []
+        for i, (k, d) in enumerate(zip(keys, descs)):
+            name = f"_ordD{i}" if d else f"_ord{i}"
+            df = df.withColumn(name, k)
+            ords.append(name)
         keep = [c for c in self.df.columns if not c.startswith("_ord")]
-        out = df.orderBy(*ords, "doc_id", "start", "end").select(*keep, *ords)
-        return Hits(self.corpus, out)
+        out = df.select(*keep, *ords)
+        out = Hits(self.corpus, out)
+        return Hits(self.corpus, out.df.orderBy(*out._hit_order()))
 
     # -- basic ------------------------------------------------------------
     def count(self) -> int:
@@ -556,6 +566,8 @@ class Hits:
                 meta_cols.add(crit.split(":", 1)[1])
             elif crit == "decade":
                 meta_cols.add("ts")
+            elif crit == "fieldlen":
+                meta_cols.add("num_tokens")
         for a in sorted(anns):
             src = "tokens_i" if a in ("word", "") else f"ann_{a}"
             tk = self.corpus.context_store.select(
@@ -585,6 +597,20 @@ class Hits:
                 toks = F.col(f"_toks_{ann_of(crit)}")
             if crit == "decade":
                 col = F.year("ts") - F.year("ts") % 10
+            elif crit in ("doc", "docid"):
+                # HitPropertyDoc / HitPropertyDocumentId (the pid IS
+                # derived from doc_id in this engine)
+                col = F.col("doc_id")
+            elif crit == "fieldlen":
+                # HitPropertyDocumentLength analogue (fieldlen:
+                # annotated field length in tokens)
+                col = F.col("num_tokens")
+            elif crit == "numhits":
+                # hits in the same document (DocPropertyNumberOfHits
+                # surfaced as a hit sort criterion)
+                col = F.count(F.lit(1)).over(
+                    Window.partitionBy("doc_id")
+                )
             elif base == "context":
                 ann, sens, spec = ctx_of(crit)
                 col = _context_words_key(
@@ -642,9 +668,14 @@ class Hits:
 
     def sort_by(self, criteria: list[str]) -> "Hits":
         """Compound sort over any criterion list (HitPropertyMultiple),
-        (doc,start,end) tie-break."""
-        df, keys = self._with_keys(criteria)
-        return self._sorted([F.col(k) for k in keys], base_df=df)
+        (doc,start,end) tie-break; a ``-`` prefix on a criterion
+        reverses that part (reference PropertySerializeUtil
+        serializeReverse)."""
+        descs = [c.startswith("-") for c in criteria]
+        stripped = [c.lstrip("-") for c in criteria]
+        df, keys = self._with_keys(stripped)
+        return self._sorted([F.col(k) for k in keys], base_df=df,
+                            descs=descs)
 
     def group_by(self, criteria: list[str]) -> DataFrame:
         """Compound grouping over any criterion list: one groupBy over

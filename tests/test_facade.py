@@ -403,3 +403,18 @@ def test_group_level_sort(micro):
     d = micro.search(group="role", sort="identity")
     roles = [r["role"] for r in d.collect()]
     assert roles == sorted(roles)
+
+
+def test_doc_level_hit_properties(micro):
+    # the remaining HitProperty.deserialize names (reference
+    # HitProperty.java:67-110): doc/docid, fieldlen, numhits
+    g = micro.search(patt='"the"', group="docid", sort="identity")
+    rows = [(r["docid"], r["size"]) for r in g.collect()]
+    assert rows == [(0, 2), (2, 1), (3, 1)]
+    s = micro.search(patt='"the"', sort="-numhits,docid")
+    got = [(r["doc_id"], r["start"]) for r in
+           s.select("doc_id", "start").collect()]
+    assert got[:2] == [(0, 0), (0, 6)]  # doc 0 has 2 hits -> first
+    g = micro.search(patt='"the"', group="fieldlen", sort="identity")
+    assert [(r["fieldlen"], r["size"]) for r in g.collect()] == [
+        (6, 1), (9, 2), (10, 1)]
