@@ -410,9 +410,13 @@ class Hits:
         # otherwise alias two identical columns and break resolution)
         anns = list(dict.fromkeys(annotations or []))
         # ONE doc_id join carrying every needed token array; each view
-        # is three codegen slices over its array
-        views = [("", "tokens_i")] + [
-            (f"_{a}", f"ann_{a}" if a not in ("word", "") else "tokens_i")
+        # is three codegen slices over its array. KWIC displays the
+        # ORIGINAL word forms (the reference's forward index stores the
+        # case-preserved primary value and Kwic renders it,
+        # TestKwic.java "De"/"snelle"); the folded variants exist for
+        # matching/grouping, not display.
+        views = [("", "tokens")] + [
+            (f"_{a}", f"ann_{a}" if a not in ("word", "") else "tokens")
             for a in anns
         ]
         tk = self.corpus.context_store.select(

@@ -67,7 +67,8 @@ def test_search_kwic_window(micro):
     out = micro.search(patt='"the"', first=0, number=2, wordsaroundhit=1)
     rows = out.orderBy("doc_id", "start").collect()
     assert len(rows) == 2
-    assert rows[0]["match"] == "the" and rows[0]["right"] == "quick"
+    # KWIC shows the original case-preserved word (reference Kwic)
+    assert rows[0]["match"] == "The" and rows[0]["right"] == "quick"
 
 
 def test_search_grouped_by_field(micro):
@@ -304,8 +305,8 @@ def test_kwic_listvalues_annotations(micro):
     ).collect()
     assert len(out) == 1
     r = out[0]
-    # doc2: may the [Force] be with you
-    assert r["match"] == "force" and r["left"] == "may the"
+    # doc2: May the [Force] be with you — word view shows original case
+    assert r["match"] == "Force" and r["left"] == "May the"
     assert r["match_lemma"] == "force" and r["left_lemma"] == "may the"
     assert r["match_pos"] == "nou" and r["left_pos"] == "vrb art"
     assert r["right_pos"] == "vrb pre"

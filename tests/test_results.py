@@ -56,7 +56,7 @@ def test_kwic(micro):
 def test_kwic_clipped_at_doc_edges(micro):
     h = micro.find('"may"')
     k = h.kwic(3).collect()[0]
-    assert k["left"] == "" and k["match"] == "may" and k["right"] == "the force be"
+    assert k["left"] == "" and k["match"] == "May" and k["right"] == "the Force be"
 
 
 def test_sort_by_hit_text(micro):

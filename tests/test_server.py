@@ -90,7 +90,7 @@ def test_hits_envelope_listvalues_annotations(micro):
     # contextList writes one token-aligned list per annotation
     # (DataStreamJson.java:122-145)
     assert set(h["match"]) == {"word", "pos"}
-    assert h["match"]["word"] == ["force"]
+    assert h["match"]["word"] == ["Force"]  # original case (Kwic)
     assert h["match"]["pos"] == ["nou"]
     assert len(h["left"]["pos"]) == len(h["left"]["word"])
 

@@ -139,9 +139,10 @@ def test_multivalue_word_searchable(xml_corpus):
     assert _hits(c, '"the"') == {(0, 0, 1), (0, 6, 7), (2, 1, 2), (3, 8, 9)}
     # sequence through a secondary value
     assert _hits(c, '"doh" "quick"') == {(0, 0, 2)}
-    # concordance shows the PRIMARY value (forward index keeps first)
+    # concordance shows the PRIMARY value, case-preserved (the
+    # reference's forward index keeps the first value's original form)
     kw = c.find('"doh"').kwic(1).collect()
-    assert len(kw) == 1 and kw[0]["match"] == "the"
+    assert len(kw) == 1 and kw[0]["match"] == "The"
 
 
 def test_blf_yaml_config(tmp_path, spark, xml_dir):
