@@ -157,6 +157,30 @@ class _Router:
             )
             if ann == "contents":
                 ann = "word"
+            # a METADATA field name completes its distinct values
+            # (reference ResultAutocomplete.java:30-58 routes metadata
+            # vs annotated-field names the same way)
+            meta_src = None
+            if len(rest) <= 2 and ann != "word":
+                from pyspark.sql import functions as F
+
+                stats = corpus.doc_stats
+                if ann in stats.columns:
+                    meta_src = stats.select(F.col(ann).cast("string"))
+                elif f"meta_{ann}" in corpus.tokenized.columns:
+                    meta_src = corpus.tokenized.select(
+                        F.col(f"meta_{ann}").cast("string").alias(ann)
+                    )
+            if meta_src is not None:
+                pref = q.get("term", "").lower()
+                vals = (
+                    meta_src.filter(F.lower(F.col(ann)).startswith(pref))
+                    .distinct()
+                    .orderBy(ann)
+                    .limit(q.get("n", 20))
+                    .collect()
+                )
+                return 200, [r[0] for r in vals]
             df = autocomplete(corpus, q.get("term", ""), n=q.get("n", 20),
                               annotation=ann)
             return 200, [r[0] for r in df.collect()]

@@ -228,3 +228,16 @@ def test_error_envelopes(bls):
     code, body = get_err("/transcripts/docs/zzz%2Fnope")
     assert code == 404
     assert body["error"]["code"] == "DOC_NOT_FOUND"
+
+
+def test_autocomplete_metadata_field(bls):
+    # /autocomplete/<metadataField> completes distinct VALUES of that
+    # field (reference ResultAutocomplete.java:30-58 routes metadata vs
+    # annotated-field names through the same endpoint)
+    get, _ = bls
+    status, body = get("/transcripts/autocomplete/role?term=u")
+    assert status == 200
+    assert body == ["user"]
+    status, body = get("/transcripts/autocomplete/role?term=")
+    assert status == 200
+    assert set(body) >= {"user", "assistant"}
