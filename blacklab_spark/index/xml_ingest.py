@@ -115,6 +115,11 @@ class XmlFormat:
     # text preceding that token) — the reference carries punct in every
     # Kwic context (Kwic.java, DocIndexerXPath punct handling)
     punct: bool = True
+    # `process:` value operations + `mapValues:` tables per annotation
+    # name (reference DocIndexerConfig.processStringMultipleValues) and
+    # per metadata column (processString): name -> (steps, map_values)
+    processing: dict = field(default_factory=dict)
+    meta_processing: dict = field(default_factory=dict)
     name: str = "xml"
 
 
@@ -423,6 +428,144 @@ def _ann_values(el, spec: str) -> list[str]:
     return out
 
 
+def _java_repl(replace: str) -> str:
+    """Java replaceAll group refs ($1) -> Python re.sub (\\g<1>)."""
+    import re
+
+    return re.sub(r"\$(\d+)", r"\\g<\1>", replace)
+
+
+def _op_parse_pos(value: str, feat: str) -> str:
+    """DocIndexerConfig.opParsePartOfSpeech: 'NOU-C(gender=f)' -> main
+    pos for field '_', else the named feature's value ('' if absent)."""
+    import re
+
+    value = value.strip()
+    if feat == "_":
+        return re.sub(r"^([^(]+)(\s*\(.*\))?$", r"\g<1>", value)
+    m = re.match(r"^[^(]+(\s*\((.*)\))?$", value)
+    feats = (m.group(2) or "") if m else ""
+    for part in feats.split(","):
+        k, _, v = part.partition("=")
+        if k.strip() == feat:
+            return v.strip()
+    return ""
+
+
+def apply_process(values: list[str], steps: list[dict],
+                  map_values: dict | None = None,
+                  get_meta=None) -> list[str]:
+    """The reference's `process:` value-operation chain
+    (DocIndexerConfig.processStringMultipleValues:280-370 and the op*
+    helpers :375-565): replace (regex, keep=all keeps originals),
+    default/append (constant value or another metadata field via
+    ``get_meta``), split (separator regex; keep = index / 'all' /
+    'both'), strip, parsePos, chatFormatAgeToMonths, concatDate; then
+    the ``mapValues`` table. Pure Python — runs inside the per-file
+    ``mapInPandas`` parser, never per Spark row."""
+    import re
+
+    def meta_or_value(p: dict, sep: str) -> str | None:
+        f = p.get("field")
+        if f is not None and get_meta is not None:
+            got = get_meta(f)
+            if got:
+                return sep.join(got) if isinstance(got, list) else str(got)
+            return None
+        return p.get("value")
+
+    result = list(values)
+    for step in steps:
+        method = step.get("action") or step.get("method") or ""
+        if method == "replace":
+            keep_all = str(step.get("keep", "replaced")) == "all"
+            out: list[str] = []
+            for s in result:
+                r = re.sub(step.get("find", ""), _java_repl(
+                    str(step.get("replace", ""))), s)
+                out.extend([s, r] if keep_all else [r])
+            result = out
+        elif method in ("default", "ifempty"):
+            v = meta_or_value(step, str(step.get("separator", ";")))
+            if v is not None:
+                result = [v if s == "" else s for s in result]
+        elif method == "append":
+            sep = str(step.get("separator", " "))
+            v = meta_or_value(step, sep)
+            if v:
+                result = [(s + sep + v if s else v) for s in result]
+        elif method == "split":
+            sep = str(step.get("separator", ";"))
+            keep = str(step.get("keep", "-1")).lower()
+            out = []
+            for s in result:
+                parts = re.split(sep, s)
+                if keep == "all":
+                    out.extend(parts)
+                elif keep == "both":
+                    out.append(s)
+                    out.extend(parts)
+                else:
+                    try:
+                        i = int(keep)
+                    except ValueError:
+                        i = -1
+                    i = max(i, 0)
+                    out.append(parts[i] if i < len(parts) else "")
+            result = out
+        elif method == "strip":
+            chars = str(step.get("chars", " "))
+            result = [s.strip(chars) for s in result]
+        elif method == "parsePos":
+            feat = str(step.get("field", "_"))
+            result = [_op_parse_pos(s, feat) for s in result]
+        elif method == "chatFormatAgeToMonths":
+            out = []
+            for s in result:
+                parts = re.split(r"[;.]", s, maxsplit=2)
+                try:
+                    y = int(parts[0])
+                    m = int(parts[1]) if len(parts) > 1 else 0
+                    d = int(parts[2]) if len(parts) > 2 else 0
+                    out.append(str(y * 12 + m + (1 if d > 14 else 0)))
+                except ValueError:
+                    out.append(s)
+            result = out
+        elif method == "concatDate":
+            # yyyymmdd from three metadata fields, autofill start/end
+            # clamping (opConcatDate)
+            import calendar
+
+            def intfield(name):
+                got = get_meta(name) if get_meta else None
+                if isinstance(got, list):
+                    got = got[0] if got else None
+                try:
+                    return int(got)
+                except (TypeError, ValueError):
+                    return None
+
+            y = intfield(step.get("yearField", ""))
+            m = intfield(step.get("monthField", ""))
+            d = intfield(step.get("dayField", ""))
+            start = str(step.get("autofill", "start")).lower() == "start"
+            if y is None:
+                result = [""] + result[1:]
+            else:
+                if m is None or not 1 <= m <= 12:
+                    m = 1 if start else 12
+                last = calendar.monthrange(y, m)[1]
+                if d is None or not 1 <= d <= last:
+                    d = 1 if start else last
+                s = f"{y:04d}{m:02d}{d:02d}"
+                result = [s] + result[1:] if result else [s]
+        else:
+            raise ValueError(f"unknown processing step method {method!r}")
+    if map_values:
+        result = [map_values.get(s, s) for s in result]
+    return result
+
+
 def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
                keep_xml: bool = False,
                token_pattern: str | None = None) -> dict:
@@ -459,6 +602,48 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
     # ALIGNABLE_ANNOTATION — only the Words tier's annotations tokenize)
     word_steps = _parse_steps(cfg.word_path) if cfg.word_path else None
 
+    # metadata FIRST (it only reads the document element) so process
+    # steps on annotations can reference metadata fields, like the
+    # reference's getMetadataField during processing
+    conv_id = f"{file_id}-{doc_idx}"
+    role = tool = ""
+    extra_meta: dict[str, str] = {}
+    if cfg.metadata_foreach:
+        # forEachPath leaf-element metadata (tcf/cmdi.blf.yaml:
+        # `forEachPath: .//*[not(*) and text()]` + `namePath:
+        # local-name()` under a containerPath): every text-bearing leaf
+        # under the container becomes a field named by its local tag;
+        # first occurrence wins (repeated names are rare in CMDI
+        # headers). The container may be the document element itself
+        # (cmdi.blf.yaml has no metadata containerPath).
+        for c in doc_el.iter():
+            if _local(c.tag) == cfg.metadata_foreach:
+                for leaf in c.iter():
+                    txt = (leaf.text or "").strip()
+                    if len(leaf) == 0 and txt:
+                        extra_meta.setdefault(_local(leaf.tag), txt)
+                break
+
+    def get_meta(name: str):
+        return {"conv_id": conv_id, "role": role, "tool": tool}.get(
+            name, extra_meta.get(name, "")
+        )
+
+    for col, spec in cfg.metadata.items():
+        val = _ann_value(doc_el, spec)
+        proc = cfg.meta_processing.get(col)
+        if proc:
+            got = apply_process([val], proc[0], proc[1], get_meta)
+            val = got[0] if got else ""
+        if col == "conv_id" and val:
+            conv_id = val
+        elif col == "role":
+            role = val
+        elif col == "tool":
+            tool = val
+        elif val:
+            extra_meta[col] = val
+
     def is_word(el, tag: str, stack: list) -> bool:
         if word_steps is None:
             return tag == cfg.word_tag
@@ -493,7 +678,17 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
                 words.append(primary)
                 word_full.extend([raw] * k)
                 for name, spec in cfg.annotations.items():
-                    anns[name].extend([_ann_value(el, spec)] * k)
+                    v = _ann_value(el, spec)
+                    proc = cfg.processing.get(name)
+                    if proc:
+                        got = apply_process([v], proc[0], proc[1], get_meta)
+                        # multiple processed values land in one
+                        # multivalue cell (build splits on `|`, same
+                        # contract as the word annotation)
+                        v = "|".join(got) if len(got) > 1 else (
+                            got[0] if got else ""
+                        )
+                    anns[name].extend([v] * k)
                 # flush accumulated inter-word text as this token's
                 # preceding punct; a word's extra sub-tokens have none
                 punct.append(re.sub(r"\s+", " ", "".join(pend)))
@@ -602,34 +797,6 @@ def _parse_doc(doc_el, cfg: XmlFormat, file_id: str, doc_idx: int,
                                 # multivalue cell (build splits on `|`)
                                 arr[p] = arr[p] + "|" + v
 
-    conv_id = f"{file_id}-{doc_idx}"
-    role = tool = ""
-    extra_meta: dict[str, str] = {}
-    if cfg.metadata_foreach:
-        # forEachPath leaf-element metadata (tcf/cmdi.blf.yaml:
-        # `forEachPath: .//*[not(*) and text()]` + `namePath:
-        # local-name()` under a containerPath): every text-bearing leaf
-        # under the container becomes a field named by its local tag;
-        # first occurrence wins (repeated names are rare in CMDI
-        # headers). The container may be the document element itself
-        # (cmdi.blf.yaml has no metadata containerPath).
-        for c in doc_el.iter():
-            if _local(c.tag) == cfg.metadata_foreach:
-                for leaf in c.iter():
-                    txt = (leaf.text or "").strip()
-                    if len(leaf) == 0 and txt:
-                        extra_meta.setdefault(_local(leaf.tag), txt)
-                break
-    for col, spec in cfg.metadata.items():
-        val = _ann_value(doc_el, spec)
-        if col == "conv_id" and val:
-            conv_id = val
-        elif col == "role":
-            role = val
-        elif col == "tool":
-            tool = val
-        elif val:
-            extra_meta[col] = val
     out_anns = {}
     for name, vals in anns.items():
         if any(v for v in vals):
@@ -889,10 +1056,24 @@ def load_blf_config(path: str) -> XmlFormat:
         # qualified words) need ancestor-anchored matching
         if len(parts) > 1 or (parts and "[" in parts[0]):
             fmt.word_path = "/".join(parts)
+    def read_process(node: dict, target: str, into: dict) -> None:
+        """`process:` steps + `mapValues:` table for one annotation or
+        metadata field (reference ConfigProcessStep; step keys are the
+        action name + its params, either flat or under `param:`)."""
+        steps = []
+        for st in node.get("process") or []:
+            flat = dict(st.get("param") or {})
+            flat.update({k: v for k, v in st.items() if k != "param"})
+            steps.append(flat)
+        mv = node.get("mapValues") or None
+        if steps or mv:
+            into[target] = (steps, mv)
+
     if contents.get("annotations"):
         fmt.annotations = {}
         for a in contents["annotations"]:
             spec = norm_path(a.get("valuePath", ""), a.get("basePath"))
+            read_process(a, a["name"], fmt.processing)
             if a["name"] == "word":
                 # the main annotation IS the word text (reference: the
                 # first annotation; FoLiA reads it from the <t> child)
@@ -960,6 +1141,7 @@ def load_blf_config(path: str) -> XmlFormat:
                 )
             elif m.get("valuePath"):
                 named[m["name"]] = norm_path(m["valuePath"])
+                read_process(m, m["name"], fmt.meta_processing)
             elif not has_foreach:
                 # bare `- name: pid` = same-named attribute shorthand;
                 # in a forEach block it's a type-only refinement

@@ -888,3 +888,96 @@ def test_reference_testformat_yaml_loads_and_ingests(spark, xml_dir):
     assert reg.word_tag == fmt.word_tag
     assert reg.annotations == fmt.annotations
     assert reg.inline_tags == fmt.inline_tags
+
+
+def test_process_operations_parity():
+    # reference TestProcessingOperations.testOpPartOfSpeechParse
+    from blacklab_spark.index.xml_ingest import _op_parse_pos, apply_process
+
+    assert _op_parse_pos("NOU-C()", "_") == "NOU-C"
+    assert _op_parse_pos("NOU-C(gender=f,number=pl)", "_") == "NOU-C"
+    assert _op_parse_pos("NOU-C(gender=f,number=pl)", "gender") == "f"
+    assert _op_parse_pos("NOU-C(gender=f,number=pl)", "number") == "pl"
+    assert _op_parse_pos("NOU-C(gender=f,number=pl)", "type") == ""
+    # the op chain (DocIndexerConfig.processStringMultipleValues)
+    assert apply_process(["a|b|c"], [{"action": "split",
+                                      "separator": r"\|",
+                                      "keep": "all"}]) == ["a", "b", "c"]
+    assert apply_process(["a;b"], [{"action": "split"}]) == ["a"]
+    assert apply_process(["a;b"], [{"action": "split",
+                                    "keep": "both"}]) == ["a;b", "a", "b"]
+    assert apply_process(["x1y2"], [{"action": "replace", "find": r"(\d)",
+                                     "replace": "<$1>"}]) == ["x<1>y<2>"]
+    assert apply_process([""], [{"action": "default",
+                                 "value": "unknown"}]) == ["unknown"]
+    assert apply_process(["v"], [{"action": "append",
+                                  "value": "w"}]) == ["v w"]
+    assert apply_process(["--v--"], [{"action": "strip",
+                                      "chars": "-"}]) == ["v"]
+    assert apply_process(["1;10.30"],
+                         [{"action": "chatFormatAgeToMonths"}]) == ["23"]
+    assert apply_process(["raw"], [], {"raw": "mapped"}) == ["mapped"]
+    meta = {"y": "2000", "m": "10", "d": "19"}
+    assert apply_process([""], [{"action": "concatDate", "yearField": "y",
+                                 "monthField": "m", "dayField": "d",
+                                 "autofill": "start"}],
+                         get_meta=meta.get) == ["20001019"]
+    assert apply_process([""], [{"action": "concatDate", "yearField": "y",
+                                 "monthField": "zz", "dayField": "zz",
+                                 "autofill": "end"}],
+                         get_meta=meta.get) == ["20001231"]
+
+
+def test_process_steps_through_blf_config(tmp_path, spark):
+    # a config with process/mapValues on an annotation and a metadata
+    # field drives ingestion (reference DocIndexerConfig.processValue)
+    cfg_path = tmp_path / "proc.blf.yaml"
+    cfg_path.write_text(
+        """
+name: proc
+documentPath: //doc
+annotatedFields:
+  contents:
+    wordPath: .//w
+    annotations:
+    - name: pos
+      valuePath: "@p"
+      process:
+        - action: parsePos
+          field: _
+    - name: gender
+      valuePath: "@p"
+      process:
+        - action: parsePos
+          field: gender
+        - action: default
+          value: none
+      mapValues:
+        f: female
+metadata:
+  fields:
+  - name: lang
+    valuePath: "@lang"
+    process:
+      - action: default
+        value: eng
+      - action: append
+        value: "(auto)"
+"""
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.xml").write_text(
+        "<doc><w p='NOU-C(gender=f,number=pl)'>cats</w>"
+        "<w p='VRB()'>run</w></doc>"
+    )
+    from blacklab_spark.index.xml_ingest import load_blf_config, read_xml
+
+    fmt = load_blf_config(str(cfg_path))
+    assert "pos" in fmt.processing and "lang" in fmt.meta_processing
+    rows = read_xml(spark, str(d), fmt).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert list(r["ann_pos"]) == ["NOU-C", "VRB"]
+    assert list(r["ann_gender"]) == ["female", "none"]
+    assert r["meta_lang"] == "eng (auto)"
