@@ -300,14 +300,16 @@ def dedup_clusters(
             .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         )
         pairs = pairs.unionByName(star)
-    # symmetric edge list; shuffle key is always a doc id — skew-free
+    # symmetric edge list; shuffle key is always a doc id — skew-free.
+    # localCheckpoint: the LSH + Jaccard pipeline behind `pairs` must
+    # run ONCE, not once per propagation round
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
-    ).distinct()
+    ).distinct().localCheckpoint()
     lab = docs.select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint()
     for _ in range(max_iter):
         # min label among neighbors (one hop)...
