@@ -510,6 +510,7 @@ def _docs_grouped(corpus, patt, group, echo, first, number, t0,
     metadata criterion, each with size, token count, and the group's
     share of the whole corpus (subcorpusSize, DStream.java:286-292)."""
     col = group.split(":", 1)[1] if group.startswith("field:") else group
+    sort = params.pop("sort", None)  # DocGroupProperty: size/identity
     key = (F.year("ts") - F.year("ts") % 10).alias("_grp") \
         if col == "decade" else F.col(col).alias("_grp")
 
@@ -534,13 +535,21 @@ def _docs_grouped(corpus, patt, group, echo, first, number, t0,
         docs = corpus.search(**params).withColumn("n_hits", F.lit(0))
         if col != "decade" and col not in docs.columns:
             docs = docs.join(corpus.tokenized.select("doc_id", col), "doc_id")
-    gdf = (
-        docs.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("size"),
-             F.sum("num_tokens").alias("tokens"),
-             F.sum("n_hits").alias("hits"))
-        .orderBy(F.desc("size"), "_grp")
+    gdf = docs.groupBy(key).agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sum("num_tokens").alias("tokens"),
+        F.sum("n_hits").alias("hits"),
     )
+    rev = bool(sort) and sort.startswith("-")
+    crit = (sort or "").lstrip("-")
+    if crit == "identity":
+        gdf = gdf.orderBy(F.col("_grp").desc() if rev else F.col("_grp"))
+    elif crit in ("size", "numhits"):
+        gdf = gdf.orderBy(
+            F.col("size").asc() if rev else F.col("size").desc(), "_grp"
+        )
+    else:  # reference default: groups by size descending
+        gdf = gdf.orderBy(F.desc("size"), "_grp")
     # subcorpus share per group value: the WHOLE corpus grouped the
     # same way (independent of the pattern), one broadcast-sized agg
     sub = {

@@ -353,3 +353,14 @@ def test_docs_sort_properties(small_corpus):
     resp = docs_response(corpus, number=100, sort="field:role")
     roles = [d["docInfo"]["role"][0] for d in resp["docs"]]
     assert roles == sorted(roles)
+
+
+def test_docs_grouped_sort(small_corpus):
+    # DocGroupProperty sort on docs-grouped (identity asc, -size asc)
+    corpus, _ = small_corpus
+    resp = docs_response(corpus, group="field:role", sort="identity")
+    ids = [g["identity"] for g in resp["docGroups"]]
+    assert ids == sorted(ids)
+    resp = docs_response(corpus, group="field:role", sort="-size")
+    sizes = [g["size"] for g in resp["docGroups"]]
+    assert sizes == sorted(sizes)
