@@ -20,7 +20,12 @@ Documented divergences from the reference:
   reference reads a configured pidField; transcript turns have no
   natural pid field);
 - `searchTime`/`countTime` are wall-clock ms of the Spark jobs this
-  request ran (the reference reports its own processing timings).
+  request ran (the reference reports its own processing timings);
+- zero-length capture groups are never emitted: the span algebra
+  records an optional clause that matched empty as NULL, so the
+  default output equals the reference's `omitemptycaptures=true` mode
+  (the reference default emits (pos,pos) spans; the parameter is
+  accepted and is a no-op here).
 """
 
 from __future__ import annotations
@@ -235,9 +240,24 @@ def hits_response(
     # full decorated hit set (sort/filter/sample applied), no window:
     # the facade returns the bare hits DataFrame when no kwic/window
     # params are passed
+    maxcount = params.pop("maxcount", None)
+    params.pop("omitemptycaptures", None)  # accepted; see divergences
     full = corpus.search(patt=patt, viewgroup=viewgroup, group=group,
                          **params)
-    total, n_docs = _num_hits(full)
+    stopped_counting = False
+    if maxcount is not None:
+        # BLS maxcount: cap the counting work (reference
+        # maxHitsToCount / SearchSettings); the cap pushes into the
+        # plan as a limit, and the summary reports the cap with
+        # stoppedCountingHits=true like the reference
+        cs = Hits(corpus, full).count_stats(max_count=int(maxcount))
+        total = cs["count"]
+        stopped_counting = cs["max_exceeded"]
+        n_docs = None
+        if not stopped_counting:
+            _, n_docs = _num_hits(full)
+    else:
+        total, n_docs = _num_hits(full)
     hits = Hits(corpus, full)
     win = hits.window(first, number)
     # page rows twice: once for positions + capture groups, once for
@@ -263,6 +283,9 @@ def hits_response(
                  "end": r[f"cap_{n}_end"]}
                 for n in cap_names
                 if r[f"cap_{n}_start"] is not None
+                # omitemptycaptures (BlackLabServerParams.java:82) is
+                # always-on here: empty captures are NULL (see module
+                # divergences) and already skipped by this check
             ]
         if ctx is not None:
             h["left"] = _context_entry(ctx, "left", anns)
@@ -275,8 +298,8 @@ def hits_response(
     summary.update({
         "numberOfHits": total,
         "numberOfHitsRetrieved": total,
-        "stoppedCountingHits": False,
-        "stoppedRetrievingHits": False,
+        "stoppedCountingHits": stopped_counting,
+        "stoppedRetrievingHits": stopped_counting,
         "numberOfDocs": n_docs,
         "numberOfDocsRetrieved": n_docs,
         **_doc_fields(corpus),

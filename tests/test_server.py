@@ -364,3 +364,24 @@ def test_docs_grouped_sort(small_corpus):
     resp = docs_response(corpus, group="field:role", sort="-size")
     sizes = [g["size"] for g in resp["docGroups"]]
     assert sizes == sorted(sizes)
+
+
+def test_maxcount_and_omitemptycaptures(small_corpus):
+    corpus, _ = small_corpus
+    # maxcount caps counting work; summary reports the cap
+    resp = hits_response(corpus, '"word00001"', number=2, maxcount=5)
+    s = resp["summary"]
+    assert s["numberOfHits"] == 5 and s["stoppedCountingHits"] is True
+    # under the cap: exact count, not stopped
+    resp = hits_response(corpus, '"word00001"', number=2, maxcount=10**6)
+    assert resp["summary"]["stoppedCountingHits"] is False
+    # empty captures are never emitted (documented divergence: the
+    # engine records empty optional clauses as NULL, equal to the
+    # reference's omitemptycaptures=true mode); the param is accepted
+    for extra in ({}, {"omitemptycaptures": True}):
+        resp = hits_response(corpus, 'A:[]{0,1} "word00002"', number=50,
+                             **extra)
+        assert resp["hits"]
+        for h in resp["hits"]:
+            for g in h.get("captureGroups", []):
+                assert g["start"] != g["end"]
