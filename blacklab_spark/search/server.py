@@ -455,6 +455,7 @@ def docs_response(
 
     # doc-level sort criteria are consumed here, not by the hit facade
     sort = params.pop("sort", None)
+    include_tokens = bool(params.pop("includetokencount", False))
 
     if patt is None:
         docs = corpus.search(**params)  # doc_stats, optionally filtered
@@ -470,6 +471,11 @@ def docs_response(
         summary.update({"numberOfDocs": total,
                         "numberOfDocsRetrieved": total,
                         **_doc_fields(corpus)})
+        if include_tokens:
+            # RequestHandlerDocs.java:57 tokensInMatchingDocuments
+            summary["tokensInMatchingDocuments"] = (
+                docs.agg(F.sum("num_tokens")).collect()[0][0] or 0
+            )
         return {"summary": summary, "docs": out}
 
     from blacklab_spark.search.results import Hits
@@ -513,6 +519,11 @@ def docs_response(
         out.append(entry)
     summary = _summary_common(echo, first, number, len(out), n_docs,
                               time.time() - t0)
+    if include_tokens:
+        # RequestHandlerDocs.java:57 tokensInMatchingDocuments
+        summary["tokensInMatchingDocuments"] = (
+            per_doc.agg(F.sum("num_tokens")).collect()[0][0] or 0
+        )
     summary.update({
         "numberOfHits": total_hits,
         "numberOfHitsRetrieved": total_hits,
@@ -656,11 +667,14 @@ def doc_snippet_response(
     }
 
 
-def index_metadata_response(corpus, name: str = "corpus") -> dict:
+def index_metadata_response(corpus, name: str = "corpus",
+                            listmetadatavalues: bool = False) -> dict:
     """The /corpus info endpoint (RequestHandlerIndexMetadata /
     ResultIndexMetadata; DStream annotatedField + metadataFieldInfo
     writers): index-level counts, the annotated field's annotations,
-    and metadata field descriptors."""
+    and metadata field descriptors. ``listmetadatavalues`` inlines each
+    field's value list + valueListComplete flag (the reference's
+    listvalues handling in the metadata writer)."""
     f = corpus.fields()
     af = f["annotated_field"]
     return {
@@ -695,8 +709,19 @@ def index_metadata_response(corpus, name: str = "corpus") -> dict:
             }
         },
         "metadataFields": {
-            m: {"fieldName": m, "isAnnotatedField": False,
-                "type": "TOKENIZED"}
+            m: {
+                "fieldName": m, "isAnnotatedField": False,
+                "type": "TOKENIZED",
+                **(
+                    {
+                        "fieldValues": (v := corpus.field_values(m))[
+                            "values"
+                        ],
+                        "valueListComplete": v["valueListComplete"],
+                    }
+                    if listmetadatavalues else {}
+                ),
+            }
             for m in f["metadata_fields"]
         },
         "docFields": {"pidField": "pid", "titleField": "conv_id"},

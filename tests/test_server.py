@@ -385,3 +385,30 @@ def test_maxcount_and_omitemptycaptures(small_corpus):
         for h in resp["hits"]:
             for g in h.get("captureGroups", []):
                 assert g["start"] != g["end"]
+
+
+def test_index_metadata_listvalues(small_corpus):
+    from blacklab_spark.search.server import index_metadata_response
+
+    corpus, _ = small_corpus
+    resp = index_metadata_response(corpus, "t", listmetadatavalues=True)
+    role = resp["metadataFields"]["role"]
+    assert set(role["fieldValues"]) >= {"user", "assistant"}
+    assert role["valueListComplete"] is True
+    plain = index_metadata_response(corpus, "t")
+    assert "fieldValues" not in plain["metadataFields"]["role"]
+
+
+def test_docs_includetokencount(small_corpus):
+    corpus, _ = small_corpus
+    resp = docs_response(corpus, '"word00001"', number=2,
+                         includetokencount=True)
+    n = resp["summary"]["tokensInMatchingDocuments"]
+    assert n > 0
+    # equals the sum of matched docs' lengths
+    full = docs_response(corpus, '"word00001"', number=10**6)
+    want = sum(d["docInfo"]["lengthInTokens"] for d in full["docs"])
+    assert n == want
+    resp = docs_response(corpus, filter="role:user", number=2,
+                         includetokencount=True)
+    assert resp["summary"]["tokensInMatchingDocuments"] > 0
