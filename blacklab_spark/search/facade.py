@@ -76,6 +76,8 @@ def search(
     facets: str | None = None,
     maxretrieve: int | None = None,
     outputformat: str | None = None,
+    csvsepline: bool = False,
+    csvsummary: bool = False,
     fimatch: int | None = None,
     waitfortotal: bool | None = None,
     listvalues: str | None = None,
@@ -131,7 +133,8 @@ def search(
             sampleseed=sampleseed, first=first, number=number,
             wordsaroundhit=wordsaroundhit, usecontent=usecontent,
             calc=calc, facets=facets, maxretrieve=maxretrieve,
-            outputformat=outputformat, waitfortotal=waitfortotal,
+            outputformat=outputformat, csvsepline=csvsepline,
+            csvsummary=csvsummary, waitfortotal=waitfortotal,
             listvalues=listvalues, subtree_cache=subtree_cache,
         )
     from pyspark.sql import functions as F
@@ -142,7 +145,30 @@ def search(
 
     def _out(result):
         if outputformat == "csv":
-            return export_csv(result if isinstance(result, DataFrame) else result.df)
+            csv = export_csv(
+                result if isinstance(result, DataFrame) else result.df
+            )
+            if csvsummary:
+                # summary rows appended as CSV records (reference
+                # WriteCsv.addSummaryCsvCommon: summary.searchParam.*
+                # keys padded to the data column count)
+                lines = csv.splitlines()
+                ncols = lines[0].count(",") + 1 if lines else 2
+                pad = "," * max(0, ncols - 2)
+                n_results = max(0, len(lines) - 1)  # data rows only
+                echo = {"patt": patt, "filter": filter, "sort": sort,
+                        "group": group, "first": first, "number": number}
+                for k, v in echo.items():
+                    if v is not None:
+                        lines.append(
+                            f'summary.searchParam.{k},"{v}"{pad}'
+                        )
+                lines.append(f"summary.numberOfResults,{n_results}{pad}")
+                csv = "\r\n".join(lines) + "\r\n"
+            if csvsepline:
+                # Excel separator declaration (WriteCsv.java:159)
+                csv = "sep=,\r\n" + csv
+            return csv
         if _state["total"] is not None and isinstance(result, DataFrame):
             # hits-request summary channel: exact int (waitfortotal=yes)
             # or a live RunningCount handle (waitfortotal=no)

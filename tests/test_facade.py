@@ -419,3 +419,16 @@ def test_doc_level_hit_properties(micro):
     g = micro.search(patt='"the"', group="fieldlen", sort="identity")
     assert [(r["fieldlen"], r["size"]) for r in g.collect()] == [
         (6, 1), (9, 2), (10, 1)]
+
+
+def test_csv_sepline_and_summary(micro):
+    # csvsepline prepends Excel's separator declaration
+    # (WriteCsv.java:159); csvsummary appends summary.* rows
+    csv = micro.search(patt='"the"', outputformat="csv",
+                       csvsepline=True, csvsummary=True)
+    lines = csv.splitlines()
+    assert lines[0] == "sep=,"
+    assert lines[1].startswith("doc_id,")
+    assert any(ln.startswith('summary.searchParam.patt,') for ln in lines)
+    n = next(ln for ln in lines if ln.startswith("summary.numberOfResults"))
+    assert n.split(",")[1] == "4"  # 4 hits of 'the'
