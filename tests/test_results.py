@@ -293,3 +293,69 @@ def test_context_property_sort_and_filter(micro):
     f = h.filter_by_property("context:word:s:L1-1", "over")
     got = [(r["doc_id"], r["start"]) for r in f.df.collect()]
     assert got == [(0, 6)]
+
+
+def test_context_words_differential(micro):
+    """Differential: the codegen context-words key vs a literal Python
+    transliteration of the reference's copy loop
+    (HitPropertyContextWords.get:258-326 with init()'s clamps) over
+    every hit of several patterns and a grid of specs, incl. E parts,
+    reversed ranges, unbounded parts, and doc-edge hits."""
+    from blacklab_spark.search.results import parse_context_spec
+
+    N = 5  # context size used by _with_keys (EngineConfig default)
+
+    def oracle_key(toks, s, e, parts):
+        out = []
+        for letter, first, abs_dir, m in parts:
+            w0 = max(0, s - N)
+            w1 = min(len(toks), e + N)
+            if letter == "L":
+                anchor, first_src = s - 1, s - 1 - first
+                invalid = (w0 - 1) if abs_dir < 0 else s
+            elif letter == "R":
+                anchor, first_src = e, e + first
+                invalid = w1 if abs_dir > 0 else (e - 1)
+            elif letter == "E":
+                anchor, first_src = e - 1, e - 1 - first
+                invalid = s if abs_dir < 0 else (e - 1)
+            else:
+                anchor, first_src = s, s + first
+                invalid = e if abs_dir > 0 else (s - 1)
+            if abs_dir > 0:
+                invalid = min(invalid, anchor + first + m)
+            else:
+                invalid = max(invalid, anchor - first - m)
+            copied = 0
+            p = first_src
+            while ((abs_dir > 0 and p < invalid)
+                   or (abs_dir < 0 and p > invalid)):
+                if 0 <= p < len(toks):
+                    t = toks[p]
+                    out.append("~" + t if t.startswith("~") else t)
+                else:  # outside the doc: divergence-documented NO_TERM
+                    out.append("~")
+                copied += 1
+                p += abs_dir
+            out.extend(["~"] * (m - copied))
+        return " ".join(out)
+
+    docs = {
+        r["doc_id"]: list(r["tokens"])
+        for r in micro.context_store.select("doc_id", "tokens").collect()
+    }
+    specs = ["L1-1;H1-2", "L1;H2-1;R1", "H", "E1", "E2-1", "L3-1", "R",
+             "L2", "R1-3", "H1;E1", "L1-2;R2-1", "E"]
+    for patt in ('"the"', '"the" "lazy"', '[pos="adj"]', '"aap"'):
+        h = micro.find(patt)
+        for spec in specs:
+            crit = f"context:word:s:{spec}"
+            df, keys = h._with_keys([crit])
+            got = {
+                (r["doc_id"], r["start"], r["end"]): r[keys[0]]
+                for r in df.collect()
+            }
+            parts = parse_context_spec(spec, N)
+            for (d, s, e), k in got.items():
+                assert k == oracle_key(docs[d], s, e, parts), (
+                    patt, spec, d, s, e)
