@@ -64,6 +64,16 @@ def main() -> None:
             "overwrite"
         ).parquet(src)
     transcripts = spark.read.parquet(src)
+    # untimed warmup build on a tiny slice: JIT/codegen/Arrow paths and
+    # the parquet writer committers warm once, so the timed figure is
+    # steady-state build throughput (same treatment the BM25 section
+    # and tools/scaling_run.py give their timed regions)
+    warm_dir = f"/tmp/bench_idx_warm_{cpus}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    Corpus.build(
+        spark, transcripts.limit(2000), warm_dir,
+        EngineConfig(segment_size=1 << 13, block_size=128),
+    )
     t0 = time.time()
     corpus = Corpus.build(
         spark, transcripts, idx_dir, EngineConfig(segment_size=1 << 13, block_size=128)
