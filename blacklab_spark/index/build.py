@@ -719,7 +719,17 @@ def build_index(
         tbl = fi_table_name(index_dir)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
-            tokenized.drop("seg_group")
+            # token arrays + join/meta keys only — the content store
+            # (text/xml_text) stays solely in `tokenized`, like the
+            # reference's forward index living beside, not containing,
+            # its content store (integrated.md:17-103 vs :105-169);
+            # duplicating the raw text would double FI storage at scale.
+            # repartition INTO the bucket partitioning first so each
+            # write task holds exactly one bucket: one file per bucket
+            # (instead of tasks x buckets small files), which also lets
+            # the bucketed scan use the per-file doc_id sort order.
+            tokenized.drop("seg_group", "text", "xml_text")
+            .repartition(cfg.fi_buckets, F.col("doc_id"))
             .write.mode("overwrite")
             .format("parquet")
             .option("path", fi_path)

@@ -444,7 +444,9 @@ class Hits:
         """Original-content concordances (reference Concordances.java;
         content store = the source text column)."""
         j = self.df.join(
-            self.corpus.context_store.select("doc_id", "conv_id", "turn_idx", "text"),
+            # content store lives only in `tokenized` (the bucketed FI
+            # carries token arrays, not raw text)
+            self.corpus.tokenized.select("doc_id", "conv_id", "turn_idx", "text"),
             "doc_id",
         )
         if self._order_cols:

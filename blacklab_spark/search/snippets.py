@@ -130,7 +130,9 @@ def snippets(
     pat = re.compile(base_pat, re.IGNORECASE)
     content_col = "xml_text" if xml else "text"
     j = hits_df.select("doc_id", "start", "end").join(
-        corpus.context_store.select(
+        # raw content comes from the content store (`tokenized`); the
+        # bucketed FI holds token arrays only
+        corpus.tokenized.select(
             "doc_id", F.col(content_col).alias("_content")
         ),
         "doc_id",
