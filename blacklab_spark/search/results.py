@@ -462,30 +462,23 @@ class Hits:
         insensitive/sensitive collator pair (Collators.java:14-82,
         forwardindex/Terms.java:69-95): 'Apple apple applesauce Banana'
         sorts as one apple-group before banana, NOT ASCIIbetically with
-        all capitals first. Case-variant tie order within a group is
-        codepoint order (deterministic; ICU tertiary differs only in
-        lowercase-first, documented divergence). When PyICU is
-        installed, true ICU TERTIARY sort keys replace the fold scheme
-        and the order matches the reference exactly
-        (analysis.icu_sort_key_col)."""
-        from blacklab_spark.analysis import fold_col, icu_sort_key_col
+        all capitals first. Key chain = search.collation.collation_keys: exact
+        ICU tertiary when PyICU is installed, else a deterministic
+        three-strength (letters, accents, lowercase-first case) scheme
+        matching ICU en order on Latin corpora."""
+        from blacklab_spark.search.collation import collation_keys
 
         ctx = self.with_context(0, annotation, sensitive=True)
         raw = F.array_join("match", " ")
-        icu_key = icu_sort_key_col(raw)
-        keys = (
-            [icu_key] if icu_key is not None
-            else [fold_col(F.lower(raw)), raw]
-        )
-        return self._sorted(keys, base_df=ctx)
+        return self._sorted(collation_keys(raw), base_df=ctx)
 
     def sort_by_context(self, side: str = "left", size: int | None = None) -> "Hits":
         """Sort on left/right context words (reference HitProperty
         `left`/`right`, resultproperty/HitProperty.java:41-110); left
         context compares right-to-left like the reference. Same
-        collation scheme as sort_by_hit_text (ICU tertiary when PyICU
-        is installed, two-strength fold otherwise)."""
-        from blacklab_spark.analysis import fold_col, icu_sort_key_col
+        collation key chain as sort_by_hit_text
+        (search.collation.collation_keys)."""
+        from blacklab_spark.search.collation import collation_keys
 
         ctx = self.with_context(size, sensitive=True)
         raw = (
@@ -493,12 +486,7 @@ class Hits:
             if side == "left"
             else F.array_join("right", " ")
         )
-        icu_key = icu_sort_key_col(raw)
-        keys = (
-            [icu_key] if icu_key is not None
-            else [fold_col(F.lower(raw)), raw]
-        )
-        return self._sorted(keys, base_df=ctx)
+        return self._sorted(collation_keys(raw), base_df=ctx)
 
     # -- group ----------------------------------------------------------------
     def group_by_hit_text(self, annotation: str = "word", max_stored: int = 10) -> DataFrame:

@@ -151,9 +151,11 @@ def test_collated_sort_diverges_from_codepoint(spark, tmp_path_factory):
     Terms.java:69-95 RuleBasedCollator orders): sorting hits by text
     groups case/accent variants together — 'apple' family before
     'Zebra' — where raw codepoint order would put every capital first.
-    Our two-strength scheme: primary = fold(lower(text)), secondary =
-    raw text; documented divergence from ICU tertiary is the
-    case-variant tie order inside one group."""
+    Both key schemes (ICU tertiary when PyICU is present, the
+    three-strength fold chain otherwise; analysis.collation_keys) must
+    produce the ICU en tertiary order on this Latin corpus: accentless
+    before accented inside a letter group, lowercase before uppercase
+    inside an accent group."""
     rows = [
         ("d0", 0, "u", "Zebra ápple apple Apple zebra Ärger anger", "t"),
     ]
@@ -166,23 +168,15 @@ def test_collated_sort_diverges_from_codepoint(spark, tmp_path_factory):
     toks = "Zebra ápple apple Apple zebra Ärger anger".split()
     rows = c.find('".*"').sort_by_hit_text().df.collect()
     texts = [toks[r["start"]] for r in rows]
-    from blacklab_spark.analysis import icu_available
-
-    if icu_available():
-        # true ICU tertiary (reference Collators.java sensitive
-        # collator): same groups, lowercase-first inside a group and
-        # accents after the accentless forms
-        assert [t.lower().replace("á", "a").replace("ä", "a") for t in texts] == [
-            "anger", "apple", "apple", "apple", "arger", "zebra", "zebra",
-        ], texts
-        assert texts.index("apple") < texts.index("Apple") < texts.index("ápple")
-        assert texts.index("zebra") < texts.index("Zebra")
-    else:
-        # two-strength fallback: anger < apple-group < Ärger(=arger) <
-        # zebra-group; within the apple group the secondary (raw) key
-        # gives codepoint order Apple < apple < ápple
-        assert texts == [
-            "anger", "Apple", "apple", "ápple", "Ärger", "Zebra", "zebra",
-        ], texts
+    # ICU en tertiary order (reference Collators.java sensitive
+    # collator), reproduced by BOTH key schemes: letter groups first
+    # (anger < apple* < arger < zebra*), accentless before accented
+    # inside a group (secondary), lowercase before uppercase at equal
+    # accents (tertiary)
+    assert [t.lower().replace("á", "a").replace("ä", "a") for t in texts] == [
+        "anger", "apple", "apple", "apple", "arger", "zebra", "zebra",
+    ], texts
+    assert texts.index("apple") < texts.index("Apple") < texts.index("ápple")
+    assert texts.index("zebra") < texts.index("Zebra")
     # raw codepoint order would differ (capitals/accents regrouped)
     assert sorted(texts) != texts

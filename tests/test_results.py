@@ -146,9 +146,10 @@ def test_collator_sort_case_mixed(spark, tmp_path):
     toks = "zebra Apple apple Banana caf\u00e8 banana".split()
     rows = c.find("[]").sort_by_hit_text().df.collect()
     texts = [toks[r["start"]] for r in rows]
-    # collator: apple-group, banana-group, caf\u00e8, zebra
-    # (NOT Apple/Banana first as byte order would give)
-    assert texts == ["Apple", "apple", "Banana", "banana", "caf\u00e8", "zebra"]
+    # collator: apple-group, banana-group, caf\u00e8, zebra \u2014 NOT
+    # Apple/Banana first as byte order would give; lowercase before
+    # uppercase within a group (ICU tertiary, analysis.collation_keys)
+    assert texts == ["apple", "Apple", "banana", "Banana", "caf\u00e8", "zebra"]
 
 
 def test_count_stats_capped(micro):
