@@ -1,0 +1,440 @@
+"""User-corpus + input-format management for the HTTP adapter.
+
+The reference's blacklab-server lets authenticated users create private
+corpora over HTTP, upload documents into them, share them, and register
+custom input formats (server/.../requesthandlers/RequestHandlerCreateIndex.java,
+RequestHandlerAddToIndex.java, RequestHandlerDeleteIndex.java,
+RequestHandlerSharing.java, RequestHandlerListInputFormats.java,
+RequestHandlerAddFormat.java; REST docs site/docs/server/rest-api/post.md,
+corpus/docs/post.md, input-formats/*). This module is that surface for
+the stdlib adapter in `webservice.py`: a directory of user indexes, a
+multipart parser, and the create / add-docs / delete / sharing / format
+operations — all built on the same public engine entry points the CLI
+jobs use (`Corpus.build`, `index.incremental.add_documents`,
+`index.ingest.read_input`, `index.xml_ingest` parse/spans).
+
+Divergence from the reference (documented): this adapter has no
+authentication layer, so there is no `userid:` prefix requirement on
+corpus names and every client may manage corpora when a ``user_dir`` is
+configured; sharing lists are persisted but not enforced.
+
+Scale posture: uploads land on local disk and are parsed by the SAME
+distributed ingestion used for batch builds; an index "add" is an
+incremental segment append (write-once segments, tombstone deletes), so
+repeated uploads never rewrite existing data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import tempfile
+
+from blacklab_spark.search.server import error_response
+
+# display metadata for the shipped formats (reference
+# DocumentFormats.java + core/src/main/resources/formats/*.blf.yaml
+# displayName/description keys)
+FORMAT_INFO: dict[str, tuple[str, str]] = {
+    "txt": ("plain text", "A plain old text file."),
+    "csv": ("CSV (comma-separated values)",
+            "Tabular format; word/lemma/pos columns."),
+    "tsv": ("TSV (tab-separated values)",
+            "A simple tabular format used by e.g. MS Excel."),
+    "tsv-frog": ("Frog tabular output",
+                 "Tab-separated output of the Frog NLP suite."),
+    "jsonl": ("JSON lines", "One JSON document (turn) per line."),
+    "chat": ("CHAT (Codes for the Human Analysis of Transcripts)",
+             "Format for transcribed conversations (CHILDES project)."),
+    "sketch-wpl": ("Sketch Engine WPL (word-per-line) input format",
+                   "word, lemma and PoS codes plus punctuation, inline "
+                   "tags and document metadata."),
+    "xml": ("generic XML", "Word-per-element XML with attribute "
+            "annotations."),
+    "tei-p5": ("TEI P5, contents in text, @pos as PoS",
+               "A TEI P5 variant where the contents to index are in "
+               "the text element."),
+    "tei-p5-legacy": ("TEI P5 (legacy), @type as PoS",
+                      "Older TEI P5 variant; PoS in the type attribute."),
+    "tei-p4-legacy": ("TEI P4 (legacy)", "TEI P4 variant."),
+    "folia": ("FoLiA (Format for Linguistic Annotation)",
+              "A rich XML annotation format developed at Radboud "
+              "University Nijmegen."),
+    "naf": ("NAF (NLP Annotation Format)",
+            "A standoff layered annotation format."),
+    "eaf": ("EAF (ELAN Annotation Format)",
+            "Tier-based annotation format of the ELAN tool."),
+    "tcf": ("TCF (Text Corpus Format)",
+            "A text corpus format developed for WebLicht."),
+    "cmdi": ("CMDI (Component MetaData Infrastructure)",
+             "Metadata-only documents, linked from content corpora."),
+    "testformat": ("integration-test format",
+                   "The reference's own test corpus format."),
+}
+
+_NAME_RE = re.compile(r"^[\w.:@-]+$")
+
+
+def formats_response(user_formats: dict | None = None,
+                     can_create: bool = False) -> dict:
+    """GET /input-formats (ResultListInputFormats.java; REST doc
+    input-formats/get.md response shape)."""
+    from blacklab_spark.index.ingest import READERS
+    from blacklab_spark.index.xml_ingest import FORMATS
+
+    out = {}
+    for name in sorted(set(READERS) | set(FORMATS)):
+        disp, desc = FORMAT_INFO.get(name, (name, ""))
+        out[name] = {
+            "displayName": disp,
+            "description": desc,
+            "configurationBased": name in FORMATS,
+            "isVisible": True,
+        }
+    for name in user_formats or {}:
+        out[name] = {
+            "displayName": name,
+            "description": "user-defined format",
+            "configurationBased": True,
+            "isVisible": True,
+        }
+    return {
+        "user": {"loggedIn": False, "canCreateIndex": can_create},
+        "supportedInputFormats": out,
+    }
+
+
+def format_get(name: str, user_formats: dict | None = None):
+    """GET /input-formats/<name> (input-formats/name/get.md)."""
+    if user_formats and name in user_formats:
+        return 200, {"formatName": name, "configFileType": "yaml",
+                     "configFile": user_formats[name][1]}
+    from blacklab_spark.index.ingest import READERS
+    from blacklab_spark.index.xml_ingest import FORMATS
+
+    if name in FORMATS:
+        import dataclasses
+
+        cfg = dataclasses.asdict(FORMATS[name])
+        return 200, {"formatName": name, "configFileType": "json",
+                     "configFile": json.dumps(cfg, default=str)}
+    if name in READERS:
+        return 200, {"formatName": name, "configFileType": "builtin",
+                     "configFile": ""}
+    return 404, error_response("FORMAT_NOT_FOUND",
+                               f"Unknown input format '{name}'.")
+
+
+def parse_multipart(body: bytes, content_type: str):
+    """Minimal RFC 7578 multipart/form-data parser (stdlib only; the
+    reference uses commons-fileupload, FileUploadHandler.java).
+
+    Returns ``(fields, files)``: plain form fields as {name: value} and
+    files as a list of (field_name, filename, bytes).
+    """
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("multipart body without boundary")
+    boundary = b"--" + m.group(1).encode()
+    fields: dict[str, str] = {}
+    files: list[tuple[str, str, bytes]] = []
+    for part in body.split(boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        head, _, data = part.partition(b"\r\n\r\n")
+        disp = ""
+        for line in head.decode("utf-8", "replace").splitlines():
+            if line.lower().startswith("content-disposition:"):
+                disp = line
+        name_m = re.search(r'name="([^"]*)"', disp)
+        file_m = re.search(r'filename="([^"]*)"', disp)
+        if not name_m:
+            continue
+        if file_m:
+            files.append((name_m.group(1), file_m.group(1), data))
+        else:
+            fields[name_m.group(1)] = data.decode("utf-8", "replace")
+    return fields, files
+
+
+def _safe_extract_dir(archive_names, dest: str) -> None:
+    for n in archive_names:
+        p = os.path.normpath(os.path.join(dest, n))
+        if not p.startswith(os.path.abspath(dest)):
+            raise ValueError(f"archive member escapes extraction dir: {n}")
+
+
+class IndexManager:
+    """Create/feed/delete user corpora under one directory; register
+    user input formats. State survives restarts: each corpus keeps a
+    ``corpus.json`` descriptor next to its index, user formats live in
+    ``<user_dir>/_formats/``."""
+
+    def __init__(self, spark, user_dir: str, corpora: dict):
+        self.spark = spark
+        self.user_dir = os.path.abspath(user_dir)
+        self.corpora = corpora  # shared registry with the router
+        self.user_corpora: dict[str, dict] = {}
+        self.user_formats: dict[str, tuple[object, str]] = {}
+        os.makedirs(self.user_dir, exist_ok=True)
+        self._reload()
+
+    # ---- persistence ----------------------------------------------------
+    def _reload(self) -> None:
+        from blacklab_spark.corpus import Corpus
+
+        fmt_dir = os.path.join(self.user_dir, "_formats")
+        if os.path.isdir(fmt_dir):
+            for fn in sorted(os.listdir(fmt_dir)):
+                if fn.endswith((".yaml", ".yml")):
+                    name = fn.rsplit(".blf.", 1)[0].rsplit(".", 1)[0]
+                    try:
+                        self._register_format(
+                            name, open(os.path.join(fmt_dir, fn)).read()
+                        )
+                    except Exception:
+                        pass  # corrupt user format: skip, don't crash serve
+        for d in sorted(os.listdir(self.user_dir)):
+            desc_path = os.path.join(self.user_dir, d, "corpus.json")
+            if not os.path.exists(desc_path):
+                continue
+            desc = json.load(open(desc_path))
+            name = desc["name"]
+            self.user_corpora[name] = {**desc,
+                                       "dir": os.path.join(self.user_dir, d)}
+            if os.path.exists(os.path.join(self.user_dir, d, "meta.json")):
+                self.corpora[name] = Corpus.open(
+                    self.spark, os.path.join(self.user_dir, d)
+                )
+
+    def _dirname(self, name: str) -> str:
+        return os.path.join(self.user_dir, name.replace(":", "__"))
+
+    # ---- corpus lifecycle -------------------------------------------------
+    def create(self, q: dict):
+        """POST / — create an empty user corpus
+        (RequestHandlerCreateIndex.java:22-40; 201 on success)."""
+        name = q.get("name") or ""
+        if not name or not _NAME_RE.match(name):
+            return 400, error_response(
+                "ILLEGAL_INDEX_NAME",
+                "You didn't specify a valid name parameter.",
+            )
+        if name in self.corpora or name in self.user_corpora:
+            return 400, error_response(
+                "INDEX_ALREADY_EXISTS", f"Index '{name}' already exists."
+            )
+        fmt = q.get("format") or "txt"
+        if not self._format_known(fmt):
+            return 400, error_response(
+                "FORMAT_NOT_FOUND", f"Unknown input format '{fmt}'."
+            )
+        d = self._dirname(name)
+        os.makedirs(d, exist_ok=True)
+        desc = {"name": name, "format": fmt,
+                "display": q.get("display") or name}
+        with open(os.path.join(d, "corpus.json"), "w") as f:
+            json.dump(desc, f)
+        self.user_corpora[name] = {**desc, "dir": d}
+        return 201, {"code": "SUCCESS", "message": "Index created succesfully."}
+
+    def delete(self, name: str):
+        """DELETE /<corpus> (RequestHandlerDeleteIndex; only
+        user-created corpora may be deleted — mounts are read-only,
+        matching the reference's user-area restriction)."""
+        info = self.user_corpora.pop(name, None)
+        if info is None:
+            return 403, error_response(
+                "FORBIDDEN_REQUEST",
+                "Can only delete your own private indices.",
+            )
+        self.corpora.pop(name, None)
+        shutil.rmtree(info["dir"], ignore_errors=True)
+        return 200, {"code": "SUCCESS", "message": "Index deleted succesfully."}
+
+    def add_docs(self, name: str, files, fields: dict | None = None):
+        """POST /<corpus>/docs — upload documents (data / data[] /
+        linkeddata parts; .zip and .tar.gz accepted) and index them
+        (RequestHandlerAddToIndex.java:41-100; corpus/docs/post.md).
+        First upload builds the index, later uploads append incremental
+        segments."""
+        info = self.user_corpora.get(name)
+        if info is None:
+            return 403, error_response(
+                "FORBIDDEN_REQUEST", "Can only add to your own private indices."
+            )
+        tmp = tempfile.mkdtemp(prefix="bls_upload_")
+        try:
+            n_data = self._unpack_uploads(files, tmp)
+            if not n_data:
+                return 400, error_response(
+                    "NO_DATA", "No data files were uploaded."
+                )
+            transcripts, extra_spans = self._parse_dir(tmp, info["format"])
+            idx = info["dir"]
+            from blacklab_spark.corpus import Corpus
+
+            if os.path.exists(os.path.join(idx, "meta.json")):
+                from blacklab_spark.index.incremental import add_documents
+
+                add_documents(self.spark, idx, transcripts,
+                              extra_spans=extra_spans)
+            else:
+                from blacklab_spark.config import EngineConfig
+
+                Corpus.build(
+                    self.spark, transcripts, idx,
+                    EngineConfig(segment_size=1 << 12),
+                    extra_spans=extra_spans,
+                )
+            self.corpora[name] = Corpus.open(self.spark, idx)
+            return 200, {"code": "SUCCESS", "message": "Data added succesfully."}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def _unpack_uploads(self, files, tmp: str) -> int:
+        import tarfile
+        import zipfile
+
+        n_data = 0
+        for field, fname, data in files or []:
+            if field not in ("data", "data[]", "linkeddata", "linkeddata[]"):
+                continue
+            base = os.path.basename(fname or f"upload{n_data}.txt")
+            p = os.path.join(tmp, base)
+            with open(p, "wb") as f:
+                f.write(data)
+            if base.endswith(".zip"):
+                with zipfile.ZipFile(p) as zf:
+                    _safe_extract_dir(zf.namelist(), tmp)
+                    zf.extractall(tmp)
+                os.remove(p)
+            elif base.endswith((".tar.gz", ".tgz")):
+                with tarfile.open(p) as tf:
+                    tf.extractall(tmp, filter="data")
+                os.remove(p)
+            if field in ("data", "data[]"):
+                n_data += 1
+        return n_data
+
+    def _parse_dir(self, path: str, fmt: str):
+        """Uploaded files -> canonical transcript DataFrame (+ spans for
+        XML formats) through the same distributed readers the batch
+        build job uses (jobs/build_index.py)."""
+        from blacklab_spark.index.xml_ingest import (
+            FORMATS, parse_xml_files, read_xml, xml_spans,
+        )
+
+        fmt_obj = fmt
+        if fmt in self.user_formats:
+            fmt_obj = self.user_formats[fmt][0]
+        if not isinstance(fmt_obj, str) or fmt_obj in FORMATS:
+            src = os.path.join(path, "*")
+            parsed = parse_xml_files(self.spark, src, fmt_obj, keep_xml=True)
+            parsed.persist()
+            transcripts = read_xml(self.spark, src, fmt_obj, parsed=parsed,
+                                   keep_xml=True)
+            return transcripts, xml_spans(self.spark, src, fmt_obj,
+                                          parsed=parsed)
+        from blacklab_spark.index.ingest import read_input
+
+        return read_input(self.spark, path, fmt_obj), None
+
+    # ---- sharing ----------------------------------------------------------
+    def sharing(self, name: str, q: dict, method: str):
+        """GET/POST /<corpus>/sharing (RequestHandlerSharing; list
+        persisted as .shareWithUsers.json next to the index — the
+        reference keeps a .shareWithUsers file the same way)."""
+        info = self.user_corpora.get(name)
+        if info is None:
+            return 403, error_response(
+                "FORBIDDEN_REQUEST", "Can only share your own private indices."
+            )
+        p = os.path.join(info["dir"], ".shareWithUsers.json")
+        if method == "POST":
+            raw = q.get("users[]", q.get("users", ""))
+            users = [u.strip() for u in raw.split(",") if u.strip()] \
+                if isinstance(raw, str) else list(raw)
+            with open(p, "w") as f:
+                json.dump(users, f)
+            return 200, {"code": "SUCCESS",
+                         "message": "Index shared with specified user(s)."}
+        users = json.load(open(p)) if os.path.exists(p) else []
+        return 200, {"users[]": users}
+
+    # ---- input formats ------------------------------------------------------
+    def _format_known(self, fmt: str) -> bool:
+        from blacklab_spark.index.ingest import READERS
+        from blacklab_spark.index.xml_ingest import FORMATS
+
+        return fmt in READERS or fmt in FORMATS or fmt in self.user_formats
+
+    def _register_format(self, name: str, source: str):
+        """blf.yaml text -> XmlFormat via the config engine
+        (load_blf_config parses a file path; we stage the text)."""
+        from blacklab_spark.index import xml_ingest
+
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".blf.yaml", delete=False
+        ) as f:
+            f.write(source)
+            tmp_path = f.name
+        try:
+            fmt = xml_ingest.load_blf_config(tmp_path)
+        finally:
+            os.unlink(tmp_path)
+        fmt.name = name
+        self.user_formats[name] = (fmt, source)
+        # visible to read_xml(cfg=<name>) / build jobs like a built-in
+        xml_ingest.FORMATS[name] = fmt
+        return fmt
+
+    def formats_response(self) -> dict:
+        return formats_response(self.user_formats, can_create=True)
+
+    def format_get(self, name: str):
+        return format_get(name, self.user_formats)
+
+    def format_add(self, files):
+        """POST /input-formats with a `data` file part
+        (RequestHandlerAddFormat; name = filename minus .blf.yaml)."""
+        for field, fname, data in files or []:
+            if field not in ("data", "data[]"):
+                continue
+            base = os.path.basename(fname or "")
+            if not base.endswith((".yaml", ".yml", ".blf.yaml")):
+                return 400, error_response(
+                    "ILLEGAL_INDEX_NAME",
+                    "Format config must be a .blf.yaml file.",
+                )
+            name = base.rsplit(".blf.", 1)[0].rsplit(".", 1)[0]
+            try:
+                self._register_format(name, data.decode())
+            except Exception as e:
+                return 400, error_response("CONFIG_ERROR", str(e))
+            fmt_dir = os.path.join(self.user_dir, "_formats")
+            os.makedirs(fmt_dir, exist_ok=True)
+            with open(os.path.join(fmt_dir, f"{name}.blf.yaml"), "w") as f:
+                f.write(data.decode())
+            return 200, {"code": "SUCCESS",
+                         "message": "Format added succesfully."}
+        return 400, error_response("NO_DATA", "No format file uploaded.")
+
+    def format_delete(self, name: str):
+        """DELETE /input-formats/<name> (input-formats/name/delete.md;
+        built-ins are protected like the reference's)."""
+        if name not in self.user_formats:
+            return 403, error_response(
+                "FORBIDDEN_REQUEST", "Can only delete your own formats."
+            )
+        from blacklab_spark.index import xml_ingest
+
+        del self.user_formats[name]
+        xml_ingest.FORMATS.pop(name, None)
+        p = os.path.join(self.user_dir, "_formats", f"{name}.blf.yaml")
+        if os.path.exists(p):
+            os.unlink(p)
+        return 200, {"code": "SUCCESS", "message": "Format deleted succesfully."}

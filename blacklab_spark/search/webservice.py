@@ -53,25 +53,72 @@ def _coerce(params: dict[str, list[str]]) -> dict:
 class _Router:
     """Dispatch one request path against a corpus registry."""
 
-    def __init__(self, corpora: dict):
+    def __init__(self, corpora: dict, manager=None):
         self.corpora = corpora
+        self.manager = manager  # IndexManager | None (user-corpus ops)
 
-    def handle(self, path: str, q: dict) -> tuple[int, object]:
+    def handle(self, path: str, q: dict, method: str = "GET",
+               files=None) -> tuple[int, object]:
         from urllib.parse import unquote
 
+        mgr = self.manager
         # split BEFORE unquoting so %2F inside a pid segment survives
         parts = [unquote(p) for p in path.strip("/").split("/") if p]
         if not parts:
+            if method == "POST":
+                # create user corpus (RequestHandlerCreateIndex;
+                # rest-api/post.md)
+                if mgr is None:
+                    return 403, error_response(
+                        "FORBIDDEN_REQUEST",
+                        "Corpus management requires a --user-dir.",
+                    )
+                return mgr.create(q)
             # server info (RequestHandlerServerInfo)
+            pending = {
+                n: {"displayName": i.get("display", n), "status": "empty"}
+                for n, i in (mgr.user_corpora if mgr else {}).items()
+                if n not in self.corpora
+            }
             return 200, {
                 "indices": {
-                    name: {"displayName": name, "status": "available"}
-                    for name in self.corpora
-                }
+                    **{name: {"displayName": name, "status": "available"}
+                       for name in self.corpora},
+                    **pending,
+                },
+                "user": {"loggedIn": False,
+                         "canCreateIndex": mgr is not None},
             }
+        if parts[0] == "input-formats":
+            return self._input_formats(parts[1:], method, files)
+        if parts[0] == "cache-clear":
+            # RequestHandlerClearCache (server-level route,
+            # RequestHandler.java:170)
+            for c in self.corpora.values():
+                c.cache.clear()
+            return 200, {"code": "SUCCESS",
+                         "message": "Cache cleared succesfully."}
         name, rest = parts[0], parts[1:]
+        if mgr is not None:
+            if method == "DELETE" and not rest:
+                return mgr.delete(name)
+            if rest[:1] == ["docs"] and method == "POST" and files:
+                return mgr.add_docs(name, files)
+            if rest[:1] == ["sharing"]:
+                return mgr.sharing(name, q, method)
         corpus = self.corpora.get(name)
         if corpus is None:
+            if mgr is not None and name in mgr.user_corpora:
+                # created, no documents yet
+                info = mgr.user_corpora[name]
+                if not rest or rest == ["status"]:
+                    return 200, {"indexName": name,
+                                 "displayName": info.get("display", name),
+                                 "status": "empty", "tokenCount": 0,
+                                 "documentFormat": info["format"]}
+                return 409, error_response(
+                    "INDEX_EMPTY", f"Index '{name}' has no data yet."
+                )
             return 404, error_response(
                 "CANNOT_OPEN_INDEX", f"Could not open index '{name}'"
             )
@@ -80,6 +127,33 @@ class _Router:
         except (ValueError, KeyError) as e:
             # bad pattern / unknown parameter value (BadRequest analogue)
             return 400, error_response("INVALID_QUERY", str(e))
+
+    def _input_formats(self, rest: list[str], method: str,
+                       files) -> tuple[int, object]:
+        """/input-formats[/name] (RequestHandlerListInputFormats /
+        AddFormat / DeleteFormat; rest-api/input-formats/)."""
+        from blacklab_spark.search import manage
+
+        mgr = self.manager
+        if not rest:
+            if method == "POST":
+                if mgr is None:
+                    return 403, error_response(
+                        "FORBIDDEN_REQUEST",
+                        "Format management requires a --user-dir.",
+                    )
+                return mgr.format_add(files)
+            return 200, manage.formats_response(
+                mgr.user_formats if mgr else None, can_create=mgr is not None
+            )
+        if method == "DELETE":
+            if mgr is None:
+                return 403, error_response(
+                    "FORBIDDEN_REQUEST",
+                    "Format management requires a --user-dir.",
+                )
+            return mgr.format_delete(rest[0])
+        return manage.format_get(rest[0], mgr.user_formats if mgr else None)
 
     def _corpus_route(self, corpus, rest: list[str], q: dict) -> tuple[int, object]:
         if not rest:
@@ -223,8 +297,8 @@ class _Router:
         return rows[0]["doc_id"] if rows else None
 
 
-def make_handler(corpora: dict):
-    router = _Router(corpora)
+def make_handler(corpora: dict, manager=None):
+    router = _Router(corpora, manager=manager)
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 - stdlib API
@@ -232,19 +306,33 @@ def make_handler(corpora: dict):
 
         def do_POST(self):  # noqa: N802 - BLS accepts POSTed params
             # (large pattgapdata exceeds URL limits; reference docs:
-            # rest-api hits "you should use a POST request")
+            # rest-api hits "you should use a POST request") and
+            # multipart uploads (add-to-index / add-format)
             n = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(n).decode() if n else ""
+            raw = self.rfile.read(n) if n else b""
             ctype = self.headers.get("Content-Type", "")
-            extra = parse_qs(body) if "form-urlencoded" in ctype else {}
-            self._respond(extra)
+            extra, files = {}, None
+            if "form-urlencoded" in ctype:
+                extra = parse_qs(raw.decode())
+            elif ctype.startswith("multipart/form-data"):
+                from blacklab_spark.search.manage import parse_multipart
 
-        def _respond(self, extra_params: dict):
+                fields, files = parse_multipart(raw, ctype)
+                extra = {k: [v] for k, v in fields.items()}
+            self._respond(extra, method="POST", files=files)
+
+        def do_DELETE(self):  # noqa: N802 - corpus / format deletion
+            self._respond({}, method="DELETE")
+
+        def _respond(self, extra_params: dict, method: str = "GET",
+                     files=None):
             u = urlparse(self.path)
             try:
                 q = parse_qs(u.query)
                 q.update(extra_params)
-                status, body = router.handle(u.path, _coerce(q))
+                status, body = router.handle(
+                    u.path, _coerce(q), method=method, files=files
+                )
             except Exception as e:  # engine error → INTERNAL_ERROR envelope
                 status, body = 500, error_response("INTERNAL_ERROR", str(e))
             if isinstance(body, str):
@@ -265,12 +353,30 @@ def make_handler(corpora: dict):
     return Handler
 
 
-def serve(corpora: dict, port: int = 8080, host: str = "127.0.0.1"):
+def serve(corpora: dict, port: int = 8080, host: str = "127.0.0.1",
+          user_dir: str | None = None, spark=None):
     """Start the adapter; returns the (already started) server object.
     Call ``.shutdown()`` to stop. ThreadingHTTPServer: Spark job
     submission is thread-safe, concurrent requests just become
-    concurrent Spark jobs sharing the session's scheduler."""
-    srv = ThreadingHTTPServer((host, port), make_handler(corpora))
+    concurrent Spark jobs sharing the session's scheduler.
+
+    ``user_dir`` enables the index-management surface (create / upload /
+    delete user corpora, register input formats — the reference's
+    user-area, RequestHandlerCreateIndex.java etc.); without it those
+    routes answer 403 like an unauthenticated reference server."""
+    manager = None
+    if user_dir is not None:
+        from blacklab_spark.search.manage import IndexManager
+
+        if spark is None:
+            if not corpora:
+                raise ValueError(
+                    "user_dir requires a SparkSession: pass spark= or "
+                    "mount at least one corpus"
+                )
+            spark = next(iter(corpora.values())).spark
+        manager = IndexManager(spark, user_dir, corpora)
+    srv = ThreadingHTTPServer((host, port), make_handler(corpora, manager))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv

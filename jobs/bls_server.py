@@ -26,7 +26,11 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--cpus", type=int, default=0)
-    ap.add_argument("mounts", nargs="+", metavar="NAME=INDEX_DIR")
+    ap.add_argument("--user-dir", default=None,
+                    help="directory for user-created corpora; enables "
+                         "POST / (create), POST /<corpus>/docs (upload), "
+                         "DELETE /<corpus>, /input-formats management")
+    ap.add_argument("mounts", nargs="*", metavar="NAME=INDEX_DIR")
     args = ap.parse_args()
 
     from blacklab_spark.corpus import Corpus
@@ -42,7 +46,10 @@ def main() -> None:
         corpora[name] = Corpus.open(spark, path)
         print(f"mounted /{name} <- {path}")
 
-    srv = serve(corpora, port=args.port, host=args.host)
+    if not corpora and not args.user_dir:
+        ap.error("mount at least one NAME=INDEX_DIR or pass --user-dir")
+    srv = serve(corpora, port=args.port, host=args.host,
+                user_dir=args.user_dir, spark=spark)
     print(f"listening on http://{args.host}:{srv.server_address[1]}/")
     try:
         import threading
