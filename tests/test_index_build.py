@@ -103,6 +103,59 @@ def test_resume_skips_done_stages(small_corpus, spark, small_cfg, tmp_path):
     assert c2.meta["n_docs"] == 200
 
 
+def test_resume_after_midbuild_crash(spark, small_cfg, tmp_path):
+    """North-rule checkpointing: a build killed between stages resumes
+    from the last finished stage marker and produces an index identical
+    to an uninterrupted build — earlier stage outputs are NOT recomputed
+    (reference analogue: IndexTool re-add after crash rebuilds only the
+    unwritten Lucene segments; our markers are per-stage, build.py
+    _stage_done)."""
+    import glob
+    import os
+
+    from blacklab_spark.corpus import Corpus
+    from blacklab_spark.synth import generate_pandas
+
+    pdf = generate_pandas(300, seed=11)
+    df = spark.createDataFrame(pdf)
+    d = str(tmp_path / "idx")
+    c1 = Corpus.build(spark, df, d, small_cfg)
+    want_meta = dict(c1.meta)
+    want_rows = sorted(
+        (r["term"], r["df"]) for r in c1.terms.select("term", "df").collect()
+    )
+
+    # simulate a crash after the postings stage: terms output gone,
+    # meta.json never written (meta is written last, after all markers)
+    import shutil
+
+    shutil.rmtree(os.path.join(d, "terms"))
+    os.remove(os.path.join(d, "meta.json"))
+    tok_mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(d, "tokenized", "*", "*.parquet"))
+    }
+    post_mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(d, "postings", "*", "*.parquet"))
+    }
+    assert tok_mtimes and post_mtimes
+
+    c2 = Corpus.build(spark, df, d, small_cfg, resume=True)
+    # finished stages were not rewritten (checkpoint actually skipped work)
+    for p, m in tok_mtimes.items():
+        assert os.path.getmtime(p) == m
+    for p, m in post_mtimes.items():
+        assert os.path.getmtime(p) == m
+    # the resumed index equals the uninterrupted one
+    for k in ("n_docs", "total_tokens", "n_terms", "n_posting_blocks", "avgdl"):
+        assert c2.meta[k] == want_meta[k], k
+    got_rows = sorted(
+        (r["term"], r["df"]) for r in c2.terms.select("term", "df").collect()
+    )
+    assert got_rows == want_rows
+
+
 def test_encoder_nonmonotonic_doc_order():
     """A kernel slice whose rows arrive doc-DESCENDING must still emit
     ascending doc lists with correct min_doc/max_doc (the fallback sort
