@@ -105,6 +105,23 @@ def naive_spans(docs: list[list[str]], node) -> set[tuple[int, int, int]]:
         for ns in neg_sets:
             cur -= ns
         return cur
+    if isinstance(node, P.PosFilter):
+        # reference SpanQueryPositionFilter WITHIN/CONTAINS (+invert):
+        # keep producer spans (not) fully inside / fully covering some
+        # filter span in the same doc (SpansPositionFilter.java)
+        prod = naive_spans(docs, node.producer)
+        filt = naive_spans(docs, node.filter)
+        if node.op == "within":
+            keep = {
+                (d, s, e) for (d, s, e) in prod
+                if any(fd == d and fs <= s and e <= fe for (fd, fs, fe) in filt)
+            }
+        else:  # containing
+            keep = {
+                (d, s, e) for (d, s, e) in prod
+                if any(fd == d and s <= fs and fe <= e for (fd, fs, fe) in filt)
+            }
+        return (prod - keep) if node.invert else keep
     if isinstance(node, P.Repeat):
         base = naive_spans(docs, node.clause)
         rmin, rmax = node.rmin, node.rmax
@@ -140,6 +157,8 @@ def _may_be_empty(node) -> bool:
         return _may_be_empty(node.clause)
     if isinstance(node, P.SpanAnd):
         return all(_may_be_empty(c) for c in node.clauses)
+    if isinstance(node, P.PosFilter):
+        return _may_be_empty(node.producer)
     return False
 
 
@@ -193,11 +212,29 @@ def _gen(rng: random.Random, depth: int, in_seq: bool) -> str:
             else _gen_atom(rng)
         )
         return f"({a} & {b})" if rng.random() < 0.5 else f"({b} & {a})"
-    if r < 0.80:
+    if r < 0.76:
         # repetition of a GROUP (possibly itself containing optional
         # parts — exercises nested ε-matching repetition rewrites)
         grp = _gen(rng, depth - 1, False)
         return f"({grp}){_render_bounds(rng, allow_zero=in_seq)}"
+    if r < 0.86:
+        # position filter: within/containing (+inverted) against a
+        # non-ε producer and a non-ε filter span pattern
+        prod = _gen(rng, depth - 1, False)
+        for _ in range(4):
+            if not _may_be_empty(P.parse(prod)):
+                break
+            prod = _gen(rng, depth - 1, False)
+        else:
+            prod = _gen_atom(rng)
+        filt = (
+            f"{_gen_atom(rng)} {_gen_atom(rng)}"
+            if rng.random() < 0.5
+            else f"{_gen_atom(rng)} []"
+        )
+        op = rng.choice(["within", "containing", "within", "containing",
+                         "!within", "!containing"])
+        return f"(({prod}) {op} ({filt}))"
     atom = _gen_atom(rng)
     return f"({atom}){_render_bounds(rng, allow_zero=in_seq)}"
 
