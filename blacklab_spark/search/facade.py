@@ -25,6 +25,79 @@ from pyspark.sql import DataFrame
 from blacklab_spark.search.results import Hits
 
 
+def resolve_pid(corpus, pid: str) -> int | None:
+    """Document pid → doc_id. The stable synthetic pid is
+    ``"<conv_id>/<turn_idx>"`` (transcript turns have no configured
+    pidField; see search/server.py divergence notes); a bare integer is
+    taken as a doc_id directly — the reference falls back to Lucene doc
+    ids when no pidField is configured (reference docPid parameter,
+    BlackLabServerParams.java:271)."""
+    from pyspark.sql import functions as F
+
+    if pid.isdigit():
+        return int(pid)
+    if "/" not in pid:
+        return None
+    conv_id, _, turn_idx = pid.rpartition("/")
+    if not turn_idx.isdigit():
+        return None
+    rows = (
+        corpus.doc_stats
+        .filter((F.col("conv_id") == conv_id)
+                & (F.col("turn_idx") == int(turn_idx)))
+        .select("doc_id").collect()
+    )
+    return rows[0]["doc_id"] if rows else None
+
+
+def annotation_values(corpus, annotation: str, limit: int = 200) -> dict:
+    """Indexed value list of one annotation, with its subannotations
+    (reference RequestHandlerFieldInfo ``subprops`` — "show all
+    subannotations and values for annotation",
+    BlackLabServerParams.java:57,421; subannotation naming is
+    ``parent_sub``, the AnnotatedFieldNameUtil subannotation-separator
+    convention). Values come from the terms dict when the annotation
+    has its own postings field (a pruned scan over C terms); otherwise
+    from the forward-index sidecar column — a corpus scan acceptable
+    for the explore page, flagged ``fromPostings: False``."""
+    from pyspark.sql import functions as F
+
+    anns = corpus.fields()["annotated_field"]["annotations"]
+    if annotation not in anns:
+        raise KeyError(f"unknown annotation: {annotation}")
+    field = f"{annotation}@i"
+    from_postings = field in corpus.index_fields
+    if from_postings:
+        rows = (
+            corpus.terms_for(field)
+            .orderBy(F.desc("cf"), "term")
+            .limit(limit + 1)
+            .collect()
+        )
+        values = {r["term"]: int(r["cf"]) for r in rows[:limit]}
+    else:
+        # tokens_i and the ann_* sidecars are array<string> columns
+        src = F.col(
+            "tokens_i" if annotation == "word" else f"ann_{annotation}"
+        )
+        rows = (
+            corpus.tokenized
+            .select(F.explode(src).alias("v"))
+            .groupBy("v").agg(F.count(F.lit(1)).alias("cf"))
+            .orderBy(F.desc("cf"), "v").limit(limit + 1).collect()
+        )
+        values = {r["v"]: int(r["cf"]) for r in rows[:limit]}
+    return {
+        "annotation": annotation,
+        "values": values,
+        "valueListComplete": len(rows) <= limit,
+        "fromPostings": from_postings,
+        "subannotations": sorted(
+            a for a in anns if a.startswith(annotation + "_")
+        ),
+    }
+
+
 def _sort_groups(g: DataFrame, sort: str | None) -> DataFrame:
     """Group-level sort on a grouped result (reference
     HitGroupProperty/DocGroupProperty deserialization: ``size`` —
@@ -81,6 +154,7 @@ def search(
     fimatch: int | None = None,
     waitfortotal: bool | None = None,
     listvalues: str | None = None,
+    docpid: str | None = None,
     subtree_cache=None,
 ) -> DataFrame:
     """Run one BLS-style request against the corpus.
@@ -135,7 +209,8 @@ def search(
             calc=calc, facets=facets, maxretrieve=maxretrieve,
             outputformat=outputformat, csvsepline=csvsepline,
             csvsummary=csvsummary, waitfortotal=waitfortotal,
-            listvalues=listvalues, subtree_cache=subtree_cache,
+            listvalues=listvalues, docpid=docpid,
+            subtree_cache=subtree_cache,
         )
     from pyspark.sql import functions as F
 
@@ -187,12 +262,23 @@ def search(
         else:
             raise ValueError(f"unknown filterlang: {filterlang}")
 
+    # ---- docpid → single-document restriction ----------------------
+    # (reference BlackLabServerParams.java:34 "docs to search": a hits
+    # request scoped to ONE document, the article-viewer flow)
+    docpid_id = None
+    if docpid is not None:
+        docpid_id = resolve_pid(corpus, docpid)
+        if docpid_id is None:
+            raise ValueError(f"document not found: {docpid}")
+
     # ---- pattern → Hits --------------------------------------------
     if patt is None:
         # docs-only request (reference DocResults.java:86-88)
         docs = corpus.doc_stats
         if filter_sql:
             docs = docs.filter(filter_sql)
+        if docpid_id is not None:
+            docs = docs.filter(F.col("doc_id") == docpid_id)
         if group:
             g = (
                 docs.groupBy(group)
@@ -221,6 +307,10 @@ def search(
 
     if filter_sql:
         hits = hits.filter_docs(filter_sql)
+
+    if docpid_id is not None:
+        # plain predicate, not a join: one doc_id, pushed into the scan
+        hits = Hits(corpus, hits.df.filter(F.col("doc_id") == docpid_id))
 
     # ---- hit-property filter (BLS hitfiltercrit/hitfilterval) ------
     if hitfiltercrit is not None:

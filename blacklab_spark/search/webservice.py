@@ -259,6 +259,17 @@ class _Router:
                               annotation=ann)
             return 200, [r[0] for r in df.collect()]
         if ep == "fields" and len(rest) > 1:
+            # annotation names route to the annotation value list (the
+            # reference's field-info page with `subprops`,
+            # RequestHandlerFieldInfo / BlackLabServerParams.java:57);
+            # metadata field names keep the metadata value list
+            anns = corpus.fields()["annotated_field"]["annotations"]
+            if rest[1] in anns:
+                from blacklab_spark.search.facade import annotation_values
+
+                return 200, annotation_values(
+                    corpus, rest[1], limit=int(q.get("number", 200))
+                )
             return 200, corpus.field_values(rest[1])
         if ep == "status":
             return 200, corpus.status()
@@ -279,22 +290,9 @@ class _Router:
     def _resolve_pid(corpus, pid: str):
         """pid "<conv_id>/<turn_idx>" (URL-encoded slash) or a bare
         doc_id integer → doc_id."""
-        from pyspark.sql import functions as F
+        from blacklab_spark.search.facade import resolve_pid
 
-        if pid.isdigit():
-            return int(pid)
-        if "/" not in pid:
-            return None
-        conv_id, _, turn_idx = pid.rpartition("/")
-        if not turn_idx.isdigit():
-            return None
-        rows = (
-            corpus.doc_stats
-            .filter((F.col("conv_id") == conv_id)
-                    & (F.col("turn_idx") == int(turn_idx)))
-            .select("doc_id").collect()
-        )
-        return rows[0]["doc_id"] if rows else None
+        return resolve_pid(corpus, pid)
 
 
 def make_handler(corpora: dict, manager=None):

@@ -432,3 +432,51 @@ def test_csv_sepline_and_summary(micro):
     assert any(ln.startswith('summary.searchParam.patt,') for ln in lines)
     n = next(ln for ln in lines if ln.startswith("summary.numberOfResults"))
     assert n.split(",")[1] == "4"  # 4 hits of 'the'
+
+
+def test_docpid_restricts_search(micro):
+    # BLS docpid: a hits request scoped to ONE document (reference
+    # BlackLabServerParams.java:34 "docs to search")
+    s = micro.search(patt='"the"', docpid="doc0/0")
+    assert {r["doc_id"] for r in s.collect()} == {0}
+    # bare doc_id works as a pid too
+    s2 = micro.search(patt='"the"', docpid="2")
+    assert [r["doc_id"] for r in s2.collect()] == [2]
+    # docs-only request scoped to the pid
+    d = micro.search(docpid="doc3/0")
+    assert [r["doc_id"] for r in d.collect()] == [3]
+    # unknown pid is a request error, not silence
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="document not found"):
+        micro.search(patt='"the"', docpid="nope/9")
+
+
+def test_resolve_pid(micro):
+    from blacklab_spark.search.facade import resolve_pid
+
+    assert resolve_pid(micro, "doc1/0") == 1
+    assert resolve_pid(micro, "3") == 3
+    assert resolve_pid(micro, "unknown") is None
+    assert resolve_pid(micro, "doc1/x") is None
+
+
+def test_annotation_values_subprops(micro):
+    # reference RequestHandlerFieldInfo `subprops`: annotation value
+    # lists + subannotation listing (BlackLabServerParams.java:57,421)
+    from blacklab_spark.search.facade import annotation_values
+
+    # word@i has postings: values come from the terms dict
+    av = annotation_values(micro, "word")
+    assert av["fromPostings"] is True
+    assert av["values"]["the"] == 4
+    assert av["values"]["aap"] == 5
+    assert av["valueListComplete"] is True
+    # pos has no postings field: sidecar fallback, flagged as such
+    ap = annotation_values(micro, "pos")
+    assert ap["fromPostings"] is False
+    assert ap["values"]["vrb"] == 6
+    assert ap["values"]["art"] == 4
+    assert ap["subannotations"] == []
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        annotation_values(micro, "nosuch")

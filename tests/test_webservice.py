@@ -241,3 +241,27 @@ def test_autocomplete_metadata_field(bls):
     status, body = get("/transcripts/autocomplete/role?term=")
     assert status == 200
     assert set(body) >= {"user", "assistant"}
+
+
+def test_fields_annotation_route_and_docpid_param(bls):
+    get, get_err = bls
+    # fields/<annotation> serves the annotation value list (the
+    # reference field-info page with subprops)
+    status, body = get("/transcripts/fields/word?number=5")
+    assert status == 200
+    assert body["annotation"] == "word"
+    assert body["fromPostings"] is True
+    assert len(body["values"]) == 5
+    assert body["valueListComplete"] is False
+    # metadata fields keep the metadata value list
+    status, body = get("/transcripts/fields/role")
+    assert status == 200
+    assert set(body["values"]) == {"user", "assistant", "tool"}
+    # docpid scopes a hits request to one document
+    status, body = get('/transcripts/hits?patt="word00010"&docpid=0')
+    assert status == 200
+    docs = {h["docPid"] for h in body["hits"]}
+    assert len(docs) <= 1
+    # unknown docpid -> 400 error envelope
+    status, body = get_err('/transcripts/hits?patt="x"&docpid=zz/9')
+    assert status == 400
