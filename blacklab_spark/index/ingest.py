@@ -404,5 +404,9 @@ def read_input(spark: SparkSession, path: str, fmt: str | None = None, **kw) -> 
         ext = os.path.splitext(path.rstrip("/*"))[1].lstrip(".").lower()
         fmt = {"cha": "chat", "text": "txt", "json": "jsonl"}.get(ext, ext)
     if fmt not in READERS:
+        # plugin-backed formats (convert/tag chains) register on import
+        import blacklab_spark.index.preprocess  # noqa: F401
+
+    if fmt not in READERS:
         raise ValueError(f"unknown input format {fmt!r} (known: {sorted(READERS)})")
     return READERS[fmt](spark, path, **kw)
