@@ -6,7 +6,9 @@
         --index  <index dir (shared storage on a real cluster)> \
         --resume            # skip stages with a _STAGE_DONE marker
         [--format FMT]      # ingest raw files: txt/csv/tsv/tsv-frog/
-                            # jsonl/chat/sketch-wpl, any XML format
+                            # jsonl/chat/sketch-wpl, any XML format,
+                            # or a convert/tag plugin format (md,
+                            # md-tagged, register_plugin_format)
                             # (tei-p5[-legacy]/tei-p4-legacy/folia/naf/
                             # eaf/tcf/cmdi), or a .blf.yaml config path
         [--segment-size N] [--block-size N]
