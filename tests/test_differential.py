@@ -331,3 +331,99 @@ def test_variable_length_sequence_dedup(diff_corpus):
         c2.cfg = _dc.replace(corpus.cfg, fi_probe_ratio=ratio)
         got = engine_hits(c2, q)
         assert got == want, f"ratio={ratio}"
+
+
+# ---------------------------------------------------------------------------
+# constraint (MatchFilter) differential axis:  a:X []{g,h} b:Y :: expr
+# (reference SpanQueryConstrained.java + search/matchfilter/*.java —
+# =, !=, &, |, ! over captured-token annotation values)
+# ---------------------------------------------------------------------------
+
+def _gen_constraint_queries(seed: int, n: int):
+    """Yields (cql, a_atom, b_atom, g, h, eval_fn) where eval_fn(wa, wb)
+    evaluates the generated constraint over the captured tokens."""
+    rng = random.Random(seed)
+
+    def atom() -> str:
+        r = rng.random()
+        if r < 0.40:
+            return "[]"
+        if r < 0.70:
+            return f'"{rng.choice(REGEXES)}"'
+        return f'"{rng.choice(VOCAB)}"'
+
+    def cmp_():
+        r = rng.random()
+        if r < 0.35:
+            return "a.word = b.word", lambda wa, wb: wa == wb
+        if r < 0.55:
+            return "a.word != b.word", lambda wa, wb: wa != wb
+        lit = rng.choice(VOCAB)
+        side, op = rng.choice(["a", "b"]), rng.choice(["=", "!="])
+        expr = f'{side}.word {op} "{lit}"'
+
+        def fn(wa, wb, side=side, op=op, lit=lit):
+            w = wa if side == "a" else wb
+            return (w == lit) if op == "=" else (w != lit)
+
+        return expr, fn
+
+    out = []
+    for _ in range(n):
+        a, b = atom(), atom()
+        g = rng.choice([0, 0, 1])
+        h = g + rng.choice([0, 1, 2])
+        r = rng.random()
+        if r < 0.45:
+            expr, fn = cmp_()
+        elif r < 0.65:
+            (e1, f1), (e2, f2) = cmp_(), cmp_()
+            expr = f"({e1} & {e2})"
+            fn = lambda wa, wb, f1=f1, f2=f2: f1(wa, wb) and f2(wa, wb)
+        elif r < 0.85:
+            (e1, f1), (e2, f2) = cmp_(), cmp_()
+            expr = f"({e1} | {e2})"
+            fn = lambda wa, wb, f1=f1, f2=f2: f1(wa, wb) or f2(wa, wb)
+        else:
+            e1, f1 = cmp_()
+            expr = f"!({e1})"
+            fn = lambda wa, wb, f1=f1: not f1(wa, wb)
+        cql = f"a:{a} []{{{g},{h}}} b:{b} :: {expr}"
+        out.append((cql, a, b, g, h, fn))
+    return out
+
+
+def naive_constrained(docs, a_atom, b_atom, g, h, fn):
+    a_set = naive_spans(docs, P.parse(a_atom))
+    b_set = naive_spans(docs, P.parse(b_atom))
+    b_by_doc: dict = {}
+    for d, s, _e in b_set:
+        b_by_doc.setdefault(d, []).append(s)
+    out = set()
+    for d, s, _e in a_set:
+        for m in b_by_doc.get(d, ()):
+            if g <= m - s - 1 <= h and fn(docs[d][s], docs[d][m]):
+                out.add((d, s, m + 1))
+    return sorted(out)
+
+
+def test_differential_constraint_queries(diff_corpus):
+    corpus, docs = diff_corpus
+    cases = _gen_constraint_queries(SEED + 7, 30)
+    orig = corpus.cfg
+    failures = []
+    try:
+        for cql, a, b, g, h, fn in cases:
+            expected = naive_constrained(docs, a, b, g, h, fn)
+            for label, ratio in (("probe", 1.01), ("join", 0.0)):
+                corpus.cfg = dataclasses.replace(orig, fi_probe_ratio=ratio)
+                got = engine_hits(corpus, cql)
+                if got != expected:
+                    failures.append((cql, label, expected, got))
+                    break
+    finally:
+        corpus.cfg = orig
+    assert not failures, "\n".join(
+        f"{mode} plan diverges on {q!r}:\n  naive={exp[:12]}\n  engine={got[:12]}"
+        for q, mode, exp, got in failures[:5]
+    )
