@@ -64,9 +64,27 @@ def main() -> None:
                       flush=True)
         if (i + 1) % 50 == 0:
             print(f"... {i + 1}/{n_queries} ({time.time() - t0:.0f}s)", flush=True)
+    # constraint (MatchFilter) axis: 1 constraint query per 5 plain ones
+    from test_differential import _gen_constraint_queries, naive_constrained
+
+    n_constraints = max(1, n_queries // 5)
+    for i, (cq, a, b, g, h, fn) in enumerate(
+        _gen_constraint_queries(seed + 2, n_constraints)
+    ):
+        expected = naive_constrained(docs, a, b, g, h, fn)
+        for label, ratio in (("probe", 1.01), ("join", 0.0)):
+            corpus.cfg = dataclasses.replace(orig, fi_probe_ratio=ratio)
+            got = engine_hits(corpus, cq)
+            if got != expected:
+                failures += 1
+                print(f"FAIL [{label}] {cq!r}\n  naive={expected[:12]}\n"
+                      f"  engine={got[:12]}", flush=True)
+        if (i + 1) % 50 == 0:
+            print(f"... constraints {i + 1}/{n_constraints} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
     corpus.cfg = orig
-    print(f"done: {n_queries} queries x 2 modes, {failures} failures, "
-          f"{time.time() - t0:.0f}s", flush=True)
+    print(f"done: {n_queries}+{n_constraints} queries x 2 modes, "
+          f"{failures} failures, {time.time() - t0:.0f}s", flush=True)
     sys.exit(1 if failures else 0)
 
 
