@@ -223,6 +223,14 @@ def main() -> None:
             k: (hw.get(k) or {}).get("ceiling_efficiency")
             for k in ("cpu", "stream", "build")
         }
+        # corroborating pairs at other N->4N sizes (same compact shape)
+        for key in ("corroboration_4_16", "corroboration_8_32"):
+            c = s.get(key)
+            if c:
+                out["scaling"][key] = {
+                    k: c.get(k)
+                    for k in ("pair", "n_pairs", "build_eff", "query_eff")
+                }
     line = json.dumps(out, separators=(",", ":"))
     print(line)
 
