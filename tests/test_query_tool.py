@@ -34,6 +34,12 @@ SCRIPT = "\n".join(
         "total off",
         "count",
         "sample 2",
+        "struct",
+        "props",
+        "showconc off",
+        f'"{TERM}"',
+        "showconc on",
+        "repeat 2 count",
         "quit",
     ]
 ) + "\n"
@@ -67,6 +73,13 @@ def test_repl_commands(small_corpus):
     assert "(role = 'user')" in text
     assert f"<hl>{TERM}</hl>" in text
     assert f"total: {n_hits}" in text
+    # struct / props / showconc-off / repeat
+    assert "annotated field 'contents'" in text
+    assert "['word']" in text
+    assert "showconc off" in text
+    # repeat 2 count (with total off) -> two more running-count totals
+    # beyond the first count's
+    assert text.count("total:") >= 3
 
 
 def test_apply_sensitive_rewrites_only_unflagged_literals():
