@@ -288,7 +288,9 @@ def search(
             return _out(_sort_groups(g, sort))
         return _out(docs)
 
-    if pattlang == "bcql":
+    # "corpusql" is the reference's name for BCQL and its pattlang
+    # default (BlackLabServerParams.java:96, BlsUtils.parsePatt:116)
+    if pattlang in ("bcql", "corpusql"):
         if pattgapdata is not None:
             from blacklab_spark.cql.engine import translate
             from blacklab_spark.cql.gapfiller import parse_gap_query

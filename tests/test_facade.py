@@ -480,3 +480,15 @@ def test_annotation_values_subprops(micro):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         annotation_values(micro, "nosuch")
+
+
+def test_pattlang_corpusql_alias(micro):
+    # the reference's default pattlang NAME is "corpusql"
+    # (BlackLabServerParams.java:96); bcql is this repo's alias
+    a = {tuple(r) for r in micro.search(patt='"the"').collect()}
+    b = {tuple(r) for r in
+         micro.search(patt='"the"', pattlang="corpusql").collect()}
+    assert a == b and a
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown pattlang"):
+        micro.search(patt='"the"', pattlang="sparql")
