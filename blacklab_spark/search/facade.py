@@ -257,6 +257,17 @@ def search(
             from blacklab_spark.cql.luceneql import parse_luceneql
 
             filter_sql = parse_luceneql(filter)
+        elif filterlang == "contextql":
+            # the reference's other filterlang: parse the ContextQL
+            # query and keep its metadata-filter side
+            # (BlsUtils.parseFilter:92-100 -> CompleteQuery.filter())
+            from blacklab_spark.cql.contextql import parse_contextql
+
+            filter_sql = parse_contextql(filter).filter
+            if filter_sql is None:
+                raise ValueError(
+                    "contextql filter query has no metadata clause"
+                )
         elif filterlang == "sql":
             filter_sql = filter
         else:

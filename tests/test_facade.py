@@ -492,3 +492,17 @@ def test_pattlang_corpusql_alias(micro):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown pattlang"):
         micro.search(patt='"the"', pattlang="sparql")
+
+
+def test_filterlang_contextql(micro):
+    # reference BlsUtils.parseFilter:92-100: filterlang=contextql keeps
+    # the parsed CompleteQuery's metadata-filter side
+    base = {tuple(r) for r in
+            micro.search(patt='"the"', filter="role:user").collect()}
+    got = {tuple(r) for r in
+           micro.search(patt='"the"', filter='role = "user"',
+                        filterlang="contextql").collect()}
+    assert got == base and got
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no metadata clause"):
+        micro.search(patt='"x"', filter='"the"', filterlang="contextql")
