@@ -782,21 +782,40 @@ class Hits:
 
 
 def term_frequencies(corpus, filter_expr: str | None = None,
-                     sensitive: bool = False) -> DataFrame:
+                     sensitive: bool = False,
+                     annotation: str = "word") -> DataFrame:
     """Corpus-wide term frequencies (reference BlackLabIndex.java:212,
     HitGroupsTokenFrequencies fast path :43-49 — when the 'query' is
     any-token, skip hit enumeration and aggregate the forward index
-    directly; with no filter we read the precomputed terms dict)."""
-    if filter_expr is None and not sensitive:
-        return corpus.terms.select(
-            "term", F.col("df").alias("n_docs"), F.col("cf").alias("freq")
-        ).orderBy(F.desc("freq"), "term")
+    directly; with no filter we read the precomputed terms dict).
+    ``annotation`` picks which annotation's values are counted
+    (reference WebserviceOperations.getTermFrequencies:521-535 takes
+    the annotation name + sensitivity + optional doc filter) — served
+    from that annotation's terms dict when it has a postings field,
+    else one aggregation over the forward-index sidecar column."""
+    if annotation == "word":
+        if filter_expr is None and not sensitive:
+            return corpus.terms.select(
+                "term", F.col("df").alias("n_docs"), F.col("cf").alias("freq")
+            ).orderBy(F.desc("freq"), "term")
+        src = F.col("tokens" if sensitive else "tokens_i")
+    else:
+        field = f"{annotation}@{'s' if sensitive else 'i'}"
+        if filter_expr is None and field in corpus.index_fields:
+            return corpus.terms_for(field).select(
+                "term", F.col("df").alias("n_docs"),
+                F.col("cf").alias("freq"),
+            ).orderBy(F.desc("freq"), "term")
+        from blacklab_spark.analysis import desensitize_col
+
+        src = F.col(f"ann_{annotation}")
+        if not sensitive:
+            src = F.transform(src, lambda t: desensitize_col(t, "i"))
     tk = corpus.tokenized
     if filter_expr:
         tk = tk.filter(filter_expr)
-    col = "tokens" if sensitive else "tokens_i"
     return (
-        tk.select("doc_id", F.explode(col).alias("term"))
+        tk.select("doc_id", F.explode(src).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("n_docs"))
         .orderBy(F.desc("freq"), "term")

@@ -210,9 +210,15 @@ class _Router:
         if ep == "termfreq":
             from blacklab_spark.search.results import term_frequencies
 
+            filt = q.get("filter")
+            if filt:
+                from blacklab_spark.cql.luceneql import parse_luceneql
+
+                filt = parse_luceneql(filt)
             df = term_frequencies(
-                corpus, filter_expr=None,
+                corpus, filter_expr=filt,
                 sensitive=q.get("sensitive", False),
+                annotation=q.get("annotation", "word"),
             )
             terms = q.get("terms")
             if terms:

@@ -506,3 +506,18 @@ def test_filterlang_contextql(micro):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no metadata clause"):
         micro.search(patt='"x"', filter='"the"', filterlang="contextql")
+
+
+def test_term_frequencies_annotation(micro):
+    from blacklab_spark.search.results import term_frequencies
+
+    df = term_frequencies(micro, annotation="pos")
+    freqs = {r["term"]: r["freq"] for r in df.collect()}
+    # pos counts over the micro corpus (doc1 has empty annotations,
+    # which surface as '' values — excluded from the real tags' counts)
+    assert freqs["vrb"] == 6 and freqs["art"] == 4
+    # filtered to one doc's worth via metadata
+    df2 = term_frequencies(micro, annotation="pos",
+                           filter_expr="conv_id = 'doc3'")
+    f2 = {r["term"]: r["freq"] for r in df2.collect()}
+    assert f2["vrb"] == 3 and f2["pre"] == 2

@@ -265,3 +265,22 @@ def test_fields_annotation_route_and_docpid_param(bls):
     # unknown docpid -> 400 error envelope
     status, body = get_err('/transcripts/hits?patt="x"&docpid=zz/9')
     assert status == 400
+
+
+def test_termfreq_annotation_and_filter(bls, small_corpus):
+    get, _ = bls
+    corpus, pdf = small_corpus
+    # filter restricts counting to matching docs (reference
+    # WebserviceOperations.getTermFrequencies:532 filterQuery)
+    status, body = get(
+        "/transcripts/termfreq?terms=word00010&filter=role:user"
+    )
+    assert status == 200
+    want = sum(
+        t.split().count("word00010")
+        for t, r in zip(pdf["text"], pdf["role"]) if r == "user"
+    )
+    assert body["termFreq"]["word00010"] == want
+    # unknown annotation errors cleanly (this corpus has word only)
+    status, body = get("/transcripts/termfreq?number=3")
+    assert status == 200 and len(body["termFreq"]) == 3
