@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from blacklab_spark.index import codec
 
@@ -160,12 +160,27 @@ def topk_bm25(
     meta = corpus.meta
     qterms = corpus.tokenize_query(query)
     out_schema = "doc_id long, score double"
+
+    def empty():
+        # no-match results carry the SAME hydrated schema as hits
+        hyd = corpus.tokenized.select(
+            "doc_id", "conv_id", "turn_idx", "role", "tool", "text"
+        )
+        sch = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+            + [f for f in hyd.schema.fields if f.name != "doc_id"]
+        )
+        return spark.createDataFrame([], sch)
+
     if not qterms:
-        return spark.createDataFrame([], out_schema)
+        return empty()
 
     tinfo = corpus.term_stats(qterms)
     if not tinfo:
-        return spark.createDataFrame([], out_schema)
+        return empty()
     n_docs = meta["n_docs"]
     # repeated query terms accumulate idf weight, like Lucene's
     # BooleanQuery with duplicate clauses; idf comes from LIVE stats
@@ -298,18 +313,39 @@ def topk_bm25(
     # global top-k merge (TakeOrderedAndProject over <=k rows/segment),
     # then hydrate metadata for just those k docs: the isin filter is
     # pushed into the tokenized parquet scan (row-group pruning), so
-    # hydration never joins against the full corpus.
+    # hydration never joins against the full corpus. The k-row join of
+    # scores to metadata happens ON THE DRIVER (the score rows are
+    # already collected for the isin list): one small scan job instead
+    # of a broadcast-join+sort plan — per-query latency is floor-bound
+    # by Spark job count, and display decoration of k rows is O(k).
     top_rows = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    if not top_rows:
-        return spark.createDataFrame([], out_schema)
-    scores = spark.createDataFrame(top_rows, out_schema)
-    ids = [int(r["doc_id"]) for r in top_rows]
-    hyd = corpus.tokenized.filter(F.col("doc_id").isin(ids)).select(
+    hyd_src = corpus.tokenized.select(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "text"
     )
-    return scores.join(F.broadcast(hyd), "doc_id", "left").orderBy(
-        F.desc("score"), F.asc("doc_id")
+    full_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+        + [f for f in hyd_src.schema.fields if f.name != "doc_id"]
     )
+    if not top_rows:
+        return spark.createDataFrame([], full_schema)
+    ids = [int(r["doc_id"]) for r in top_rows]
+    by_id = {
+        r["doc_id"]: r
+        for r in hyd_src.filter(F.col("doc_id").isin(ids)).collect()
+    }
+    meta_cols = [f.name for f in full_schema.fields[2:]]
+    rows = [
+        tuple(
+            [int(r["doc_id"]), float(r["score"])]
+            + [by_id[r["doc_id"]][c] if r["doc_id"] in by_id else None
+               for c in meta_cols]
+        )
+        for r in top_rows
+    ]
+    return spark.createDataFrame(rows, full_schema)
 
 
 def topk_bm25_phrase(corpus, phrase: str, k: int = 10) -> DataFrame:
