@@ -54,8 +54,34 @@ class _Router:
     """Dispatch one request path against a corpus registry."""
 
     def __init__(self, corpora: dict, manager=None):
+        from blacklab_spark.search.metrics import (
+            MetricsRegistry, bind_corpus_gauges,
+        )
+
         self.corpora = corpora
         self.manager = manager  # IndexManager | None (user-corpus ops)
+        self.metrics = MetricsRegistry()
+        bind_corpus_gauges(self.metrics, corpora)
+
+    @staticmethod
+    def operation_label(path: str) -> tuple[str, str]:
+        """(corpus, operation) tags for request instrumentation
+        (reference RequestInstrumentationProvider derives the same pair
+        from the servlet path). Doc pids and group ids are NOT part of
+        the label — cardinality stays bounded by the endpoint set."""
+        parts = [p for p in path.strip("/").split("/") if p]
+        if not parts:
+            return "-", "server-info"
+        if len(parts) == 1:
+            return ("-", parts[0]) if parts[0] in (
+                "input-formats", "cache-clear", "metrics"
+            ) else (parts[0], "corpus-info")
+        op = parts[1]
+        if op == "docs" and len(parts) > 3:
+            op = f"docs-{parts[3]}"  # contents / snippet
+        elif op == "docs" and len(parts) > 2:
+            op = "doc-info"
+        return parts[0], op
 
     def handle(self, path: str, q: dict, method: str = "GET",
                files=None) -> tuple[int, object]:
@@ -89,6 +115,10 @@ class _Router:
                 "user": {"loggedIn": False,
                          "canCreateIndex": mgr is not None},
             }
+        if parts[0] == "metrics":
+            # Prometheus scrape (reference PrometheusMetricsProvider's
+            # DEFAULT_PROM_ENDPOINT "/metrics"); str body → text/plain
+            return 200, self.metrics.scrape()
         if parts[0] == "input-formats":
             return self._input_formats(parts[1:], method, files)
         if parts[0] == "cache-clear":
@@ -330,7 +360,10 @@ def make_handler(corpora: dict, manager=None):
 
         def _respond(self, extra_params: dict, method: str = "GET",
                      files=None):
+            import time as _time
+
             u = urlparse(self.path)
+            t0 = _time.time()
             try:
                 q = parse_qs(u.query)
                 q.update(extra_params)
@@ -339,6 +372,11 @@ def make_handler(corpora: dict, manager=None):
                 )
             except Exception as e:  # engine error → INTERNAL_ERROR envelope
                 status, body = 500, error_response("INTERNAL_ERROR", str(e))
+            corpus_lbl, op = router.operation_label(u.path)
+            if op != "metrics":  # don't meter the scrapes themselves
+                router.metrics.record_request(
+                    corpus_lbl, op, status, _time.time() - t0
+                )
             if isinstance(body, str):
                 payload = body.encode()
                 ctype = "text/plain; charset=utf-8"
