@@ -169,3 +169,19 @@ def test_phrase_scored_topk(small_corpus, oracle):
     )
     # unknown phrase -> empty, not an error
     assert corpus.topk_phrase("zzz qqq", k=5).count() == 0
+
+
+def test_topk_job_count_floor(small_corpus):
+    """Single-query latency is floor-bound by Spark job count: the
+    scoring kernel runs 1-2 jobs (AQE) + ONE hydration scan; the k-row
+    metadata decoration happens on the driver, never as a join plan
+    (bm25.py topk_bm25 tail). Regression guard for the display path
+    re-growing into broadcast-join jobs."""
+    corpus, _ = small_corpus
+    sc = corpus.spark.sparkContext
+    corpus.topk("word00001 word00002", k=5).collect()  # warm
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    corpus.topk("word00003 word00007", k=5).collect()
+    n_jobs = len(set(tracker.getJobIdsForGroup(None) or []) - before)
+    assert n_jobs <= 5, f"topk ran {n_jobs} Spark jobs (display join crept back?)"
