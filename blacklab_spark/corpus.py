@@ -308,7 +308,13 @@ class Corpus:
         return [desensitize_py(t) for t in re.findall(pat, text)]
 
     def topk(self, query: str, k: int = 10, filter_expr: str | None = None) -> DataFrame:
-        """Top-k BM25 over the postings (segment-parallel kernel)."""
+        """Top-k BM25 over the postings (segment-parallel kernel).
+
+        For display-sized k (≤ bm25.DRIVER_HYDRATE_MAX_K) the result is
+        hydrated eagerly — the returned DataFrame wraps k local rows and
+        the search has already run. Larger k returns a lazy distributed
+        plan (broadcast-join hydration) that preserves
+        pushdown/projection for callers that filter before collecting."""
         from blacklab_spark.search.bm25 import topk_bm25
 
         return topk_bm25(self, query, k=k, filter_expr=filter_expr)

@@ -34,6 +34,11 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from blacklab_spark.index import codec
 
+# above this k, topk_bm25 keeps the plan lazy (broadcast-join hydration)
+# instead of materializing k full-text rows on the driver — maxretrieve-
+# scale requests must not shift O(k·doc_text) onto the driver
+DRIVER_HYDRATE_MAX_K = 1024
+
 
 def _maxscore_query(
     scores: np.ndarray,
@@ -313,15 +318,29 @@ def topk_bm25(
     # global top-k merge (TakeOrderedAndProject over <=k rows/segment),
     # then hydrate metadata for just those k docs: the isin filter is
     # pushed into the tokenized parquet scan (row-group pruning), so
-    # hydration never joins against the full corpus. The k-row join of
-    # scores to metadata happens ON THE DRIVER (the score rows are
-    # already collected for the isin list): one small scan job instead
-    # of a broadcast-join+sort plan — per-query latency is floor-bound
-    # by Spark job count, and display decoration of k rows is O(k).
-    top_rows = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    # hydration never joins against the full corpus. For display-sized k
+    # the k-row join of scores to metadata happens ON THE DRIVER (the
+    # score rows are already collected for the isin list): one small
+    # scan job instead of a broadcast-join+sort plan — per-query latency
+    # is floor-bound by Spark job count, and display decoration of k
+    # rows is O(k).
     hyd_src = corpus.tokenized.select(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "text"
     )
+    if k > DRIVER_HYDRATE_MAX_K:
+        # maxretrieve-scale k: stay lazy and distributed — broadcast the
+        # ≤k score rows into the tokenized scan so no full-text row ever
+        # lands on the driver, and callers keep pushdown/projection on
+        # the returned plan
+        top = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        meta_cols = [f.name for f in hyd_src.schema.fields
+                     if f.name != "doc_id"]
+        return (
+            hyd_src.join(F.broadcast(top), "doc_id")
+            .select("doc_id", "score", *meta_cols)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    top_rows = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     full_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

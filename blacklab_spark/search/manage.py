@@ -13,10 +13,18 @@ operations — all built on the same public engine entry points the CLI
 jobs use (`Corpus.build`, `index.incremental.add_documents`,
 `index.ingest.read_input`, `index.xml_ingest` parse/spans).
 
-Divergence from the reference (documented): this adapter has no
-authentication layer, so there is no `userid:` prefix requirement on
-corpus names and every client may manage corpora when a ``user_dir`` is
-configured; sharing lists are persisted but not enforced.
+Authentication (documented divergence, narrowed in round 5): the
+reference delegates user identity to pluggable auth
+(server/.../lib/User.java; AuthDebugFixed / AuthRequestAttribute read a
+userid off the request). This adapter reads the ``X-BlackLab-User``
+header — set by a fronting authenticating proxy — as that userid. When
+a request carries a userid, corpora it creates are owned by it and are
+private: only the owner may delete / add documents / manage sharing,
+and only the owner or users on the persisted ``.shareWithUsers`` list
+may read them (the enforcement RequestHandler.mustBeOwner /
+Index.userMayRead perform in the reference). Requests without the
+header behave like the reference's unauthenticated mode: they can
+neither create nor read private corpora.
 
 Scale posture: uploads land on local disk and are parsed by the SAME
 distributed ingestion used for batch builds; an index "add" is an
@@ -213,12 +221,55 @@ class IndexManager:
     def _dirname(self, name: str) -> str:
         return os.path.join(self.user_dir, name.replace(":", "__"))
 
+    # ---- access control ---------------------------------------------------
+    def _owner(self, name: str) -> str | None:
+        info = self.user_corpora.get(name)
+        return info.get("owner") if info else None
+
+    def _shared_with(self, name: str) -> list[str]:
+        info = self.user_corpora.get(name)
+        if info is None:
+            return []
+        p = os.path.join(info["dir"], ".shareWithUsers.json")
+        return json.load(open(p)) if os.path.exists(p) else []
+
+    def can_access(self, name: str, user: str | None) -> bool:
+        """May ``user`` read corpus ``name``? Mounted (non-user) corpora
+        and ownerless user corpora are public; owned corpora require the
+        owner or a user on the share list (reference Index.userMayRead:
+        owner, shareWithUsers, or a public index)."""
+        owner = self._owner(name)
+        if owner is None:
+            return True
+        return user == owner or user in self._shared_with(name)
+
+    def _must_own(self, name: str, user: str | None):
+        """None if ``user`` may manage ``name``, else the 403 response
+        (reference RequestHandler.mustBeOwner semantics: management of a
+        user corpus is owner-only; ownerless corpora keep the adapter's
+        open-management mode)."""
+        if name not in self.user_corpora:
+            return 403, error_response(
+                "FORBIDDEN_REQUEST",
+                "Can only manage your own private indices.",
+            )
+        owner = self._owner(name)
+        if owner is not None and user != owner:
+            return 403, error_response(
+                "NOT_AUTHORIZED",
+                "You are not authorized to manage this index.",
+            )
+        return None
+
     # ---- corpus lifecycle -------------------------------------------------
-    def create(self, q: dict):
+    def create(self, q: dict, user: str | None = None):
         """POST / — create an empty user corpus
-        (RequestHandlerCreateIndex.java:22-40; 201 on success)."""
+        (RequestHandlerCreateIndex.java:22-40; 201 on success). With a
+        userid, the corpus is recorded as owned and becomes private."""
+        from blacklab_spark.search.webservice import RESERVED_NAMES
+
         name = q.get("name") or ""
-        if not name or not _NAME_RE.match(name):
+        if not name or not _NAME_RE.match(name) or name in RESERVED_NAMES:
             return 400, error_response(
                 "ILLEGAL_INDEX_NAME",
                 "You didn't specify a valid name parameter.",
@@ -236,36 +287,36 @@ class IndexManager:
         os.makedirs(d, exist_ok=True)
         desc = {"name": name, "format": fmt,
                 "display": q.get("display") or name}
+        if user is not None:
+            desc["owner"] = user
         with open(os.path.join(d, "corpus.json"), "w") as f:
             json.dump(desc, f)
         self.user_corpora[name] = {**desc, "dir": d}
         return 201, {"code": "SUCCESS", "message": "Index created succesfully."}
 
-    def delete(self, name: str):
-        """DELETE /<corpus> (RequestHandlerDeleteIndex; only
-        user-created corpora may be deleted — mounts are read-only,
+    def delete(self, name: str, user: str | None = None):
+        """DELETE /<corpus> (RequestHandlerDeleteIndex; only the owner
+        of a user-created corpus may delete it — mounts are read-only,
         matching the reference's user-area restriction)."""
-        info = self.user_corpora.pop(name, None)
-        if info is None:
-            return 403, error_response(
-                "FORBIDDEN_REQUEST",
-                "Can only delete your own private indices.",
-            )
+        denied = self._must_own(name, user)
+        if denied is not None:
+            return denied
+        info = self.user_corpora.pop(name)
         self.corpora.pop(name, None)
         shutil.rmtree(info["dir"], ignore_errors=True)
         return 200, {"code": "SUCCESS", "message": "Index deleted succesfully."}
 
-    def add_docs(self, name: str, files, fields: dict | None = None):
+    def add_docs(self, name: str, files, fields: dict | None = None,
+                 user: str | None = None):
         """POST /<corpus>/docs — upload documents (data / data[] /
         linkeddata parts; .zip and .tar.gz accepted) and index them
         (RequestHandlerAddToIndex.java:41-100; corpus/docs/post.md).
         First upload builds the index, later uploads append incremental
         segments."""
-        info = self.user_corpora.get(name)
-        if info is None:
-            return 403, error_response(
-                "FORBIDDEN_REQUEST", "Can only add to your own private indices."
-            )
+        denied = self._must_own(name, user)
+        if denied is not None:
+            return denied
+        info = self.user_corpora[name]
         tmp = tempfile.mkdtemp(prefix="bls_upload_")
         try:
             n_data = self._unpack_uploads(files, tmp)
@@ -344,15 +395,16 @@ class IndexManager:
         return read_input(self.spark, path, fmt_obj), None
 
     # ---- sharing ----------------------------------------------------------
-    def sharing(self, name: str, q: dict, method: str):
+    def sharing(self, name: str, q: dict, method: str,
+                user: str | None = None):
         """GET/POST /<corpus>/sharing (RequestHandlerSharing; list
         persisted as .shareWithUsers.json next to the index — the
-        reference keeps a .shareWithUsers file the same way)."""
-        info = self.user_corpora.get(name)
-        if info is None:
-            return 403, error_response(
-                "FORBIDDEN_REQUEST", "Can only share your own private indices."
-            )
+        reference keeps a .shareWithUsers file the same way, and only
+        the owner may view or change it)."""
+        denied = self._must_own(name, user)
+        if denied is not None:
+            return denied
+        info = self.user_corpora[name]
         p = os.path.join(info["dir"], ".shareWithUsers.json")
         if method == "POST":
             raw = q.get("users[]", q.get("users", ""))

@@ -137,21 +137,24 @@ def bind_corpus_gauges(registry: MetricsRegistry, corpora: dict) -> None:
     meters the reference registers next to the system ones (index
     tokenCount in ResultIndexStatus, BlsCache sizes in cache-info)."""
 
+    # snapshot (list(...)) at scrape time: IndexManager mutates the live
+    # registry dict concurrently (create/delete corpus), and iterating
+    # it directly could raise "dictionary changed size during iteration"
     def n_docs():
         return {
             f'corpus="{MetricsRegistry._esc(n)}"': c.meta.get("n_docs", 0)
-            for n, c in corpora.items()
+            for n, c in list(corpora.items())
         }
 
     def n_tokens():
         return {
             f'corpus="{MetricsRegistry._esc(n)}"': c.meta.get("total_tokens", 0)
-            for n, c in corpora.items()
+            for n, c in list(corpora.items())
         }
 
     def cache_entries():
         out = {}
-        for n, c in corpora.items():
+        for n, c in list(corpora.items()):
             info = c.cache_info()
             lbl = f'corpus="{MetricsRegistry._esc(n)}"'
             out[f'{lbl},kind="entries"'] = info.get("entries", 0)

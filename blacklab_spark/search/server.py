@@ -633,6 +633,87 @@ def docs_csv(corpus, patt: str | None = None, **params) -> str:
     return export_csv(Hits(corpus, hits_df).per_doc())
 
 
+_XML_PROLOG = '<?xml version="1.0" encoding="utf-8" ?>\n'
+
+
+def doc_contents_response(
+    corpus,
+    doc_id: int,
+    patt: str | None = None,
+    wordstart: int = -1,
+    wordend: int = -1,
+) -> str:
+    """The /corpus/docs/<pid>/contents endpoint
+    (RequestHandlerDocContents.java + ResultDocContents.java:97-187):
+    (part of) the original document content, with ``patt`` hits inside
+    this doc highlighted as well-formed ``<hl>`` (DocUtil.java:257
+    highlightContent). A word-bounded partial document is balanced,
+    loses any XML declaration, and is wrapped in a <blacklabResponse>
+    element carrying the root's namespace declarations
+    (RequestHandlerDocContents.dstreamDocContents); a full document
+    gains an XML prolog when it has none (needsXmlDeclaration).
+
+    One single-doc content-store lookup; offsets + highlighting are
+    driver-side over that one document, like the reference's per-doc
+    content store read."""
+    from blacklab_spark.search.snippets import (
+        _XML_DECL_RE, collect_root_namespaces, highlight_content,
+        token_char_offsets, word_element_offsets,
+    )
+
+    xml = "xml_text" in corpus.tokenized.columns
+    content_col = "xml_text" if xml else "text"
+    rows = (
+        corpus.tokenized.filter(F.col("doc_id") == doc_id)
+        .select(content_col, F.size("tokens").alias("_n")).collect()
+    )
+    if not rows:
+        raise KeyError(f"document {doc_id} not found")
+    text = rows[0][0] or ""
+    n_tokens = int(rows[0]["_n"])
+    full = wordstart == -1 and wordend == -1
+    word_spans: list[tuple[int, int]] = []
+    if patt:
+        hits = corpus.find(patt).df.filter(F.col("doc_id") == doc_id)
+        word_spans = [
+            (int(r["start"]), int(r["end"]))
+            for r in hits.select("start", "end").collect()
+        ]
+    offs: list[tuple[int, int]] = []
+    win_offs: list[tuple[int, int]] | None = None
+    if word_spans or not full:
+        # word-element alignment first (exact for element wordPaths —
+        # the document may hold non-indexed text like a teiHeader);
+        # text-run scan as the fallback for token_pattern content
+        offs = (word_element_offsets(text, n_tokens) if xml else None) \
+            or token_char_offsets(corpus, text, xml)
+        if not full and xml:
+            # window boundaries use the whole element (tags included)
+            # so a fragment keeps its first/last word's markup
+            win_offs = word_element_offsets(text, n_tokens, outer=True)
+    cs, ce = 0, len(text)
+    if not full:
+        w = win_offs or offs
+        s = max(0, wordstart)
+        cs = w[s][0] if s < len(w) else len(text)
+        if wordend >= 0:
+            e = min(wordend, len(w))
+            ce = w[e - 1][1] if e > 0 else cs
+        ce = max(cs, ce)
+    char_spans = [
+        (offs[ws][0], offs[we - 1][1])
+        for ws, we in word_spans
+        if ws < len(offs) and 0 < we <= len(offs) and we > ws
+    ]
+    frag = highlight_content(text, char_spans, cs, ce, xml=xml, full=full)
+    if full:
+        # full document: ensure exactly one XML declaration
+        return frag if _XML_DECL_RE.match(frag) else _XML_PROLOG + frag
+    ns = collect_root_namespaces(text, frag)
+    attrs = "".join(f" {n}" for n in ns)
+    return f"{_XML_PROLOG}<blacklabResponse{attrs}>{frag}</blacklabResponse>"
+
+
 def doc_snippet_response(
     corpus,
     doc_id: int,

@@ -110,6 +110,131 @@ def _clip_right(text: str, i: int) -> int:
     return i
 
 
+# the reference's XML-declaration matcher (ResultDocContents.XML_DECL):
+# a partial-document fragment must not carry a second declaration
+_XML_DECL_RE = re.compile(
+    r"^\s*<\?xml\s+version\s*=\s*([\"'])\d\.\d\1"
+    r"(?:\s+encoding\s*=\s*([\"'])[A-Za-z][A-Za-z0-9._-]*\2)?"
+    r"(?:\s+standalone\s*=\s*([\"'])(?:yes|no)\3)?\s*\?>\s*"
+)
+
+
+def token_char_offsets(corpus, text: str, xml: bool) -> list[tuple[int, int]]:
+    """Char spans of the indexed token positions in ONE document's
+    stored content (markup masked in XML mode so positions line up with
+    the indexed word order) — the per-doc form of the offset scan
+    inside :func:`snippets`."""
+    from blacklab_spark.analysis import py_token_pattern
+
+    base_pat = py_token_pattern(corpus.cfg.token_pattern)
+    if xml:
+        base_pat = f"(?:{base_pat})(?:\\|(?:{base_pat}))*"
+    pat = re.compile(base_pat, re.IGNORECASE)
+    scan = _mask_tags(text) if xml else text
+    return [m.span() for m in pat.finditer(scan)]
+
+
+def word_element_offsets(
+    text: str, n_tokens: int, tags: tuple[str, ...] = ("w", "tok", "word"),
+    outer: bool = False,
+) -> list[tuple[int, int]] | None:
+    """Char spans of the word ELEMENTS' content regions in raw XML —
+    exact token alignment for configs whose wordPath is an element
+    (e.g. TEI ``.//w``), where the document also holds non-indexed text
+    (teiHeader etc.) that would break a bare text-run scan. Tries each
+    candidate tag; a tag whose occurrence count equals the indexed
+    token count is trusted (the per-doc analogue of the reference's
+    content-store char offsets, which Lucene records at index time —
+    we recover them from the stored original). Tags may carry a
+    namespace prefix (the stored content is ElementTree-serialized, so
+    a default namespace becomes an explicit ``ns0:`` prefix). Returns
+    None when no tag aligns (caller falls back to the text-run scan)."""
+    for tag in tags:
+        qt = rf"(?:[A-Za-z_][\w.-]*:)?{tag}"
+        pat = re.compile(
+            rf"<{qt}(?:\s[^>]*)?/>|<({qt})(?:\s[^>]*)?>(.*?)</\1>",
+            re.DOTALL,
+        )
+        spans = []
+        for m in pat.finditer(text):
+            if outer:  # whole element incl. tags (window boundaries)
+                spans.append(m.span())
+            elif m.group(2) is None:  # self-closing: empty content
+                spans.append((m.end(), m.end()))
+            else:
+                spans.append(m.span(2))
+        if len(spans) == n_tokens and n_tokens > 0:
+            return spans
+    return None
+
+
+def _merge_spans(spans: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Sort + merge overlapping char spans so each text run is wrapped
+    in at most one <hl> (the reference XmlHighlighter collapses nested
+    highlights the same way)."""
+    out: list[list[int]] = []
+    for s, e in sorted(spans):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [(s, e) for s, e in out]
+
+
+def highlight_content(
+    text: str,
+    char_spans: list[tuple[int, int]],
+    cs: int = 0,
+    ce: int | None = None,
+    xml: bool = True,
+    full: bool = True,
+) -> str:
+    """(Part of) one document's stored content with hit char-spans
+    wrapped in well-formed ``<hl>`` — the engine side of the reference's
+    doc-contents highlighting (search/DocUtil.java:257
+    ``highlightContent``: word window → char window → XmlHighlighter
+    over the hit spans, balancing partial fragments).
+
+    ``char_spans`` are absolute offsets into ``text``; spans outside
+    the [cs, ce) window are clipped or dropped. A partial fragment is
+    balanced (:func:`make_well_formed`) and loses any XML declaration
+    (ResultDocContents.java:144-146)."""
+    if ce is None:
+        ce = len(text)
+    if xml and not full:
+        cs, ce = _clip_left(text, cs), _clip_right(text, ce)
+    spans = _merge_spans(
+        [(max(s, cs), min(e, ce)) for s, e in char_spans if s < ce and e > cs]
+    )
+    out, pos = [], cs
+    for s, e in spans:
+        out.append(text[pos:s])
+        out.append(xml_highlight_region(text, s, e) if xml
+                   else f"<hl>{text[s:e]}</hl>")
+        pos = e
+    out.append(text[pos:ce])
+    frag = "".join(out)
+    if not full:
+        frag = _XML_DECL_RE.sub("", frag)
+        if xml:
+            frag = make_well_formed(frag)
+    return frag
+
+
+def collect_root_namespaces(text: str, fragment: str) -> list[str]:
+    """Namespace declarations a partial fragment needs on its wrapper
+    element (ResultDocContents.java:152-187: collect prefixes used in
+    the fragment, find their xmlns declarations in the document's first
+    1024 chars, plus any anonymous xmlns on the root)."""
+    root = text[:1024]
+    named = re.findall(r' xmlns:[^=]+="[^"]+"', root)
+    out = [ns.strip() for ns in named]
+    m = re.search(r'xmlns="([^ "]+)"', root)
+    if m:
+        out.append(m.group(0))
+    return out
+
+
 def snippets(
     corpus, hits_df: DataFrame, context_chars: int = 40,
     xml: bool | None = None,

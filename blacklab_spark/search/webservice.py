@@ -34,6 +34,11 @@ _INT = {"first", "number", "wordsaroundhit", "samplenum", "maxretrieve",
 _FLOAT = {"sample"}
 _BOOL = {"waitfortotal", "explain", "usecache", "sensitive"}
 
+# server-level route names: a corpus may not take these (the reference
+# reserves its servlet paths the same way — a corpus named "input-formats"
+# would shadow RequestHandlerListInputFormats)
+RESERVED_NAMES = frozenset({"metrics", "input-formats", "cache-clear"})
+
 
 def _coerce(params: dict[str, list[str]]) -> dict:
     out = {}
@@ -58,33 +63,57 @@ class _Router:
             MetricsRegistry, bind_corpus_gauges,
         )
 
+        bad = RESERVED_NAMES.intersection(corpora)
+        if bad:
+            raise ValueError(
+                f"corpus name(s) {sorted(bad)} shadow server routes; "
+                f"reserved names: {sorted(RESERVED_NAMES)}"
+            )
         self.corpora = corpora
         self.manager = manager  # IndexManager | None (user-corpus ops)
         self.metrics = MetricsRegistry()
         bind_corpus_gauges(self.metrics, corpora)
 
-    @staticmethod
-    def operation_label(path: str) -> tuple[str, str]:
+    def _known_corpus(self, name: str) -> bool:
+        mgr = self.manager
+        return name in self.corpora or (
+            mgr is not None and name in mgr.user_corpora
+        )
+
+    def operation_label(self, path: str) -> tuple[str, str]:
         """(corpus, operation) tags for request instrumentation
         (reference RequestInstrumentationProvider derives the same pair
         from the servlet path). Doc pids and group ids are NOT part of
-        the label — cardinality stays bounded by the endpoint set."""
+        the label, and an unknown first segment (scanner probes,
+        /favicon.ico, typo'd corpus names) collapses to ("-",
+        "unknown") — cardinality stays bounded by the endpoint set
+        times the mounted-corpus set, so noisy traffic cannot grow the
+        registry without bound."""
         parts = [p for p in path.strip("/").split("/") if p]
         if not parts:
             return "-", "server-info"
+        if parts[0] in RESERVED_NAMES:
+            return "-", parts[0]
+        if not self._known_corpus(parts[0]):
+            return "-", "unknown"
         if len(parts) == 1:
-            return ("-", parts[0]) if parts[0] in (
-                "input-formats", "cache-clear", "metrics"
-            ) else (parts[0], "corpus-info")
+            return parts[0], "corpus-info"
         op = parts[1]
         if op == "docs" and len(parts) > 3:
-            op = f"docs-{parts[3]}"  # contents / snippet
+            # contents / snippet; anything else is a 404 — one shared label
+            op = f"docs-{parts[3]}" if parts[3] in (
+                "contents", "snippet"
+            ) else "unknown"
         elif op == "docs" and len(parts) > 2:
             op = "doc-info"
+        elif op not in ("hits", "docs", "termfreq", "autocomplete",
+                        "fields", "status", "cache-info", "explain",
+                        "sharing"):
+            op = "unknown"
         return parts[0], op
 
     def handle(self, path: str, q: dict, method: str = "GET",
-               files=None) -> tuple[int, object]:
+               files=None, user: str | None = None) -> tuple[int, object]:
         from urllib.parse import unquote
 
         mgr = self.manager
@@ -99,20 +128,27 @@ class _Router:
                         "FORBIDDEN_REQUEST",
                         "Corpus management requires a --user-dir.",
                     )
-                return mgr.create(q)
-            # server info (RequestHandlerServerInfo)
+                return mgr.create(q, user=user)
+            # server info (RequestHandlerServerInfo); private corpora the
+            # caller may not read are omitted, like the reference's
+            # user-area listing (RequestHandlerServerInfo + User.java)
+            visible = {
+                n for n in self.corpora
+                if mgr is None or mgr.can_access(n, user)
+            }
             pending = {
                 n: {"displayName": i.get("display", n), "status": "empty"}
                 for n, i in (mgr.user_corpora if mgr else {}).items()
-                if n not in self.corpora
+                if n not in self.corpora and mgr.can_access(n, user)
             }
             return 200, {
                 "indices": {
                     **{name: {"displayName": name, "status": "available"}
-                       for name in self.corpora},
+                       for name in sorted(visible)},
                     **pending,
                 },
-                "user": {"loggedIn": False,
+                "user": {"loggedIn": user is not None,
+                         **({"id": user} if user is not None else {}),
                          "canCreateIndex": mgr is not None},
             }
         if parts[0] == "metrics":
@@ -131,11 +167,19 @@ class _Router:
         name, rest = parts[0], parts[1:]
         if mgr is not None:
             if method == "DELETE" and not rest:
-                return mgr.delete(name)
+                return mgr.delete(name, user=user)
             if rest[:1] == ["docs"] and method == "POST" and files:
-                return mgr.add_docs(name, files)
+                return mgr.add_docs(name, files, user=user)
             if rest[:1] == ["sharing"]:
-                return mgr.sharing(name, q, method)
+                return mgr.sharing(name, q, method, user=user)
+            if not mgr.can_access(name, user):
+                # private user corpus, caller neither owner nor on the
+                # share list (reference User.java / IndexManager
+                # mayRead → NOT_AUTHORIZED)
+                return 403, error_response(
+                    "NOT_AUTHORIZED",
+                    "You are not authorized to access this index.",
+                )
         corpus = self.corpora.get(name)
         if corpus is None:
             if mgr is not None and name in mgr.user_corpora:
@@ -226,7 +270,21 @@ class _Router:
                                          "lengthInTokens": info["num_tokens"],
                                          "mayView": True}}
             if rest[2] == "contents":
-                return 200, corpus.doc_contents(doc) or ""
+                from blacklab_spark.search.server import doc_contents_response
+
+                ws = q.get("wordstart", -1)
+                we = q.get("wordend", -1)
+                if ws < -1 or we < -1 or (we >= 0 and we <= ws):
+                    # ResultDocContents.java:104-106
+                    return 400, error_response(
+                        "ILLEGAL_BOUNDARIES",
+                        "Illegal word boundaries specified. "
+                        "Please check parameters.",
+                    )
+                return 200, doc_contents_response(
+                    corpus, doc, patt=q.get("patt"),
+                    wordstart=ws, wordend=we,
+                )
             if rest[2] == "snippet":
                 from blacklab_spark.search.server import doc_snippet_response
 
@@ -367,8 +425,14 @@ def make_handler(corpora: dict, manager=None):
             try:
                 q = parse_qs(u.query)
                 q.update(extra_params)
+                # stand-in for the reference's pluggable auth
+                # (AuthDebugFixed / AuthRequestAttribute read a userid
+                # from the request the same way); a fronting proxy that
+                # authenticates sets this header
+                user = self.headers.get("X-BlackLab-User") or None
                 status, body = router.handle(
-                    u.path, _coerce(q), method=method, files=files
+                    u.path, _coerce(q), method=method, files=files,
+                    user=user,
                 )
             except Exception as e:  # engine error → INTERNAL_ERROR envelope
                 status, body = 500, error_response("INTERNAL_ERROR", str(e))

@@ -64,6 +64,29 @@ def test_topk_with_metadata_filter(small_corpus, oracle):
     assert all(r["role"] == "assistant" for r in roles)
 
 
+def test_large_k_stays_lazy_and_rank_identical(small_corpus, oracle):
+    """Above DRIVER_HYDRATE_MAX_K the result must be a distributed plan
+    (no k full-text rows on the driver — ADVICE r4 on maxretrieve-scale
+    requests) with the same ranking as the eager path."""
+    from blacklab_spark.search import bm25
+
+    corpus, _ = small_corpus
+    q = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t]))[0]
+    big_k = bm25.DRIVER_HYDRATE_MAX_K + 1
+    df = corpus.topk(q, k=big_k)
+    # lazy plan: a parquet scan feeds the result, not a LocalTableScan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" not in plan.split("\n")[0]
+    want = oracle.bm25_topk(q, k=big_k)
+    got = [(r["doc_id"], r["score"])
+           for r in df.select("doc_id", "score").collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in want],
+                               rtol=1e-6)
+    # and the schema matches the eager path exactly
+    assert df.columns == corpus.topk(q, k=5).columns
+
+
 def test_empty_and_missing_terms(small_corpus):
     corpus, _ = small_corpus
     assert corpus.topk("", k=5).count() == 0

@@ -45,12 +45,14 @@ def mgd(small_corpus, tmp_path_factory):
     port = srv.server_address[1]
 
     def req(method: str, path: str, body: bytes | None = None,
-            ctype: str | None = None):
+            ctype: str | None = None, user: str | None = None):
         r = urllib.request.Request(
             f"http://127.0.0.1:{port}{path}", data=body, method=method
         )
         if ctype:
             r.add_header("Content-Type", ctype)
+        if user:
+            r.add_header("X-BlackLab-User", user)
         try:
             with urllib.request.urlopen(r, timeout=300) as resp:
                 raw = resp.read().decode()
@@ -163,6 +165,58 @@ def test_bad_corpus_name(mgd):
                        "application/x-www-form-urlencoded")
     assert status == 400
     assert body["error"]["code"] == "FORMAT_NOT_FOUND"
+    # server-route names are reserved (they would shadow /metrics etc.)
+    status, body = mgd("POST", "/", b"name=metrics&format=txt",
+                       "application/x-www-form-urlencoded")
+    assert status == 400
+    assert body["error"]["code"] == "ILLEGAL_INDEX_NAME"
+
+
+def test_private_corpus_enforcement(mgd):
+    """Corpora created with a userid are private: owner-only management,
+    owner-or-shared read (reference User.java / Index.userMayRead /
+    RequestHandler.mustBeOwner; userid via X-BlackLab-User header)."""
+    form = "application/x-www-form-urlencoded"
+    status, body = mgd("POST", "/", b"name=priv&format=txt", form,
+                       user="alice")
+    assert status == 201, body
+    up, ctype = _multipart([("data", "d.txt", b"alpha beta")])
+    # non-owner / anonymous cannot upload
+    status, body = mgd("POST", "/priv/docs", up, ctype, user="bob")
+    assert status == 403 and body["error"]["code"] == "NOT_AUTHORIZED"
+    status, body = mgd("POST", "/priv/docs", up, ctype)
+    assert status == 403
+    # owner can
+    status, body = mgd("POST", "/priv/docs", up, ctype, user="alice")
+    assert status == 200, body
+    # read access: owner yes, others no
+    status, body = mgd("GET", '/priv/hits?patt=%22alpha%22', user="alice")
+    assert status == 200 and body["summary"]["numberOfHits"] == 1
+    status, body = mgd("GET", '/priv/hits?patt=%22alpha%22', user="bob")
+    assert status == 403 and body["error"]["code"] == "NOT_AUTHORIZED"
+    status, body = mgd("GET", '/priv/hits?patt=%22alpha%22')
+    assert status == 403
+    # private corpus hidden from other users' server info
+    status, body = mgd("GET", "/", user="bob")
+    assert "priv" not in body["indices"]
+    status, body = mgd("GET", "/", user="alice")
+    assert "priv" in body["indices"]
+    assert body["user"] == {"loggedIn": True, "id": "alice",
+                            "canCreateIndex": True}
+    # sharing is owner-only to manage; a shared user gains read access
+    status, body = mgd("POST", "/priv/sharing", b"users=bob", form,
+                       user="bob")
+    assert status == 403
+    status, body = mgd("POST", "/priv/sharing", b"users=bob", form,
+                       user="alice")
+    assert status == 200
+    status, body = mgd("GET", '/priv/hits?patt=%22alpha%22', user="bob")
+    assert status == 200 and body["summary"]["numberOfHits"] == 1
+    # shared ≠ owner: bob still cannot delete
+    status, body = mgd("DELETE", "/priv", user="bob")
+    assert status == 403 and body["error"]["code"] == "NOT_AUTHORIZED"
+    status, body = mgd("DELETE", "/priv", user="alice")
+    assert status == 200
 
 
 USER_BLF = """\

@@ -64,7 +64,7 @@ def test_label_escaping():
 
 
 def test_operation_label_cardinality():
-    f = _Router.operation_label
+    f = _Router({"mycorpus": FakeCorpus()}).operation_label
     assert f("/") == ("-", "server-info")
     assert f("/metrics") == ("-", "metrics")
     assert f("/input-formats") == ("-", "input-formats")
@@ -75,6 +75,19 @@ def test_operation_label_cardinality():
     assert f("/mycorpus/docs/conv0%2F3") == ("mycorpus", "doc-info")
     assert f("/mycorpus/docs/conv0%2F3/contents") == ("mycorpus", "docs-contents")
     assert f("/mycorpus/docs/conv0%2F3/snippet") == ("mycorpus", "docs-snippet")
+    # unknown paths (scanner probes, typo'd corpora) collapse to one
+    # series each way — the registry cannot grow without bound
+    assert f("/favicon.ico") == ("-", "unknown")
+    assert f("/nosuchcorpus/hits") == ("-", "unknown")
+    assert f("/mycorpus/nosuchop") == ("mycorpus", "unknown")
+    assert f("/mycorpus/docs/pid/garbage") == ("mycorpus", "unknown")
+
+
+def test_reserved_corpus_name_rejected():
+    """A corpus named after a server route would be unreachable — the
+    router refuses to mount it (ADVICE r4: /metrics shadowing)."""
+    with pytest.raises(ValueError, match="metrics"):
+        _Router({"metrics": FakeCorpus()})
 
 
 def test_metrics_endpoint_router_no_spark():
