@@ -646,7 +646,72 @@ def _fi_seq(corpus, node: P.FISeq) -> DataFrame:
     return _sequence(corpus, [node.left, node.right])
 
 
-def _py_match_df(d: dict, kind_r: str, kind: str, val) -> int | None:
+def _df_est_view(corpus, field: str, d: dict) -> dict:
+    """Vocab views for VECTORIZED df estimation over the cached terms
+    dict: a newline-joined blob + line-start offsets + a df array, so a
+    novel regex estimates its df with ONE C-level ``finditer`` scan
+    over the whole vocab instead of an O(vocab) Python ``pat.match``
+    loop (the r4 'driver-side novel-regex loop' finding — at 2M vocab
+    the loop cost seconds of driver time per first-touch regex).
+    Desensitized views for the rare sensitive-field-queried-
+    insensitively route are built lazily, once, with pandas str ops.
+    Cached on the corpus handle alongside field_stats (same lifetime:
+    both key off the terms dict object)."""
+    import numpy as np
+
+    cache = corpus.__dict__.setdefault("_df_est_views", {})
+    view = cache.get(field)
+    if view is None or view["src"] is not d:
+        terms = list(d)
+        dfs = np.fromiter(d.values(), dtype=np.int64, count=len(d))
+        lens = np.fromiter(
+            (len(t) + 1 for t in terms), dtype=np.int64, count=len(terms)
+        )
+        starts = np.zeros(len(terms), dtype=np.int64)
+        if len(terms) > 1:
+            np.cumsum(lens[:-1], out=starts[1:])
+        view = {"src": d, "terms": terms, "blob": "\n".join(terms),
+                "starts": starts, "dfs": dfs,
+                "desens": None, "desens_sum": None}
+        cache[field] = view
+    return view
+
+
+def _desens_series(view: dict):
+    """Desensitized term values, 1:1 with view['terms'] (vectorized
+    lower+fold — pandas C loops, not per-term Python)."""
+    import pandas as pd
+
+    from blacklab_spark.analysis import _PY_FOLD_TABLE
+
+    return (
+        pd.Series(view["terms"], dtype="object")
+        .str.lower().str.translate(_PY_FOLD_TABLE)
+    )
+
+
+def _regex_df_scan(blob: str, starts, dfs, pattern: str) -> int | None:
+    """Sum df over vocab lines matching the anchored case-folded
+    pattern — one multiline scan; matches start exactly at line starts
+    so index recovery is a searchsorted."""
+    import re as _re
+
+    import numpy as np
+
+    try:
+        pat = _re.compile(f"(?im)^(?:{pattern})$")
+    except _re.error:
+        return None
+    ms = np.fromiter(
+        (m.start() for m in pat.finditer(blob)), dtype=np.int64
+    )
+    if ms.size == 0:
+        return None
+    return int(dfs[np.searchsorted(starts, ms)].sum())
+
+
+def _py_match_df(corpus, field: str, d: dict, kind_r: str, kind: str,
+                 val) -> int | None:
     """Matching-df sum over the cached in-memory terms dict, mirroring
     the distributed agg's semantics exactly: term/set compare under
     desensitize, regex under the engine's case-folded anchored pattern.
@@ -655,34 +720,48 @@ def _py_match_df(d: dict, kind_r: str, kind: str, val) -> int | None:
     This feeds a COST ESTIMATE only (probe-vs-join plan choice, never
     results), so Python `re` standing in for the JVM rlike on the regex
     kind is acceptable; unsupported syntax degrades to None (unknown),
-    the same as a dictionary miss."""
+    the same as a dictionary miss. All O(vocab) work is vectorized
+    (blob scan / pandas fold) and cached per field."""
+    import numpy as np
+
     from blacklab_spark.analysis import desensitize_py, fold_py
 
-    if kind == "term":
-        want = desensitize_py(val)
-        if kind_r == "direct":
-            v = d.get(want)
-            return int(v) if v is not None else None
-        s = [df for t, df in d.items() if desensitize_py(t) == want]
+    if kind == "term" and kind_r == "direct":
+        v = d.get(desensitize_py(val))
+        return int(v) if v is not None else None
+    if kind == "set" and kind_r == "direct":
+        s = [d[w] for w in {desensitize_py(v) for v in val} if w in d]
         return sum(s) if s else None
-    if kind == "set":
-        want = {desensitize_py(v) for v in val}
-        if kind_r == "direct":
-            s = [d[w] for w in want if w in d]
-        else:
-            s = [df for t, df in d.items() if desensitize_py(t) in want]
-        return sum(s) if s else None
-    import re as _re
+    view = _df_est_view(corpus, field, d)
+    if kind in ("term", "set"):
+        if view["desens_sum"] is None:
+            import pandas as pd
 
-    try:
-        pat = _re.compile(f"(?i)^(?:{fold_py(val)})$")
-    except _re.error:
-        return None
+            view["desens_sum"] = (
+                pd.Series(view["dfs"]).groupby(_desens_series(view).values)
+                .sum().to_dict()
+            )
+        want = (
+            {desensitize_py(val)} if kind == "term"
+            else {desensitize_py(v) for v in val}
+        )
+        s = [view["desens_sum"][w] for w in want if w in view["desens_sum"]]
+        return int(sum(s)) if s else None
+    pattern = fold_py(val)
     if kind_r == "direct":
-        s = [df for t, df in d.items() if pat.match(t)]
-    else:
-        s = [df for t, df in d.items() if pat.match(desensitize_py(t))]
-    return sum(s) if s else None
+        return _regex_df_scan(view["blob"], view["starts"], view["dfs"],
+                              pattern)
+    if view["desens"] is None:
+        dterms = _desens_series(view).tolist()
+        lens = np.fromiter(
+            (len(t) + 1 for t in dterms), dtype=np.int64, count=len(dterms)
+        )
+        dstarts = np.zeros(len(dterms), dtype=np.int64)
+        if len(dterms) > 1:
+            np.cumsum(lens[:-1], out=dstarts[1:])
+        view["desens"] = ("\n".join(dterms), dstarts)
+    dblob, dstarts = view["desens"]
+    return _regex_df_scan(dblob, dstarts, view["dfs"], pattern)
 
 
 def _seq_part_dfs(corpus, parts: list) -> dict[int, int]:
@@ -746,7 +825,9 @@ def _seq_part_dfs(corpus, parts: list) -> dict[int, int]:
                     tuple(val) if isinstance(val, (list, tuple, set)) else val,
                 )
                 if key not in memo:
-                    memo[key] = _py_match_df(d, kind_r, base_kind, val)
+                    memo[key] = _py_match_df(
+                        corpus, field, d, kind_r, base_kind, val
+                    )
                 v = memo[key]
                 ests[(i, j)] = (
                     max(total - (v if v is not None else 0), 1) if negated

@@ -151,11 +151,11 @@ def test_collated_sort_diverges_from_codepoint(spark, tmp_path_factory):
     Terms.java:69-95 RuleBasedCollator orders): sorting hits by text
     groups case/accent variants together — 'apple' family before
     'Zebra' — where raw codepoint order would put every capital first.
-    Both key schemes (ICU tertiary when PyICU is present, the
-    three-strength fold chain otherwise; analysis.collation_keys) must
-    produce the ICU en tertiary order on this Latin corpus: accentless
-    before accented inside a letter group, lowercase before uppercase
-    inside an accent group."""
+    The key scheme (search.collation.jdk_sort_key_col, the vendored
+    JDK-collator element table — exact, no native deps; differential
+    golden in tests/test_collation.py) must produce the JDK tertiary
+    order on this Latin corpus: accentless before accented inside a
+    letter group, lowercase before uppercase inside an accent group."""
     rows = [
         ("d0", 0, "u", "Zebra ápple apple Apple zebra Ärger anger", "t"),
     ]
