@@ -49,6 +49,8 @@ Documented divergences (scope-honest):
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -332,18 +334,106 @@ def _attr_get(el, name: str) -> str | None:
     return None
 
 
-def _parse_steps(path: str) -> list[tuple[str, str | None, str | None]]:
-    """'t1/t2[@a=v]' -> [(tag, pred_attr, pred_val), ...]."""
+class UnsupportedXPathError(ValueError):
+    """A format config uses XPath beyond the declarative-lite subset
+    (the reference evaluates full Saxon XPath, DocIndexerSaxon.java /
+    SaxonHelper.java; we support the documented step grammar). Raised
+    LOUDLY at config load so a user's custom .blf.yaml fails with the
+    offending construct named instead of silently indexing empty
+    annotations."""
+
+
+_CONTAINS_RE = re.compile(
+    r"^contains\(\s*@([\w.:-]+)\s*,\s*(['\"])(.*)\2\s*\)$"
+)
+
+
+def _parse_pred(pred: str):
+    """One step predicate -> (kind, attr, val).
+
+    Supported forms (the subset the shipped reference configs use,
+    plus the round-5 depth step: positional + contains()):
+      [@attr=value] / [@attr='value']   attribute equality
+      [@attr]                           attribute existence
+      [N]                               positional (1-based, XPath
+                                        t[N]: N-th matching child of
+                                        its parent)
+      [contains(@attr,'value')]         substring test
+    """
+    inner = pred.rstrip("]").strip()
+    if inner.isdigit():
+        return ("pos", None, int(inner))
+    m = _CONTAINS_RE.match(inner)
+    if m:
+        return ("contains", m.group(1), m.group(3))
+    if inner.startswith("@"):
+        attr, eq, val = inner[1:].partition("=")
+        if not eq:
+            return ("exists", attr, None)
+        return ("attr", attr, val.strip("'\""))
+    raise UnsupportedXPathError(
+        f"unsupported step predicate '[{inner}]' (supported: [@attr=value], "
+        f"[@attr], [N], [contains(@attr,'value')])"
+    )
+
+
+def _parse_steps(path: str) -> list[tuple[str, tuple | None]]:
+    """'t1/t2[@a=v]' -> [(tag, pred), ...] with pred from _parse_pred."""
     steps = []
     for raw in path.split("/"):
         tag, _, pred = raw.partition("[")
-        attr = val = None
-        if pred:
-            inner = pred.rstrip("]").lstrip("@")
-            attr, _, val = inner.partition("=")
-            val = val.strip("'\"")
-        steps.append((tag, attr, val))
+        steps.append((tag, _parse_pred(pred) if pred else None))
     return steps
+
+
+_TAG_OK_RE = re.compile(r"^@?[\w.:\-]*$")
+
+
+def check_xpath(expr: str | None, where: str,
+                allow_positional: bool = True) -> None:
+    """Validate a config path against the declarative-lite grammar at
+    CONFIG LOAD time, raising :class:`UnsupportedXPathError` that names
+    the offending construct and location — the round-4 risk was a
+    Saxon-only path silently producing empty annotations (the reference
+    evaluates real XPath: DocIndexerSaxon.java, SaxonHelper.java,
+    DocIndexerXPath.java)."""
+    vp = (expr or "").strip()
+    if not vp:
+        return
+
+    def bad(construct: str) -> UnsupportedXPathError:
+        return UnsupportedXPathError(
+            f"{where}: '{vp}' uses {construct}, which is beyond the "
+            f"supported declarative path subset (steps of "
+            f"tag[@attr=value] / tag[@attr] / tag[N] / "
+            f"tag[contains(@attr,'v')] with an optional trailing @attr "
+            f"or '.'). Pre-process the document or extend the format "
+            f"with process/mapValues steps instead."
+        )
+
+    if "::" in vp:
+        raise bad(f"the XPath axis '{vp[:vp.index('::')].rsplit('/', 1)[-1]}::'")
+    if "|" in vp:
+        raise bad("a union '|'")
+    if ".." in vp:
+        raise bad("a parent-axis step '..'")
+    for raw in [s for s in vp.lstrip("./").split("/") if s and s != "."]:
+        tag, _, predpart = raw.partition("[")
+        if "][" in raw:
+            raise bad("multiple step predicates")
+        if "(" in tag:
+            raise bad(f"the function call '{tag[:tag.index('(')]}()'")
+        if tag == "*" or tag.endswith("*"):
+            raise bad("a wildcard step '*'")
+        if not _TAG_OK_RE.match(tag):
+            raise bad(f"the step '{raw}'")
+        if predpart:
+            try:
+                kind, _a, _v = _parse_pred(predpart)
+            except UnsupportedXPathError as e:
+                raise UnsupportedXPathError(f"{where}: {e}") from None
+            if kind == "pos" and not allow_positional:
+                raise bad("a positional predicate (not supported on this key)")
 
 
 def _ann_value(el, spec: str) -> str:
@@ -363,17 +453,40 @@ def _ann_value(el, spec: str) -> str:
     return vals[0] if vals else ""
 
 
+def _pred_ok(el, pred) -> bool:
+    """Non-positional predicate test against one element."""
+    kind, attr, val = pred
+    if kind == "attr":
+        return (_attr_get(el, attr) or "") == val
+    if kind == "exists":
+        return _attr_get(el, attr) is not None
+    if kind == "contains":
+        return val in (_attr_get(el, attr) or "")
+    raise UnsupportedXPathError(f"predicate kind '{kind}' not valid here")
+
+
 def _walk_steps(els: list, steps, desc_first: bool) -> list:
     """Resolve a step chain against a seed element list (first step
-    optionally searches all descendants; deeper steps direct children)."""
-    for i, (tag, p_attr, p_val) in enumerate(steps):
+    optionally searches all descendants; deeper steps direct children).
+    Positional predicates (t[N]) select the N-th matching child of each
+    PARENT, per XPath semantics — for a descendant-searched step every
+    descendant acts as a candidate parent."""
+    for i, (tag, pred) in enumerate(steps):
         nxt = []
         for e in els:
+            if pred is not None and pred[0] == "pos":
+                n = pred[2]
+                parents = e.iter() if (i == 0 and desc_first) else [e]
+                for p in parents:
+                    matches = [ch for ch in p if _local(ch.tag) == tag]
+                    if len(matches) >= n:
+                        nxt.append(matches[n - 1])
+                continue
             pool = e.iter() if (i == 0 and desc_first) else list(e)
             for ch in pool:
                 if ch is e or _local(ch.tag) != tag:
                     continue
-                if p_attr and (_attr_get(ch, p_attr) or "") != p_val:
+                if pred is not None and not _pred_ok(ch, pred):
                     continue
                 nxt.append(ch)
         if not nxt:
@@ -383,10 +496,10 @@ def _walk_steps(els: list, steps, desc_first: bool) -> list:
 
 
 def _step_match(el, step) -> bool:
-    tag, p_attr, p_val = step
+    tag, pred = step
     if _local(el.tag) != tag:
         return False
-    return not p_attr or (_attr_get(el, p_attr) or "") == p_val
+    return pred is None or _pred_ok(el, pred)
 
 
 def _find_elements(root, path: str) -> list:
@@ -1016,13 +1129,18 @@ def load_blf_config(path: str) -> XmlFormat:
         tag = tag.split(":")[-1]
         return f"{tag}[{pred}" if pred else tag
 
-    def norm_path(vp: str, base_path: str | None = None) -> str:
+    def norm_path(vp: str, base_path: str | None = None,
+                  where: str = "valuePath") -> str:
         """ValuePath (the XPath subset the built-in formats use) -> our
         spec language. '.' = the element's own string value; '@attr'
         stays an attribute (on basePath's child element if one is set,
         reference folia.blf.yaml `basePath: folia:pos` + `valuePath:
         "@class"`); slashed element paths become child:/desc: chains
-        with an optional trailing /@attr."""
+        with an optional trailing /@attr. Unsupported XPath fails loud
+        (check_xpath) instead of silently yielding empty values."""
+        check_xpath(vp, where)
+        if base_path:
+            check_xpath(base_path, f"{where} basePath")
         vp = (vp or "").strip()
         if vp in (".", ""):
             return ""
@@ -1044,11 +1162,19 @@ def load_blf_config(path: str) -> XmlFormat:
 
     fmt = XmlFormat(name=doc.get("name", "xml"))
     if doc.get("documentPath"):
+        check_xpath(doc["documentPath"], "documentPath",
+                    allow_positional=False)
         fmt.document_tag = strip_ns(last_tag(doc["documentPath"]))
     contents = (doc.get("annotatedFields") or {}).get("contents") or {}
     if contents.get("containerPath"):
+        check_xpath(contents["containerPath"], "containerPath",
+                    allow_positional=False)
         fmt.container_tag = strip_ns(last_tag(contents["containerPath"]))
     if contents.get("wordPath"):
+        # wordPath matches via ancestor-anchored _step_match, which has
+        # no parent context for positional predicates
+        check_xpath(contents["wordPath"], "wordPath",
+                    allow_positional=False)
         wp = contents["wordPath"].strip().lstrip("/").lstrip("./")
         parts = [strip_ns(s) for s in wp.split("/") if s and s != "."]
         fmt.word_tag = parts[-1].partition("[")[0] if parts else "w"
@@ -1088,6 +1214,9 @@ def load_blf_config(path: str) -> XmlFormat:
                     sub.get("valuePath", ""), sub.get("basePath", a.get("basePath"))
                 )
     if contents.get("inlineTags"):
+        for t in contents["inlineTags"]:
+            check_xpath(t.get("path"), "inlineTags path",
+                        allow_positional=False)
         fmt.inline_tags = tuple(
             strip_ns(last_tag(t["path"])) for t in contents["inlineTags"]
         )
@@ -1098,6 +1227,7 @@ def load_blf_config(path: str) -> XmlFormat:
         # TIER[...]) start at the document element; document-relative
         # ones (naf.blf.yaml terms/term) already do — either way the
         # first remaining step is descendant-searched by _find_elements
+        check_xpath(so.get("path"), "standoffAnnotations path")
         parts = [
             strip_ns(s)
             for s in (so.get("path") or "").strip().lstrip("/").lstrip("./").split("/")

@@ -981,3 +981,80 @@ metadata:
     assert list(r["ann_pos"]) == ["NOU-C", "VRB"]
     assert list(r["ann_gender"]) == ["female", "none"]
     assert r["meta_lang"] == "eng (auto)"
+
+
+# ---- round 5: loud non-lite XPath rejection + predicate depth step ----
+
+def _write_cfg(tmp_path_factory, text):
+    d = tmp_path_factory.mktemp("blf")
+    p = os.path.join(str(d), "custom.blf.yaml")
+    with open(p, "w") as f:
+        f.write(text)
+    return p
+
+
+def test_saxon_only_config_rejected_loudly(tmp_path_factory):
+    """A Saxon-only valuePath must fail AT CONFIG LOAD with the
+    construct named (r4 risk: silent empty annotations; reference
+    evaluates real XPath via DocIndexerSaxon/SaxonHelper)."""
+    from blacklab_spark.index.xml_ingest import UnsupportedXPathError
+
+    cases = {
+        "ancestor::div/@type": "axis",
+        "concat(@a, @b)": "function call 'concat()'",
+        "w/@a | w/@b": "union",
+        "../@prev": "parent-axis",
+        "*[@x='1']": "wildcard",
+        "w[@a='1'][@b='2']": "multiple step predicates",
+        "w[last()]": "predicate",
+    }
+    for vp, construct in cases.items():
+        cfg = (
+            "documentPath: /doc\n"
+            "annotatedFields:\n  contents:\n    wordPath: .//w\n"
+            "    annotations:\n    - name: word\n      valuePath: .\n"
+            f"    - name: broken\n      valuePath: \"{vp}\"\n"
+        )
+        p = _write_cfg(tmp_path_factory, cfg)
+        with pytest.raises(UnsupportedXPathError) as ei:
+            load_blf_config(p)
+        assert construct.split()[0] in str(ei.value), (vp, str(ei.value))
+    # positional predicates are allowed on valuePaths but NOT wordPath
+    cfg = (
+        "documentPath: /doc\n"
+        "annotatedFields:\n  contents:\n    wordPath: .//w[2]\n"
+        "    annotations:\n    - name: word\n      valuePath: .\n"
+    )
+    with pytest.raises(UnsupportedXPathError, match="positional"):
+        load_blf_config(_write_cfg(tmp_path_factory, cfg))
+
+
+def test_positional_and_contains_predicates(tmp_path_factory, spark):
+    """Round-5 depth step: [N] positional and [contains(@a,'v')]
+    predicates in valuePaths (the most common non-lite forms in user
+    configs; reference evaluates them via real XPath)."""
+    d = tmp_path_factory.mktemp("predxml")
+    with open(os.path.join(str(d), "a.xml"), "w") as f:
+        f.write(
+            "<doc pid='p0'>"
+            "<w><alt>first</alt><alt>second</alt>"
+            "<f kind='msd-case'>nom</f><f kind='other'>x</f>ww1</w>"
+            "<w><alt>uno</alt><alt>dos</alt>"
+            "<f kind='msd-case'>acc</f>ww2</w>"
+            "</doc>"
+        )
+    cfg = (
+        "documentPath: /doc\n"
+        "annotatedFields:\n  contents:\n    wordPath: .//w\n"
+        "    annotations:\n"
+        "    - name: word\n      valuePath: .\n"
+        "    - name: alt2\n      valuePath: alt[2]\n"
+        "    - name: case\n"
+        "      valuePath: \"f[contains(@kind,'case')]\"\n"
+    )
+    fmt = load_blf_config(_write_cfg(tmp_path_factory, cfg))
+    tr = read_xml(spark, str(d), fmt)
+    rows = tr.collect()
+    assert len(rows) == 1
+    assert rows[0]["ann_alt2"] == ["second", "dos"]
+    assert rows[0]["ann_case"] == ["nom", "acc"]
