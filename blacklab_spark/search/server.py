@@ -763,7 +763,10 @@ def index_metadata_response(corpus, name: str = "corpus",
         "displayName": name,
         "description": "",
         "status": "available",
-        "contentViewable": True,
+        # index-level flag (IndexMetadataIntegrated.java:230
+        # contentViewable; set via `contentViewable: false` in the
+        # index's meta.json to forbid serving full document contents)
+        "contentViewable": bool(corpus.meta.get("contentViewable", True)),
         "textDirection": "ltr",
         "tokenCount": f["total_tokens"],
         "documentCount": f["n_docs"],

@@ -260,6 +260,7 @@ class _Router:
                 return 404, error_response(
                     "DOC_NOT_FOUND", f"Document with pid '{rest[1]}' not found"
                 )
+            may_view = bool(corpus.meta.get("contentViewable", True))
             if len(rest) == 2:  # doc-info
                 info = corpus.doc_info(doc)
                 info = {k: v for k, v in info.items()
@@ -268,8 +269,17 @@ class _Router:
                              "docInfo": {**{k: [str(v)] for k, v in
                                             info.items() if k != "num_tokens"},
                                          "lengthInTokens": info["num_tokens"],
-                                         "mayView": True}}
+                                         "mayView": may_view}}
             if rest[2] == "contents":
+                if not may_view:
+                    # ResultDocContents.java:122-124 index.mayView gate
+                    return 403, error_response(
+                        "NOT_AUTHORIZED",
+                        "Viewing the full contents of this document is "
+                        "not allowed. For more information, read about "
+                        "'contentViewable': https://inl.github.io/BlackLab/"
+                        "how-to-configure-indexing.html.",
+                    )
                 from blacklab_spark.search.server import doc_contents_response
 
                 ws = q.get("wordstart", -1)

@@ -170,3 +170,47 @@ def test_illegal_boundaries_and_routing(small_corpus):
         assert hl and all("word00001" == t.lower() for t in hl)
     finally:
         srv.shutdown()
+
+
+def test_content_viewable_gate(small_corpus):
+    """contentViewable=false forbids /contents with the reference's
+    NOT_AUTHORIZED (ResultDocContents.java:122-124 index.mayView);
+    doc-info reports mayView=false; corpus info carries the flag."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from blacklab_spark.search.webservice import serve
+
+    corpus, _ = small_corpus
+    old = corpus.meta.get("contentViewable")
+    corpus.meta["contentViewable"] = False
+    srv = serve({"transcripts": corpus}, port=0)
+    try:
+        port = srv.server_address[1]
+
+        def get(path):
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}", timeout=120
+                ) as r:
+                    return r.status, json.loads(r.read().decode())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read().decode())
+
+        _, h = get('/transcripts/hits?patt=%22word00001%22&number=1')
+        enc = h["hits"][0]["docPid"].replace("/", "%2F")
+        status, body = get(f"/transcripts/docs/{enc}/contents")
+        assert status == 403
+        assert body["error"]["code"] == "NOT_AUTHORIZED"
+        assert "contentViewable" in body["error"]["message"]
+        status, info = get(f"/transcripts/docs/{enc}")
+        assert status == 200 and info["docInfo"]["mayView"] is False
+        status, meta = get("/transcripts")
+        assert meta["contentViewable"] is False
+    finally:
+        srv.shutdown()
+        if old is None:
+            corpus.meta.pop("contentViewable", None)
+        else:
+            corpus.meta["contentViewable"] = old
