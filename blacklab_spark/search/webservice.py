@@ -453,7 +453,14 @@ def make_handler(corpora: dict, manager=None):
                 )
             if isinstance(body, str):
                 payload = body.encode()
-                ctype = "text/plain; charset=utf-8"
+                # doc-contents is always served as XML (the reference
+                # forces DataFormat.XML there, RequestHandlerDocContents
+                # .getOverrideType: "Application expects this MIME type")
+                ctype = (
+                    "application/xml; charset=utf-8"
+                    if op == "docs-contents"
+                    else "text/plain; charset=utf-8"
+                )
             else:
                 payload = json.dumps(body).encode()
                 ctype = "application/json; charset=utf-8"
