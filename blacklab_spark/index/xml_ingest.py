@@ -111,6 +111,13 @@ class XmlFormat:
     # text under this document descendant becomes a metadata field named
     # by its local tag; all fields surface as one meta_fields map column
     metadata_foreach: str = ""
+    # display-only extras carried from the yaml for the XSLT generator
+    # (reference XslGenerator.java): raw documentPath/containerPath/
+    # wordPath strings under keys "document"/"container"/"word", and the
+    # `namespaces:` map ("" key = default namespace). The engine itself
+    # matches local names and never reads these.
+    raw_paths: dict = field(default_factory=dict)
+    namespaces: dict = field(default_factory=dict)
     # punctPath analogue (voice-tei.blf.yaml `punctPath: .//text()[not(
     # ancestor::w)]`): collect the text BETWEEN word elements as a
     # `punct` annotation, one whitespace-collapsed value per token (the
@@ -1161,20 +1168,24 @@ def load_blf_config(path: str) -> XmlFormat:
         return f"{mode}:{body}" + (f"@{attr}" if attr else "")
 
     fmt = XmlFormat(name=doc.get("name", "xml"))
+    fmt.namespaces = dict(doc.get("namespaces") or {})
     if doc.get("documentPath"):
         check_xpath(doc["documentPath"], "documentPath",
                     allow_positional=False)
+        fmt.raw_paths["document"] = doc["documentPath"]
         fmt.document_tag = strip_ns(last_tag(doc["documentPath"]))
     contents = (doc.get("annotatedFields") or {}).get("contents") or {}
     if contents.get("containerPath"):
         check_xpath(contents["containerPath"], "containerPath",
                     allow_positional=False)
+        fmt.raw_paths["container"] = contents["containerPath"]
         fmt.container_tag = strip_ns(last_tag(contents["containerPath"]))
     if contents.get("wordPath"):
         # wordPath matches via ancestor-anchored _step_match, which has
         # no parent context for positional predicates
         check_xpath(contents["wordPath"], "wordPath",
                     allow_positional=False)
+        fmt.raw_paths["word"] = contents["wordPath"]
         wp = contents["wordPath"].strip().lstrip("/").lstrip("./")
         parts = [strip_ns(s) for s in wp.split("/") if s and s != "."]
         fmt.word_tag = parts[-1].partition("[")[0] if parts else "w"
@@ -1199,6 +1210,9 @@ def load_blf_config(path: str) -> XmlFormat:
         fmt.annotations = {}
         for a in contents["annotations"]:
             spec = norm_path(a.get("valuePath", ""), a.get("basePath"))
+            fmt.raw_paths[f"ann:{a['name']}"] = (
+                a.get("basePath") or "", a.get("valuePath", "")
+            )
             read_process(a, a["name"], fmt.processing)
             if a["name"] == "word":
                 # the main annotation IS the word text (reference: the
@@ -1220,6 +1234,9 @@ def load_blf_config(path: str) -> XmlFormat:
         fmt.inline_tags = tuple(
             strip_ns(last_tag(t["path"])) for t in contents["inlineTags"]
         )
+        fmt.raw_paths["inline"] = [
+            (t["path"], t.get("displayAs", "")) for t in contents["inlineTags"]
+        ]
     if contents.get("tokenIdPath"):
         fmt.token_id = norm_path(contents["tokenIdPath"]) or "@id"
     for so in contents.get("standoffAnnotations") or []:

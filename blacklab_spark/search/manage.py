@@ -114,6 +114,184 @@ def formats_response(user_formats: dict | None = None,
     }
 
 
+def _norm_xp(p: str | None) -> str:
+    """XslGenerator.normalizeXpath: strip leading '.' (keep '//'),
+    strip trailing './'."""
+    p = (p or "").lstrip(".")
+    if not p.startswith("//"):
+        p = p.lstrip("/")
+    return p.rstrip("./")
+
+
+def _join_xp(*parts: str | None) -> str:
+    """XslGenerator.joinXpath chain (no '|' handling: the config loader
+    rejects unions before we get here)."""
+    out = ""
+    for p in parts:
+        p = _norm_xp(p)
+        if not p:
+            continue
+        if not out:
+            out = p
+        elif p.startswith("/"):
+            out = out + p
+        else:
+            out = f"{out}/{p}"
+    return out or "."
+
+
+def _spec_xp(spec: str) -> str:
+    """Engine valuePath spec back to XPath for display ('' -> '.',
+    'child:a/b@c' -> 'a/b/@c', 'desc:a@c' -> './/a/@c')."""
+    if not spec:
+        return "."
+    if spec.startswith("@"):
+        return spec
+    for prefix, lead in (("child:", ""), ("desc:", ".//")):
+        if spec.startswith(prefix):
+            body, sep, attr = spec[len(prefix):].rpartition("@")
+            if not sep or "]" in attr or "=" in attr:
+                body, attr = spec[len(prefix):], ""
+            return lead + body + (f"/@{attr}" if attr else "")
+    return spec
+
+
+def generate_xslt(fmt) -> str:
+    """XSLT turning a document of this XML format into the basic HTML
+    view the reference's corpus-frontend consumes — a faithful
+    re-expression of wslib XslGenerator.java:117-303
+    generateXsltFromConfig: swallow unmatched text, <hl> -> span.hl,
+    one template per word (value-of the main/word annotation, lemma as
+    a data-lemma tooltip attribute), one per inline tag, the
+    no-words-found namespace warning, and the namespace-stripping
+    pass when the config declares no namespaces."""
+    from blacklab_spark.index.xml_ingest import XmlFormat
+
+    if not isinstance(fmt, XmlFormat):
+        raise KeyError("not an XML format")
+    raw = fmt.raw_paths or {}
+    doc_path = raw.get("document") or f"//{fmt.document_tag}"
+    container = raw.get("container") or (
+        f".//{fmt.container_tag}" if fmt.container_tag else None
+    )
+    word_path = raw.get("word") or f".//{fmt.word_tag}"
+    ns = dict(fmt.namespaces or {})
+    default_ns = ns.pop("", None)
+    opt_default = (
+        f'xpath-default-namespace="{default_ns}" ' if default_ns else ""
+    )
+    ns_decls = "".join(f' xmlns:{k}="{v}"' for k, v in ns.items())
+    excl = " ".join(ns)
+    word_base = _join_xp(doc_path, container, word_path)
+
+    def word_select(name: str) -> str | None:
+        if name == "word" and not raw.get("ann:word"):
+            return _spec_xp(fmt.word_value)
+        r = raw.get(f"ann:{name}")
+        if r is not None:
+            return _join_xp(r[0], r[1]) if r[0] else (_norm_xp(r[1]) or ".")
+        if name in fmt.annotations:
+            return _spec_xp(fmt.annotations[name])
+        return None
+
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        f'<xsl:stylesheet version="2.0" '
+        f'xmlns:xsl="http://www.w3.org/1999/XSL/Transform" '
+        f'{opt_default}{ns_decls} exclude-result-prefixes="{excl}">',
+        '<xsl:output encoding="utf-8" method="html" '
+        'omit-xml-declaration="yes" />',
+        # swallow everything not explicitly matched
+        "<xsl:template match='text()' priority='-10' ></xsl:template>",
+        # blacklab-inserted <hl> -> span (local-name sidesteps namespaces)
+        '<xsl:template match="*[local-name(.)=\'hl\']">'
+        '<span class="hl"><xsl:apply-templates select="node()" /></span>'
+        "</xsl:template>",
+    ]
+    lemma_sel = word_select("lemma")
+    word_sel = word_select("word") or "."
+    out.append(f'<xsl:template match="{word_base}"><span class="word">')
+    if lemma_sel is not None and lemma_sel != word_sel:
+        out.append(
+            '<xsl:attribute name="data-toggle" select="\'tooltip\'"/>'
+            '<xsl:attribute name="data-lemma">'
+            f"<xsl:value-of select='{lemma_sel}'/>"
+            "</xsl:attribute>"
+        )
+    out.append(f'<xsl:value-of select="{word_sel}"/>')
+    out.append("</span><xsl:text> </xsl:text></xsl:template>")
+    inline = raw.get("inline") or [
+        (f".//{t}", "") for t in (fmt.inline_tags or ())
+    ]
+    for path, display_as in inline:
+        css = display_as or re.sub(
+            r"\W+", " ", re.sub(r"\b\w+:", "", path)
+        ).strip().replace(" ", "-")
+        out.append(
+            f'<xsl:template match="{_join_xp(doc_path, container, path)}">'
+            f'<span class="{css}"><xsl:apply-templates select="node()" />'
+            "</span></xsl:template>"
+        )
+    warning = (
+        "No words have been found within this entire document. This "
+        "usually happens when your document contains namespaces, but the "
+        "format you used to index the document doesn't use any namespaces."
+    )
+    out.append(
+        '<xsl:template match="/" mode="pass2"><xsl:choose>'
+        f'<xsl:when test="{word_base}"><xsl:apply-templates/></xsl:when>'
+        f"<xsl:otherwise><xsl:text>{warning}</xsl:text></xsl:otherwise>"
+        "</xsl:choose></xsl:template>"
+    )
+    if not fmt.namespaces:
+        out.append(
+            '<xsl:template match="/">'
+            '<xsl:variable name="withoutNamespaces">'
+            '<xsl:apply-templates select="." mode="remove-namespaces"/>'
+            "</xsl:variable>"
+            '<xsl:apply-templates select="$withoutNamespaces" mode="pass2"/>'
+            "</xsl:template>"
+            '<xsl:template match="*" mode="remove-namespaces">'
+            '<xsl:element name="{local-name()}">'
+            '<xsl:apply-templates select="@* | node()" mode="remove-namespaces"/>'
+            "</xsl:element></xsl:template>"
+            '<xsl:template match="@*" mode="remove-namespaces">'
+            '<xsl:attribute name="{local-name()}">'
+            '<xsl:value-of select="."/></xsl:attribute></xsl:template>'
+            '<xsl:template match="comment() | text() | processing-instruction()"'
+            ' mode="remove-namespaces"><xsl:copy/></xsl:template>'
+        )
+    else:
+        out.append(
+            '<xsl:template match="/">'
+            '<xsl:apply-templates select="." mode="pass2"/>'
+            "</xsl:template>"
+        )
+    out.append("</xsl:stylesheet>")
+    return "".join(out)
+
+
+def format_xslt(name: str, user_formats: dict | None = None):
+    """GET /input-formats/<name>/xslt (RequestHandlerListInputFormats
+    isXsltRequest; served as XML). Non-XML formats answer the
+    reference's NOT_FOUND."""
+    from blacklab_spark.index.xml_ingest import FORMATS
+
+    fmt = None
+    if user_formats and name in user_formats:
+        fmt = user_formats[name][0]
+    elif name in FORMATS:
+        fmt = FORMATS[name]
+    try:
+        return 200, generate_xslt(fmt)
+    except KeyError:
+        return 404, error_response(
+            "NOT_FOUND",
+            f"The format '{name}' does not apply to XML-type documents, "
+            f"and cannot be converted to XSLT.",
+        )
+
+
 def format_get(name: str, user_formats: dict | None = None):
     """GET /input-formats/<name> (input-formats/name/get.md)."""
     if user_formats and name in user_formats:

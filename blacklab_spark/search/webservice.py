@@ -227,6 +227,12 @@ class _Router:
                     "Format management requires a --user-dir.",
                 )
             return mgr.format_delete(rest[0])
+        if rest[1:2] == ["xslt"]:
+            # display stylesheet for the format (reference
+            # RequestHandlerListInputFormats isXsltRequest)
+            return manage.format_xslt(
+                rest[0], mgr.user_formats if mgr else None
+            )
         return manage.format_get(rest[0], mgr.user_formats if mgr else None)
 
     def _corpus_route(self, corpus, rest: list[str], q: dict) -> tuple[int, object]:
@@ -453,12 +459,13 @@ def make_handler(corpora: dict, manager=None):
                 )
             if isinstance(body, str):
                 payload = body.encode()
-                # doc-contents is always served as XML (the reference
-                # forces DataFormat.XML there, RequestHandlerDocContents
+                # doc-contents and format-xslt responses are served as
+                # XML (the reference forces DataFormat.XML on both,
+                # RequestHandlerDocContents/ListInputFormats
                 # .getOverrideType: "Application expects this MIME type")
                 ctype = (
                     "application/xml; charset=utf-8"
-                    if op == "docs-contents"
+                    if op == "docs-contents" or body.startswith("<?xml")
                     else "text/plain; charset=utf-8"
                 )
             else:

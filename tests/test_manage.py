@@ -314,3 +314,28 @@ def test_manager_reload(mgd, spark):
     assert "persist" in registry  # re-opened as a live Corpus
     assert registry["persist"].search(patt='"kappa"').count() == 1
     mgd("DELETE", "/persist")
+
+
+def test_format_xslt(mgd):
+    """GET /input-formats/<name>/xslt (RequestHandlerListInputFormats
+    isXsltRequest / XslGenerator.generateXsltFromConfig): XML formats
+    yield a display stylesheet; non-XML formats answer NOT_FOUND."""
+    import xml.etree.ElementTree as ET
+
+    status, body = mgd("GET", "/input-formats/tei-p5/xslt")
+    assert status == 200 and isinstance(body, str)
+    # a well-formed XSLT 2.0 stylesheet with the reference's shapes
+    root = ET.fromstring(body)
+    assert root.tag.endswith("stylesheet")
+    assert 'class="hl"' in body and 'class="word"' in body
+    # tei-p5 wordPath .//w under container .//text under //TEI
+    assert 'match="//TEI//text//w"' in body
+    # lemma tooltip attribute (tei-p5 has a lemma annotation)
+    assert "data-lemma" in body
+    # no namespaces declared -> the namespace-stripping preprocessing pass
+    assert "remove-namespaces" in body
+    # non-XML format -> reference NOT_FOUND message
+    status, body = mgd("GET", "/input-formats/csv/xslt")
+    assert status == 404
+    assert body["error"]["code"] == "NOT_FOUND"
+    assert "cannot be converted to XSLT" in body["error"]["message"]
